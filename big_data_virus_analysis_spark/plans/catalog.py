@@ -1,0 +1,547 @@
+"""The query catalog: every implemented operator as a named query with a
+DuckDB oracle.
+
+Each :class:`QuerySpec` pairs a Spark callable ``(spark, sf_dir) ->
+DataFrame`` with the equivalent ANSI SQL (run by the driver against the
+same parquet via DuckDB).  Conventions that make the driver's
+order-insensitive value-hash comparison deterministic:
+
+* every computed column is aliased identically on both sides;
+* double aggregates are ``round``-ed (4-6 digits) on both sides, with
+  the SQL written in the *same operation order* as the Spark expression
+  so IEEE results agree bit-for-bit before rounding;
+* money sums go through ``DECIMAL(18,2)`` casts (exact accumulation in
+  both engines — double summation order would otherwise diverge);
+* timestamps are exported as epoch microseconds (``unix_micros`` /
+  ``epoch_us``);
+* window ranks always carry a full deterministic ORDER BY tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..operators.features import document_tokens, info_gain_ranking
+from ..operators.entropy_score import weighted_average_entropy
+from ..operators.sessions import sessionize, tumbling_window_agg
+from ..functions.text import label_encode, shingles
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One catalog entry: Spark plan + DuckDB oracle + provenance note."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only check
+    doc: str = ""
+
+
+# --------------------------------------------------------------------------
+# SQL fragments mirroring functions/entropy.py in the same operation order
+# --------------------------------------------------------------------------
+
+def _plogp2_sql(p: str) -> str:
+    return f"(CASE WHEN {p} > 0 THEN -({p}) * log2({p}) ELSE 0.0 END)"
+
+
+def _entropy2_sql(x: str, y: str) -> str:
+    p = f"(CAST({x} AS DOUBLE) / CAST({y} AS DOUBLE))"
+    return f"({_plogp2_sql(p)} + {_plogp2_sql(f'(1.0 - {p})')})"
+
+
+def _info_gain_sql(p: str, t: str, pg: str, tg: str) -> str:
+    t_d, tg_d = f"CAST({t} AS DOUBLE)", f"CAST({tg} AS DOUBLE)"
+    return (
+        f"({_entropy2_sql(p, t)}"
+        f" - ({tg_d} / {t_d}) * {_entropy2_sql(pg, tg)}"
+        f" - (({t_d} - {tg_d}) / {t_d}) * {_entropy2_sql(f'({p} - {pg})', f'({t} - {tg})')})"
+    )
+
+
+def _nan_to_zero_sql(x: str) -> str:
+    return f"(CASE WHEN isnan({x}) THEN 0.0 ELSE {x} END)"
+
+
+# --------------------------------------------------------------------------
+# Flagship: information-gain feature ranking over `documents`
+# (reference FeatureSelectionCloud.scala:376-442; see operators/features.py)
+# --------------------------------------------------------------------------
+
+IG_TOPK = 100
+
+
+def _q_info_gain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return info_gain_ranking(document_tokens(docs), k=IG_TOPK).select(
+        "token", "pos_df", "neg_df", "info_gain", "rank"
+    )
+
+
+_IG_EXPR = _info_gain_sql("p", "t", "pos_df", "(pos_df + neg_df)")
+
+_SQL_INFO_GAIN_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id AS doc,
+         CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS cls,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+), tok_ne AS (
+  SELECT * FROM tok WHERE length(token) > 0
+), dedup AS (
+  SELECT DISTINCT doc, cls, token FROM tok_ne
+), freq AS (
+  SELECT token,
+         count(*) FILTER (WHERE cls = 'pos') AS pos_df,
+         count(*) FILTER (WHERE cls = 'neg') AS neg_df
+  FROM dedup GROUP BY token
+), totals AS (
+  SELECT count(*) FILTER (WHERE cls = 'pos') AS p, count(*) AS t
+  FROM (SELECT DISTINCT doc, cls FROM tok_ne)
+), scored AS (
+  SELECT token, pos_df, neg_df,
+         round({_nan_to_zero_sql("ig_raw")}, 6) AS info_gain
+  FROM (
+    SELECT token, pos_df, neg_df,
+           {_IG_EXPR} AS ig_raw
+    FROM freq CROSS JOIN totals
+    WHERE pos_df > 0 AND neg_df > 0
+  )
+)
+SELECT token, pos_df, neg_df, info_gain,
+       CAST(row_number() OVER (ORDER BY info_gain DESC, token ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {IG_TOPK}
+"""
+
+# --------------------------------------------------------------------------
+# Core relational pack (SURVEY.md §2.1-2.8 over the synthetic star schema)
+# --------------------------------------------------------------------------
+
+def _q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + pushdown filter + projection + scalar arithmetic.
+
+    Reference analog: text scan + cleanup + non-empty filter
+    (FeatureSelectionCloud.scala:332-337).  Filter and 4-column
+    ReadSchema reach the parquet scan (asserted in tests/test_plans.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+    )
+
+
+_SQL_SCAN_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_discount > 0.05
+"""
+
+
+def _q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate (map-side partial agg for free).
+
+    Reference analog: count-by-key doc-frequency (FeatureSelectionCloud
+    .scala:376-390).  Money sums accumulate in DECIMAL(18,2) so Spark
+    and DuckDB agree exactly regardless of summation order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + aggregate (reference inner join at
+    FeatureSelectionCloud.scala:418).  Shuffle join on o_custkey at
+    scale; AQE may demote to broadcast when customer is small."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+        )
+    )
+
+
+_SQL_JOIN_ORDERS_CUSTOMER = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def _q_broadcast_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two broadcast dimension joins (reference driver-array lookup,
+    KmeansVirus.scala:99-111, done properly: explicit broadcast hint)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+_SQL_BROADCAST_DIM_ROLLUP = """
+SELECT r_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _q_window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per partition — the deterministic replacement for the
+    reference's zipWithIndex rank (FeatureSelectionCloud.scala:505)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank")
+    )
+
+
+_SQL_WINDOW_RANK_PARTS = """
+SELECT p_brand, p_partkey, p_retailprice,
+       CAST(row_number() OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rank
+FROM part
+QUALIFY rank <= 3
+"""
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (Catalyst plans TakeOrderedAndProject — the
+    reference's takeOrdered, FeatureSelectionCloud.scala:438)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+def _q_semi_join_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi membership probe — the reference's per-file
+    leftOuterJoin+filter vocabulary probe (FeatureSelectionCloud.scala
+    :494-518) done once, set-based, with a broadcast vocab."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    vocab = (
+        part.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .limit(100)
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(vocab), li.l_partkey == vocab.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty"),
+        )
+    )
+
+
+_SQL_SEMI_JOIN_VOCAB = """
+SELECT l_partkey,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (
+  SELECT p_partkey FROM part
+  ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 100
+)
+GROUP BY l_partkey
+"""
+
+
+def _q_label_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional label encode (reference virus→1.0 / clean→0.0,
+    FeatureSelectionCloud.scala:452-456)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("label", label_encode(F.col("o_orderstatus"), positive="F"))
+        .groupBy("o_orderstatus", "label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_LABEL_ENCODE_ORDERS = """
+SELECT o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def _q_union_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way union of class-filtered frames (reference sc.union of
+    per-class RDDs, FeatureSelectionCloud.scala:387,172)."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en").select("doc_id", "source", F.lit("en_class").alias("cls"))
+    fr = docs.where(F.col("lang") == "fr").select("doc_id", "source", F.lit("fr_class").alias("cls"))
+    return en.unionByName(fr).groupBy("source", "cls").agg(F.count("*").alias("n_docs"))
+
+
+_SQL_UNION_CLASSES = """
+SELECT source, cls, count(*) AS n_docs
+FROM (
+  SELECT doc_id, source, 'en_class' AS cls FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT doc_id, source, 'fr_class' AS cls FROM documents WHERE lang = 'fr'
+)
+GROUP BY source, cls
+"""
+
+
+def _q_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a key subset (reference per-file distinct,
+    FeatureSelectionCloud.scala:314,337) — one corpus-wide hash agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_SQL_DISTINCT_EVENTS = """
+SELECT event_type, count(*) AS n_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
+def _q_count_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, label) countByValue analog (reference SVMDT.scala
+    :325-328) — groupBy counts, never a driver-side Map."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", (F.col("user_id") % 10).cast("bigint"))
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_COUNT_BY_VALUE = """
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket, event_type, count(*) AS n
+FROM events
+GROUP BY bucket, event_type
+"""
+
+
+def _q_cluster_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average cluster entropy (reference
+    costlyWeightedAveEntropyScore, SVMDT.scala:253-285) over synthetic
+    cluster=user bucket, label=event_type."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 10).cast("bigint")
+    )
+    return weighted_average_entropy(ev, "bucket", "event_type")
+
+
+_SQL_CLUSTER_ENTROPY = """
+WITH hist AS (
+  SELECT CAST(user_id % 10 AS BIGINT) AS cluster, event_type AS label, count(*) AS cnt
+  FROM events GROUP BY cluster, label
+), shares AS (
+  SELECT cnt,
+         CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY cluster) AS DOUBLE) AS p,
+         CAST(sum(cnt) OVER (PARTITION BY cluster) AS DOUBLE) AS s
+  FROM hist
+)
+SELECT round(
+  sum((CASE WHEN p > 0 THEN -p * ln(p) ELSE 0.0 END) * s) / CAST(sum(cnt) AS DOUBLE),
+  6) AS score
+FROM shares
+"""
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+_SQL_SESSIONIZE_EVENTS = """
+WITH x AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM x
+), sessions AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(tus) AS session_start_us,
+       max(tus) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def _q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_agg(load_table(spark, sf_dir, "events"), minutes=60)
+
+
+_SQL_TUMBLING_WINDOW_EVENTS = """
+SELECT epoch_us(time_bucket(INTERVAL '60 minutes', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY window_start_us, event_type
+"""
+
+
+def _q_shingle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window character shingling — the reference's byte-mode
+    tokenizer (createByteFeatures, FeatureSelectionCloud.scala:257-321)
+    as a pure expression: transform(sequence(...)) + explode."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return (
+        docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), width=14)).alias("shingle")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count_distinct("shingle").alias("n_distinct"),
+        )
+    )
+
+
+_SQL_SHINGLE_DOCUMENTS = """
+WITH sh AS (
+  SELECT doc_id,
+         upper(substring(text, CAST(unnest(generate_series(1, length(text) - 13)) AS INT), 14)) AS shingle
+  FROM documents WHERE doc_id < 50 AND length(text) >= 14
+)
+SELECT doc_id, count(*) AS n_shingles, count(DISTINCT shingle) AS n_distinct
+FROM sh GROUP BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+CATALOG: dict[str, QuerySpec] = {
+    "info_gain_topk": QuerySpec(
+        _q_info_gain_topk,
+        _SQL_INFO_GAIN_TOPK,
+        "flagship: tokenize → doc-freq → IG → top-k (FeatureSelectionCloud.scala:376-442)",
+    ),
+    "scan_filter_project": QuerySpec(
+        _q_scan_filter_project, _SQL_SCAN_FILTER_PROJECT, "scan + pushdown filter + project"
+    ),
+    "agg_pricing_summary": QuerySpec(
+        _q_agg_pricing_summary, _SQL_AGG_PRICING_SUMMARY, "hash aggregate w/ partial agg"
+    ),
+    "join_orders_customer": QuerySpec(
+        _q_join_orders_customer, _SQL_JOIN_ORDERS_CUSTOMER, "inner equi-join + agg"
+    ),
+    "broadcast_dim_rollup": QuerySpec(
+        _q_broadcast_dim_rollup, _SQL_BROADCAST_DIM_ROLLUP, "broadcast dimension joins"
+    ),
+    "window_rank_parts": QuerySpec(
+        _q_window_rank_parts, _SQL_WINDOW_RANK_PARTS, "partitioned row_number rank"
+    ),
+    "topk_orders": QuerySpec(_q_topk_orders, _SQL_TOPK_ORDERS, "global top-k"),
+    "semi_join_vocab": QuerySpec(
+        _q_semi_join_vocab, _SQL_SEMI_JOIN_VOCAB, "left-semi vocabulary membership probe"
+    ),
+    "label_encode_orders": QuerySpec(
+        _q_label_encode_orders, _SQL_LABEL_ENCODE_ORDERS, "conditional label encode"
+    ),
+    "union_classes": QuerySpec(_q_union_classes, _SQL_UNION_CLASSES, "n-way union"),
+    "distinct_events": QuerySpec(
+        _q_distinct_events, _SQL_DISTINCT_EVENTS, "dropDuplicates on key subset"
+    ),
+    "count_by_value": QuerySpec(_q_count_by_value, _SQL_COUNT_BY_VALUE, "countByValue analog"),
+    "cluster_entropy": QuerySpec(
+        _q_cluster_entropy, _SQL_CLUSTER_ENTROPY, "weighted average cluster entropy (SVMDT.scala:253-285)"
+    ),
+    "sessionize_events": QuerySpec(
+        _q_sessionize_events, _SQL_SESSIONIZE_EVENTS, "gap-based sessionization"
+    ),
+    "tumbling_window_events": QuerySpec(
+        _q_tumbling_window_events, _SQL_TUMBLING_WINDOW_EVENTS, "tumbling event-time windows"
+    ),
+    "shingle_documents": QuerySpec(
+        _q_shingle_documents, _SQL_SHINGLE_DOCUMENTS, "sliding-window char shingling"
+    ),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle is not None}

@@ -1,0 +1,64 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Schema-on-write: the driver generated these with fixed schemas
+(TESTDATA.md); we read the parquet footers directly.  Column pruning and
+filter pushdown reach the scan because callers compose plain DataFrame
+ops on top of these loaders (verified by tests/test_plans.py, which
+asserts ``PushedFilters`` shows up in the formatted physical plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to always broadcast in joins
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # parquet reader rejects; read nanos as long and convert (the
+        # generator wrote whole-microsecond values, so this is lossless
+        # and matches DuckDB's micro-truncating read).  Set here, not in
+        # the session factory, so it also holds under a driver-owned
+        # SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer `div`, not `/`: double division loses precision at
+            # epoch-nanos magnitude (~1.7e18 > 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so Spark SQL text queries work."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

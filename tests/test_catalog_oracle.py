@@ -1,0 +1,38 @@
+"""Oracle parity for every SQL-expressible catalog query.
+
+Mirrors the driver's CORRECTNESS gate: run the Spark plan and the DuckDB
+oracle on the same sf0.01 parquet, compare row count + columns + values
+(order-insensitive, exact after the catalog's own rounding).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+from conftest import SF_DIR, assert_frames_match
+
+ORACLE_CASES = sorted(name for name, spec in CATALOG.items() if spec.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(spark, duck, name):
+    spec = CATALOG[name]
+    spark_df = spec.spark(spark, SF_DIR)
+    duck_df = duck.execute(spec.oracle).df()
+    assert_frames_match(spark_df, duck_df, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["token", "pos_df", "neg_df", "info_gain", "rank"]
+
+
+def test_every_query_has_catalog_doc():
+    for name, spec in CATALOG.items():
+        assert spec.doc, f"{name} missing provenance doc"
