@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (full computation of
+every output column, no write cost, no driver collect)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_virus_analysis_spark.plans.catalog import CATALOG  # noqa: E402
+from big_data_virus_analysis_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "info_gain_topk",
+    "scan_filter_project",
+    "agg_pricing_summary",
+    "join_orders_customer",
+    "broadcast_dim_rollup",
+    "semi_join_vocab",
+    "window_rank_parts",
+    "sessionize_events",
+    "tumbling_window_events",
+    "shingle_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bdva-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM/codegen paths outside the measured window
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in CATALOG:
+            continue
+        t0 = time.perf_counter()
+        CATALOG[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
