@@ -1,0 +1,254 @@
+"""Document deduplication operators (training-data-pipeline extension).
+
+Four families, all pure DataFrame ops (no Python UDFs anywhere):
+
+* exact         — md5(text) grouping
+* n-gram Jaccard— inverted-index similarity join on word shingles
+* MinHash + LSH — arithmetic hash family over a shingle dictionary,
+                  banded signatures, bucket join
+* SimHash       — bitwise majority over hashed shingles + Hamming pairs
+
+Determinism contract (for the DuckDB oracle): shingle ids come from a
+*dictionary* (row_number over the sorted distinct shingles) and all hash
+mixing is plain modular arithmetic on BIGINTs kept < 2^63 — both engines
+produce bit-identical signatures.  At 100 TB the dictionary's
+single-partition window over the distinct-shingle table is the one
+scale-sensitive step; swap `shingle_ids` for `xxhash64(gram)` there (no
+dictionary, no window — noted inline) at the cost of oracle
+comparability, not correctness.
+
+Scale shape: every stage is hash-partitioned on (doc, gram) or (gram) —
+the inverted-index join and the band-bucket join are the standard
+shuffle-bound near-dup patterns; hot shingles (stopword-like grams) are
+the skew risk, handled by AQE skew-join plus the optional document-
+frequency cutoff in `ngram_jaccard_pairs(max_df=...)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# LCG-style mixing constants (Knuth/Numerical-Recipes lineage, public)
+_SCRAMBLE = 2654435761  # Fibonacci hashing multiplier
+_M31 = 2147483648  # 2^31
+_P31 = 2147483647  # Mersenne prime 2^31-1
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup by content hash; survivor = min(doc_id) per group.
+
+    Output: ``(doc_id, text_hash, n_copies)`` — one row per distinct
+    text.  One hash-aggregate shuffle on the 32-char digest.
+    """
+    return (
+        documents.select(F.col("doc_id"), F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "text_hash", "n_copies")
+    )
+
+
+def word_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(doc_id, gram)``.
+
+    Shingling is transform(sequence) over the token array — explode
+    happens once, after the per-row array is built (no UDTF).
+    """
+    tokens = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return (
+        documents.where(F.size(tokens) >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Inverted-index self-join: pairs are generated only where a shingle
+    is shared, then intersection counts are turned into Jaccard via the
+    per-doc set sizes.  ``max_df`` drops shingles occurring in more than
+    that many docs (stopword-gram skew control at scale).
+
+    Output: ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b, jaccard
+    rounded to 6.
+    """
+    dg = word_ngrams(documents, n)
+    if max_df is not None:
+        hot = (
+            dg.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("gram")
+        )
+        dg = dg.join(hot, "gram", "left_semi")
+    sizes = dg.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    a = dg.alias("a")
+    b = dg.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def shingle_ids(dg: DataFrame) -> DataFrame:
+    """Dictionary-encode shingles: ``(doc_id, tid)``.
+
+    row_number over sorted distinct grams — deterministic and
+    oracle-matchable.  SCALE PATH: replace with
+    ``F.xxhash64("gram")`` to avoid the vocabulary-sized global window
+    (loses DuckDB comparability, keeps MinHash validity).
+    """
+    w = Window.orderBy("gram")
+    dictionary = dg.select("gram").distinct().withColumn("tid", F.row_number().over(w))
+    return dg.join(dictionary, "gram").select("doc_id", "tid")
+
+
+def _scramble(tid):
+    return (tid.cast("bigint") * _SCRAMBLE) % _M31
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
+    """MinHash signatures: ``(doc_id, i, h)`` for i ∈ 1..k.
+
+    Hash family h_i(t) = (a_i·s + b_i) mod (2^31−1) with s the scrambled
+    shingle id, a_i = 2i+1, b_i = 7919·i — plain modular arithmetic,
+    identical in Spark and DuckDB, products bounded < 2^63.
+    """
+    ids = shingle_ids(word_ngrams(documents, n)).withColumn("s", _scramble(F.col("tid")))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda i: F.struct(
+            i.alias("i"),
+            (((2 * i + 1).cast("bigint") * F.col("s") + 7919 * i) % _P31).alias("hv"),
+        ),
+    )
+    return (
+        ids.select("doc_id", F.explode(hashes).alias("x"))
+        .groupBy("doc_id", F.col("x.i").alias("i"))
+        .agg(F.min("x.hv").alias("h"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, n: int = 3, k: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 identical signature band.
+
+    Signatures are split into ``bands`` bands of k/bands rows; a band's
+    key is the ordered concat of its hash values; candidates come from a
+    self-join on (band, key) — the classic shuffle-on-bucket plan.
+
+    Output: ``(doc_a, doc_b, n_shared_bands)``.
+    """
+    r = k // bands
+    sig = minhash_signatures(documents, n, k).withColumn(
+        "band", ((F.col("i") - 1) / r).cast("int")
+    )
+    band_keys = sig.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "h"))),
+                lambda s: s["h"].cast("string"),
+            ),
+            ",",
+        ).alias("key")
+    )
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash_docs(documents: DataFrame, n: int = 3, bits: int = 31) -> DataFrame:
+    """Per-document SimHash over hashed shingles: ``(doc_id, simhash)``.
+
+    Two-round multiplicative mix of the shingle id, then per-bit
+    majority vote.  The bit explosion is over *distinct shingles per
+    doc* × ``bits`` — bounded, and aggregates immediately.
+    """
+    ids = shingle_ids(word_ngrams(documents, n)).withColumn("s", _scramble(F.col("tid")))
+    mixed = ids.withColumn(
+        "h2",
+        (F.expr("s ^ shiftright(s, 13)") * F.lit(1103515245).cast("bigint")) % _M31,
+    )
+    # contribution = +1 if bit j of h2 set else -1
+    exploded = (
+        mixed.select("doc_id", "h2", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"))
+        .withColumn(
+            "contrib",
+            F.when(F.expr("shiftright(h2, j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+    )
+    return (
+        exploded.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("bitsum"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("bitsum") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_pairs(documents: DataFrame, n: int = 3, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    All-pairs comparison on the *per-doc* table (documents-sized, tiny
+    next to the corpus); the LSH-banded variant of the same signature is
+    the 100 TB path (band by bit-slices exactly like MinHash bands).
+
+    Output: ``(doc_a, doc_b, hamming)``.
+    """
+    sim = simhash_docs(documents, n)
+    a = sim.alias("a")
+    b = sim.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", F.expr("bit_count(a.simhash ^ b.simhash)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("hamming"),
+        )
+    )

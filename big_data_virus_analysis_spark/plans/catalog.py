@@ -545,3 +545,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle is not None}
+
+# --------------------------------------------------------------------------
+# Dedup pack (training-data-pipeline extension; operators/dedup.py)
+# --------------------------------------------------------------------------
+
+from ..operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+    simhash_pairs,
+)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+_SQL_DEDUP_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tokens) - 2),
+         i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS gram
+  FROM toks WHERE len(tokens) >= 3
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM grams
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM dg GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM dg a JOIN dg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.8
+"""
+
+_SQL_SHINGLE_IDS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tokens) - 2),
+         i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS gram
+  FROM toks WHERE len(tokens) >= 3
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM grams
+), dict AS (
+  SELECT gram, CAST(row_number() OVER (ORDER BY gram) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT gram FROM dg)
+), ids AS (
+  SELECT dg.doc_id, (dict.tid * 2654435761) % 2147483648 AS s
+  FROM dg JOIN dict USING (gram)
+)
+"""
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, k=32, bands=8)
+
+
+_SQL_MINHASH_LSH_PAIRS = _SQL_SHINGLE_IDS + """
+, sig AS (
+  SELECT doc_id, i, min((CAST(2 * i + 1 AS BIGINT) * s + 7919 * i) % 2147483647) AS h
+  FROM ids CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i)
+  GROUP BY doc_id, i
+), band_keys AS (
+  SELECT doc_id, CAST((i - 1) // 4 AS INT) AS band,
+         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS key
+  FROM sig GROUP BY doc_id, band
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM band_keys a
+JOIN band_keys b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+"""
+
+
+def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_docs(load_table(spark, sf_dir, "documents"), n=3, bits=31)
+
+
+_SQL_SIMHASH_BASE = _SQL_SHINGLE_IDS + """
+, mixed AS (
+  SELECT doc_id, (xor(s, s >> 13) * 1103515245) % 2147483648 AS h2 FROM ids
+), contribs AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h2 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+  FROM mixed CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS j)
+  GROUP BY doc_id, j
+), sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM contribs GROUP BY doc_id
+)
+"""
+
+_SQL_SIMHASH_DOCS = _SQL_SIMHASH_BASE + "SELECT doc_id, simhash FROM sims"
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), n=3, max_hamming=6)
+
+
+_SQL_SIMHASH_PAIRS = _SQL_SIMHASH_BASE + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+CATALOG.update(
+    {
+        "dedup_exact": QuerySpec(
+            _q_dedup_exact, _SQL_DEDUP_EXACT, "exact dedup by md5 content hash"
+        ),
+        "dedup_ngram_jaccard": QuerySpec(
+            _q_dedup_ngram_jaccard,
+            _SQL_DEDUP_NGRAM_JACCARD,
+            "near-dup pairs via 3-gram Jaccard inverted-index join",
+        ),
+        "minhash_lsh_pairs": QuerySpec(
+            _q_minhash_lsh_pairs,
+            _SQL_MINHASH_LSH_PAIRS,
+            "MinHash(k=32) + LSH(8 bands) candidate pairs",
+        ),
+        "simhash_docs": QuerySpec(
+            _q_simhash_docs, _SQL_SIMHASH_DOCS, "per-doc 31-bit SimHash signatures"
+        ),
+        "simhash_pairs": QuerySpec(
+            _q_simhash_pairs, _SQL_SIMHASH_PAIRS, "SimHash Hamming ≤ 6 near-dup pairs"
+        ),
+    }
+)
