@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (training-data-pipeline
+extension).
+
+Three tiers:
+
+* brute-force cosine top-k — the correctness baseline.  The query set is
+  broadcast; candidates stream through one scan; the cosine fold is
+  ``zip_with`` + ``aggregate`` (JVM codegen, elements cast to double
+  before multiplying so the DuckDB oracle agrees to the last bit worth
+  of rounding).
+* sign-LSH bucketed top-k — the scale path: 8 deterministic hyperplanes
+  (modular-arithmetic pseudo-random weights, identical in SQL) hash
+  every vector to a bucket; search only joins within buckets.  At 100 TB
+  the bucket join replaces the all-pairs nested loop — candidate volume
+  drops by ~2^planes, and bucket ids are a plain shuffle key.
+* cosine near-dup pairs — thresholded all-pairs (documents-sized input);
+  the LSH prefilter composes in front of it at scale.
+
+A vectorized Arrow/NumPy variant (mapInPandas matmul) is in
+``similarity_pandas.py`` for wide-vector workloads where a codegen'd
+per-element fold loses to BLAS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity
+
+DIM = 64
+N_PLANES = 8
+
+
+def _plane_weight(j: int, d: int, dim: int = DIM) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-0.5, 0.5).
+
+    LCG step (glibc constants) on the flattened index — exact rational
+    arithmetic, reproducible in any engine.
+    """
+    return ((1103515245 * (j * dim + d) + 12345) % 2147483648) / 2147483648.0 - 0.5
+
+
+def lsh_bucket(emb, n_planes: int = N_PLANES, dim: int = DIM):
+    """Column expr: sign-LSH bucket id in [0, 2^n_planes)."""
+    bucket = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(_plane_weight(j, d, dim)) for d in range(dim)])
+        dot_j = F.aggregate(
+            F.zip_with(emb, plane, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot_j > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: ``(query_id, cand_id, sim, rank)``.
+
+    Ranks over the *rounded* similarity with vec_id tiebreak so results
+    are stable across engines and runs.
+    """
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
+    return (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Sign-LSH bucketed top-k: like :func:`cosine_topk` but candidates
+    are restricted to the query's bucket — the scan-once/shuffle-on-
+    bucket plan that survives a 1000× corpus."""
+    with_bucket = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), n_planes))
+    q = with_bucket.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = with_bucket.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "bucket", "cand_id", "sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding near-dup pairs: ``(vec_a, vec_b, sim)`` at/above the
+    rounded-cosine threshold, vec_a < vec_b."""
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6))
+        .where(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def knn_label_vote(embeddings: DataFrame, n_queries: int = 50, k: int = 5) -> DataFrame:
+    """k-NN majority-vote classification: ``(query_id, pred_label, votes)``.
+
+    Joins the top-k neighbor set back to the label column and takes the
+    modal label (count desc, label asc tiebreak) — a fully relational
+    "ML" op with an exact SQL oracle.
+    """
+    topk = cosine_topk(embeddings, n_queries=n_queries, k=k)
+    labels = embeddings.select(F.col("vec_id").alias("cand_id"), "label")
+    votes = (
+        topk.join(labels, "cand_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )

@@ -694,3 +694,154 @@ CATALOG.update(
         ),
     }
 )
+
+# --------------------------------------------------------------------------
+# Similarity-search pack (operators/similarity.py)
+# --------------------------------------------------------------------------
+
+from ..operators.similarity import (  # noqa: E402
+    ann_lsh_topk,
+    cosine_near_dup_pairs,
+    cosine_topk,
+    knn_label_vote,
+)
+
+# element/norm views shared by every embedding oracle: explicit DOUBLE
+# casts (DuckDB's list_cosine_similarity computes in float32 — not
+# oracle-safe against Spark's double fold)
+_SQL_EMB_BASE = """
+WITH elems AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM elems GROUP BY vec_id
+)
+"""
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+_SQL_COSINE_TOPK = _SQL_EMB_BASE + """
+, dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
+  FROM elems q JOIN elems c ON q.i = c.i AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2
+), sims AS (
+  SELECT query_id, cand_id, round(dot / (nq.nrm * nc.nrm), 6) AS sim
+  FROM dots
+  JOIN norms nq ON query_id = nq.vec_id
+  JOIN norms nc ON cand_id = nc.vec_id
+)
+SELECT query_id, cand_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= 5
+"""
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+_SQL_ANN_LSH_TOPK = _SQL_EMB_BASE + """
+, planes AS (
+  SELECT j, d,
+         ((1103515245 * (j * 64 + (d - 1)) + 12345) % 2147483648) / 2147483648.0 - 0.5 AS wgt
+  FROM (SELECT unnest(generate_series(0, 7)) AS j)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
+), pdots AS (
+  SELECT e.vec_id, p.j, sum(e.x * p.wgt) AS pd
+  FROM elems e JOIN planes p ON e.i = p.d
+  GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pdots GROUP BY vec_id
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
+  FROM elems q JOIN elems c ON q.i = c.i AND c.vec_id <> q.vec_id
+  JOIN buckets bq ON q.vec_id = bq.vec_id
+  JOIN buckets bc ON c.vec_id = bc.vec_id AND bq.bucket = bc.bucket
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2
+), sims AS (
+  SELECT query_id, bq.bucket, cand_id, round(dot / (nq.nrm * nc.nrm), 6) AS sim
+  FROM dots
+  JOIN buckets bq ON query_id = bq.vec_id
+  JOIN norms nq ON query_id = nq.vec_id
+  JOIN norms nc ON cand_id = nc.vec_id
+)
+SELECT query_id, bucket, cand_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= 5
+"""
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_SQL_EMBEDDING_NEAR_DUP = _SQL_EMB_BASE + """
+, dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS sim
+FROM dots
+JOIN norms na ON vec_a = na.vec_id
+JOIN norms nb ON vec_b = nb.vec_id
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
+"""
+
+
+def _q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_label_vote(load_table(spark, sf_dir, "embeddings"), n_queries=50, k=5)
+
+
+_SQL_KNN_LABEL_VOTE = _SQL_EMB_BASE + """
+, dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
+  FROM elems q JOIN elems c ON q.i = c.i AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 50
+  GROUP BY 1, 2
+), sims AS (
+  SELECT query_id, cand_id, round(dot / (nq.nrm * nc.nrm), 6) AS sim
+  FROM dots
+  JOIN norms nq ON query_id = nq.vec_id
+  JOIN norms nc ON cand_id = nc.vec_id
+), topk AS (
+  SELECT query_id, cand_id
+  FROM sims
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) <= 5
+), votes AS (
+  SELECT t.query_id, e.label, count(*) AS votes
+  FROM topk t JOIN embeddings e ON t.cand_id = e.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, label AS pred_label, votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) = 1
+"""
+
+CATALOG.update(
+    {
+        "cosine_topk_bruteforce": QuerySpec(
+            _q_cosine_topk, _SQL_COSINE_TOPK, "brute-force cosine top-k (broadcast queries)"
+        ),
+        "ann_lsh_topk": QuerySpec(
+            _q_ann_lsh_topk, _SQL_ANN_LSH_TOPK, "sign-LSH bucketed approximate top-k"
+        ),
+        "embedding_near_dup": QuerySpec(
+            _q_embedding_near_dup, _SQL_EMBEDDING_NEAR_DUP, "cosine-threshold near-dup pairs"
+        ),
+        "knn_label_vote": QuerySpec(
+            _q_knn_label_vote, _SQL_KNN_LABEL_VOTE, "k-NN majority-vote classification"
+        ),
+    }
+)

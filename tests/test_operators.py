@@ -1,0 +1,102 @@
+"""Operator-level unit and property tests (SURVEY.md §5 strategy:
+hand-computed invariants where the oracle comparison alone is weak)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from big_data_virus_analysis_spark.functions.entropy import entropy2, info_gain, nan_to_zero
+from big_data_virus_analysis_spark.functions.text import shingles
+from big_data_virus_analysis_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+from big_data_virus_analysis_spark.operators.features import info_gain_ranking
+from big_data_virus_analysis_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from big_data_virus_analysis_spark.operators.similarity_pandas import cosine_topk_numpy
+from big_data_virus_analysis_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+def test_entropy2_known_values(spark):
+    df = spark.range(1).select(
+        entropy2(F.lit(1), F.lit(2)).alias("half"),
+        entropy2(F.lit(0), F.lit(2)).alias("zero"),
+        entropy2(F.lit(2), F.lit(2)).alias("one"),
+    )
+    row = df.collect()[0]
+    assert abs(row.half - 1.0) < 1e-12  # H(1/2) = 1 bit
+    assert row.zero == 0.0 and row.one == 0.0
+
+
+def test_info_gain_class_swap_symmetry(spark):
+    # IG(p,t,pg,tg) == IG(t-p, t, tg-pg, tg): swapping class polarity
+    df = spark.range(1).select(
+        info_gain(F.lit(30), F.lit(100), F.lit(10), F.lit(25)).alias("a"),
+        info_gain(F.lit(70), F.lit(100), F.lit(15), F.lit(25)).alias("b"),
+    )
+    row = df.collect()[0]
+    assert abs(row.a - row.b) < 1e-12
+
+
+def test_info_gain_nonnegative_on_corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    from big_data_virus_analysis_spark.operators.features import document_tokens
+
+    ranked = info_gain_ranking(document_tokens(docs), k=1000)
+    assert ranked.where(F.col("info_gain") < 0).count() == 0
+
+
+def test_nan_to_zero(spark):
+    row = spark.range(1).select(
+        nan_to_zero(F.lit(float("nan"))).alias("n"), nan_to_zero(F.lit(2.5)).alias("v")
+    ).collect()[0]
+    assert row.n == 0.0 and row.v == 2.5
+
+
+def test_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [("abcdef",), ("abc",), ("",)], ["s"]
+    ).select(shingles(F.col("s"), width=3).alias("sh"))
+    rows = [r.sh for r in df.collect()]
+    assert rows[0] == ["ABC", "BCD", "CDE", "DEF"]
+    assert rows[1] == ["ABC"]
+    assert rows[2] == []
+
+
+def test_exact_dedup_idempotent(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    once = exact_dedup(docs)
+    # dedup of the survivors changes nothing
+    again = exact_dedup(
+        once.join(docs, "doc_id").select("doc_id", "text")
+    )
+    assert once.count() == again.count()
+
+
+def test_jaccard_pairs_symmetric_bounds(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0.8 <= r.jaccard <= 1.0
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """Sign-LSH is approximate; its hits must be a subset of the true
+    candidate space and carry identical sims for shared pairs."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bf = {(r.query_id, r.cand_id): r.sim for r in cosine_topk(emb, 10, 5).collect()}
+    lsh = {(r.query_id, r.cand_id): r.sim for r in ann_lsh_topk(emb, 10, 5).collect()}
+    shared = set(bf) & set(lsh)
+    assert shared, "LSH found none of the true top-k — buckets degenerate?"
+    for key in shared:
+        assert abs(bf[key] - lsh[key]) < 1e-9
+
+
+def test_numpy_topk_matches_expression_topk(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    expr_pairs = {(r.query_id, r.cand_id) for r in cosine_topk(emb, 10, 5).collect()}
+    np_pairs = {(r.query_id, r.cand_id) for r in cosine_topk_numpy(emb, 10, 5).collect()}
+    assert expr_pairs == np_pairs
