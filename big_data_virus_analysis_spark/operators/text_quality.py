@@ -1,0 +1,169 @@
+"""Text analysis for training-data pipelines: token statistics, quality
+scoring, language identification, document fingerprinting.
+
+All pure built-in expressions (array lambdas, regex, window functions) —
+nothing leaves the JVM, every operator has an exact DuckDB oracle.
+Patterns are kept to the regex subset where Java regex and RE2 agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: word-token pattern shared with the oracle (letters | digits | single other)
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "los", "las", "y", "es", "un", "una", "en", "por", "con"),
+    "zh": ("de", "shi", "le", "zai", "you", "he", "wo", "ta", "men", "zhe"),
+}
+
+
+def _ws_tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: F.length(t) > 0)
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token counting: whitespace tokens + regex (BPE-ish) tokens.
+
+    Output: ``(doc_id, n_chars, n_ws_tokens, n_re_tokens, avg_token_len)``.
+    """
+    toks = _ws_tokens(F.col("text"))
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)).alias(
+            "n_re_tokens"
+        ),
+        F.round(tok_len_sum.cast("double") / F.size(toks).cast("double"), 6).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1]:
+    0.4·stopword-ratio + 0.3·length-score + 0.3·alpha-ratio.
+
+    Output: ``(doc_id, stop_frac, len_score, alpha_frac, score)``.
+    """
+    toks = _ws_tokens(F.col("text"))
+    stops = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    n_toks = F.size(toks)
+    stop_frac = n_stop.cast("double") / n_toks.cast("double")
+    len_score = F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0))
+    alpha_frac = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.length("text").cast("double")
+    )
+    return documents.select(
+        "doc_id",
+        F.round(stop_frac, 6).alias("stop_frac"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        F.round(0.4 * stop_frac + 0.3 * len_score + 0.3 * alpha_frac, 6).alias("score"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-profile language ID.
+
+    Scores each candidate language by the fraction of the doc's tokens
+    found in that language's stopword list; the winner (score desc, lang
+    asc) is the prediction.  The candidate table is a literal — it rides
+    as a broadcast build side.
+
+    Output: ``(doc_id, pred_lang, score)``.
+    """
+    spark = documents.sparkSession
+    lw = spark.createDataFrame(
+        [(lang, w) for lang, words in sorted(LANG_STOPWORDS.items()) for w in words],
+        ["cand_lang", "word"],
+    )
+    langs = lw.select("cand_lang").distinct()
+
+    tokens = documents.select(
+        "doc_id", F.explode(_ws_tokens(F.col("text"))).alias("word")
+    )
+    n_tokens = tokens.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    hits = (
+        tokens.join(F.broadcast(lw), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    scored = (
+        n_tokens.crossJoin(F.broadcast(langs))
+        .join(hits, ["doc_id", "cand_lang"], "left")
+        .withColumn(
+            "score",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_toks").cast("double"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+    )
+
+
+_FP_BASE = 257
+_FP_MOD = 1_000_000_007
+FP_K = 8  # k-gram width
+FP_WINDOW = 4  # winnowing window
+
+
+def _kgram_hash(text: Column, i: Column) -> Column:
+    """Polynomial rolling hash of text[i .. i+K-1], mod 1e9+7.
+
+    Horner evaluation with a mod at each step keeps every intermediate
+    below 257·(1e9+7) ≪ 2^63 in both engines.
+    """
+    h = F.lit(0).cast("bigint")
+    for o in range(FP_K):
+        c = F.ascii(F.col("text").substr(i + F.lit(o), F.lit(1)))
+        h = (h * _FP_BASE + c.cast("bigint")) % _FP_MOD
+    _ = text  # text is referenced positionally via F.col in substr
+    return h
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """Winnowing fingerprints (k=8 char-grams, window=4).
+
+    Classic scheme: hash every k-gram, keep the min hash of each
+    sliding window of 4 consecutive hashes, dedup.  Output is an
+    oracle-friendly digest per doc: ``(doc_id, n_fp, fp_checksum)``.
+    """
+    max_pos = F.length("text") - (FP_K - 1)
+    grams = documents.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), max_pos)).alias("i"),
+        "text",
+    ).withColumn("h", _kgram_hash(F.col("text"), F.col("i")))
+
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, FP_WINDOW - 1)
+    n_grams = F.count("*").over(Window.partitionBy("doc_id"))
+    mins = (
+        grams.withColumn("wmin", F.min("h").over(w))
+        .withColumn("ng", n_grams)
+        .where(F.col("i") <= F.col("ng") - (FP_WINDOW - 1))
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return mins.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"), F.sum("wmin").alias("fp_checksum")
+    )

@@ -845,3 +845,147 @@ CATALOG.update(
         ),
     }
 )
+
+# --------------------------------------------------------------------------
+# Text-analysis pack (operators/text_quality.py)
+# --------------------------------------------------------------------------
+
+from ..operators.text_quality import (  # noqa: E402
+    FP_K,
+    FP_WINDOW,
+    LANG_STOPWORDS,
+    TOKEN_PATTERN,
+    doc_fingerprints,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_re_tokens,
+       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len
+FROM t
+"""
+
+_EN_STOPS_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_QUALITY_SCORE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+parts AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x IN ({_EN_STOPS_SQL}))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stop_frac,
+         least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_score,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_frac
+  FROM t
+)
+SELECT doc_id,
+       round(stop_frac, 6) AS stop_frac,
+       round(len_score, 6) AS len_score,
+       round(alpha_frac, 6) AS alpha_frac,
+       round(0.4 * stop_frac + 0.3 * len_score + 0.3 * alpha_frac, 6) AS score
+FROM parts
+"""
+
+_LW_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, words in sorted(LANG_STOPWORDS.items())
+    for w in words
+)
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_LANGUAGE_ID = f"""
+WITH lw(cand_lang, word) AS (VALUES {_LW_VALUES}),
+langs AS (SELECT DISTINCT cand_lang FROM lw),
+tokens AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+),
+n_tokens AS (SELECT doc_id, count(*) AS n_toks FROM tokens GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, cand_lang, count(*) AS n_hits
+  FROM tokens JOIN lw USING (word) GROUP BY doc_id, cand_lang
+),
+scored AS (
+  SELECT nt.doc_id, l.cand_lang,
+         round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(nt.n_toks AS DOUBLE), 6) AS score
+  FROM n_tokens nt
+  CROSS JOIN langs l
+  LEFT JOIN hits h ON h.doc_id = nt.doc_id AND h.cand_lang = l.cand_lang
+)
+SELECT doc_id, cand_lang AS pred_lang, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) = 1
+"""
+
+
+def _horner_sql() -> str:
+    h = "0"
+    for o in range(FP_K):
+        h = f"(({h}) * CAST(257 AS BIGINT) + ascii(substring(text, i + {o}, 1))) % 1000000007"
+    return h
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_DOC_FINGERPRINTS = f"""
+WITH grams AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {FP_K - 1})) AS i
+  FROM documents WHERE length(text) >= {FP_K}
+), hashed AS (
+  SELECT doc_id, i, {_horner_sql()} AS h FROM grams
+), wm AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {FP_WINDOW - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM hashed
+), mins AS (
+  SELECT DISTINCT doc_id, wmin FROM wm WHERE i <= ng - {FP_WINDOW - 1}
+)
+SELECT doc_id, count(*) AS n_fp, CAST(sum(wmin) AS BIGINT) AS fp_checksum
+FROM mins GROUP BY doc_id
+"""
+
+CATALOG.update(
+    {
+        "token_stats": QuerySpec(
+            _q_token_stats, _SQL_TOKEN_STATS, "whitespace + regex token counting per doc"
+        ),
+        "quality_score": QuerySpec(
+            _q_quality_score, _SQL_QUALITY_SCORE, "stopword/length/alpha quality heuristic"
+        ),
+        "language_id": QuerySpec(
+            _q_language_id, _SQL_LANGUAGE_ID, "stopword-profile language identification"
+        ),
+        "doc_fingerprints": QuerySpec(
+            _q_doc_fingerprints,
+            _SQL_DOC_FINGERPRINTS,
+            "winnowing fingerprints (k=8 char-grams, window=4, rolling hash)",
+        ),
+    }
+)
