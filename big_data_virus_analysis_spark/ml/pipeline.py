@@ -1,0 +1,93 @@
+"""pyspark.ml surface: clustering + classifier grids + AUC evaluation.
+
+Re-expresses the reference's MLlib-RDD programs (KmeansVirus.scala,
+SVMDT.scala) on the DataFrame ML API:
+
+* K-Means k=10, tol=1e-6, **seeded** (the reference was unseeded and
+  used runs=10, removed post-Spark-2.0 — divergence documented in
+  SURVEY.md §7);
+* DecisionTree grid depth {1,2,3,4,5,10,20} × impurity {entropy, gini}
+  (SVMDT.scala:98-101,151);
+* LinearSVC regParam grid {0.001,0.01,0.1,1.0,10.0} (SVMDT.scala:189 —
+  OWLQN here vs the reference's SGD, so AUC parity is invariant-based,
+  not exact);
+* AUC via BinaryClassificationEvaluator (SVMDT.scala:153-158).
+
+Everything consumes a plain DataFrame with ``features_arr:
+array<double>`` and converts via ``array_to_vector`` — JVM-side, no
+Python UDF in the vector path.  Grid search is a driver loop over cached
+splits (same shape as the reference; the per-fit work is distributed).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import DecisionTreeClassifier, LinearSVC
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SEED = 42
+
+DT_DEPTHS = (1, 2, 3, 4, 5, 10, 20)
+DT_IMPURITIES = ("entropy", "gini")
+SVM_REGS = (0.001, 0.01, 0.1, 1.0, 10.0)
+
+
+def to_ml_vectors(df: DataFrame, array_col: str = "features_arr") -> DataFrame:
+    """array<double|float> column → VectorUDT ``features`` column."""
+    return df.withColumn("features", array_to_vector(F.col(array_col).cast("array<double>")))
+
+
+def kmeans_assign(
+    df: DataFrame, k: int = 10, seed: int = DEFAULT_SEED, tol: float = 1e-6
+) -> DataFrame:
+    """Fit K-Means and return the input with a ``cluster`` column.
+
+    Reference: KmeansVirus.scala:181-194 (k=10, epsilon=1e-6).  The
+    input is cached by the caller when reused — KMeans itself caches
+    internally per iteration.
+    """
+    model = KMeans(k=k, seed=seed, tol=tol, featuresCol="features").fit(df)
+    return model.transform(df).withColumnRenamed("prediction", "cluster")
+
+
+def _auc(predictions: DataFrame, score_col: str, label_col: str = "label") -> float:
+    ev = BinaryClassificationEvaluator(
+        rawPredictionCol=score_col, labelCol=label_col, metricName="areaUnderROC"
+    )
+    return float(ev.evaluate(predictions))
+
+
+def dt_auc_grid(
+    train: DataFrame,
+    cv: DataFrame,
+    depths: tuple[int, ...] = DT_DEPTHS,
+    impurities: tuple[str, ...] = DT_IMPURITIES,
+) -> list[tuple[str, float, float]]:
+    """Decision-tree grid → [(model, param, auc)] (SVMDT.scala:133-163)."""
+    out: list[tuple[str, float, float]] = []
+    for impurity in impurities:
+        for depth in depths:
+            clf = DecisionTreeClassifier(
+                impurity=impurity, maxDepth=depth, labelCol="label", seed=DEFAULT_SEED
+            )
+            preds = clf.fit(train).transform(cv)
+            out.append((f"dt_{impurity}", float(depth), _auc(preds, "rawPrediction")))
+    return out
+
+
+def svm_auc_grid(
+    train: DataFrame,
+    cv: DataFrame,
+    regs: tuple[float, ...] = SVM_REGS,
+    max_iter: int = 20,
+) -> list[tuple[str, float, float]]:
+    """LinearSVC grid → [(model, param, auc)] (SVMDT.scala:188-214)."""
+    out: list[tuple[str, float, float]] = []
+    for reg in regs:
+        clf = LinearSVC(regParam=reg, maxIter=max_iter, labelCol="label")
+        preds = clf.fit(train).transform(cv)
+        out.append(("svm", float(reg), _auc(preds, "rawPrediction")))
+    return out

@@ -989,3 +989,198 @@ CATALOG.update(
         ),
     }
 )
+
+# --------------------------------------------------------------------------
+# Vectorization + ML + report pack (operators/vectorize.py, ml/, report.py)
+# --------------------------------------------------------------------------
+
+from ..ml.pipeline import (  # noqa: E402
+    dt_auc_grid,
+    kmeans_assign,
+    svm_auc_grid,
+    to_ml_vectors,
+)
+from ..operators.entropy_score import weighted_average_entropy as _wae  # noqa: E402
+from ..operators.report import d3_tree, report_lines, sample_api_structs  # noqa: E402
+from ..operators.vectorize import (  # noqa: E402
+    dense_feature_array,
+    doc_indices,
+    doc_vectors,
+    libsvm_text,
+)
+
+VOCAB_K = 100
+
+# the IG CTE chain (everything before final ranking) shared by the
+# vectorization oracles
+_SQL_IG_RANKED_VOCAB = f"""
+WITH tok AS (
+  SELECT doc_id AS doc,
+         CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS cls,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+), tok_ne AS (
+  SELECT * FROM tok WHERE length(token) > 0
+), dedup AS (
+  SELECT DISTINCT doc, cls, token FROM tok_ne
+), freq AS (
+  SELECT token,
+         count(*) FILTER (WHERE cls = 'pos') AS pos_df,
+         count(*) FILTER (WHERE cls = 'neg') AS neg_df
+  FROM dedup GROUP BY token
+), totals AS (
+  SELECT count(*) FILTER (WHERE cls = 'pos') AS p, count(*) AS t
+  FROM (SELECT DISTINCT doc, cls FROM tok_ne)
+), scored AS (
+  SELECT token,
+         round({_nan_to_zero_sql(_IG_EXPR)}, 6) AS info_gain
+  FROM freq CROSS JOIN totals
+  WHERE pos_df > 0 AND neg_df > 0
+), vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY info_gain DESC, token ASC) AS INT) AS rank
+  FROM scored
+  QUALIFY rank <= {VOCAB_K}
+)
+"""
+
+
+def _ranked_vocab(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = document_tokens(docs)
+    vocab = info_gain_ranking(toks, k=VOCAB_K).select("token", "rank")
+    return toks, vocab
+
+
+def _q_vectorize_doc_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks, vocab = _ranked_vocab(spark, sf_dir)
+    return doc_indices(toks, vocab).select(
+        "doc",
+        F.when(F.col("cls") == "pos", F.lit(1.0)).otherwise(F.lit(0.0)).alias("label"),
+        "idx",
+    )
+
+
+_SQL_VECTORIZE_DOC_INDICES = _SQL_IG_RANKED_VOCAB + """
+SELECT d.doc,
+       CASE WHEN d.cls = 'pos' THEN 1.0 ELSE 0.0 END AS label,
+       v.rank AS idx
+FROM dedup d JOIN vocab v USING (token)
+"""
+
+
+def _q_vectorize_libsvm_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks, vocab = _ranked_vocab(spark, sf_dir)
+    return libsvm_text(doc_vectors(toks, vocab))
+
+
+_SQL_VECTORIZE_LIBSVM_LINES = _SQL_IG_RANKED_VOCAB + """
+SELECT d.doc,
+       CAST(CASE WHEN any_value(d.cls) = 'pos' THEN 1.0 ELSE 0.0 END AS VARCHAR)
+         || ' ' || string_agg(v.rank || ':1', ' ' ORDER BY v.rank) AS line
+FROM dedup d JOIN vocab v USING (token)
+GROUP BY d.doc
+"""
+
+
+def _document_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → IG vocab → binary feature vectors (VectorUDT)."""
+    toks, vocab = _ranked_vocab(spark, sf_dir)
+    vec = doc_vectors(toks, vocab)
+    return to_ml_vectors(dense_feature_array(vec, VOCAB_K))
+
+
+def _q_kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference pipeline end-to-end on synthetic docs: vectors → KMeans
+    k=10 → cluster/label histogram (KmeansVirus.scala shape)."""
+    assigned = kmeans_assign(_document_feature_vectors(spark, sf_dir).cache(), k=10)
+    return (
+        assigned.groupBy("cluster", "label")
+        .agg(F.count("*").alias("n_samples"))
+    )
+
+
+def _q_kmeans_weighted_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality score of the k=10 clustering vs true labels
+    (SVMDT.scala:253-285)."""
+    assigned = kmeans_assign(_document_feature_vectors(spark, sf_dir).cache(), k=10)
+    return _wae(assigned, "cluster", "label")
+
+
+def _embedding_splits(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = to_ml_vectors(
+        emb.withColumn("label", (F.col("label") % 2).cast("double")), "embedding"
+    )
+    train, cv, test = df.randomSplit([0.5, 0.25, 0.25], seed=42)
+    return train.cache(), cv.cache(), test
+
+
+def _q_dt_auc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, cv, _ = _embedding_splits(spark, sf_dir)
+    rows = dt_auc_grid(train, cv)
+    return spark.createDataFrame(rows, "model string, param double, auc double")
+
+
+def _q_svm_auc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, cv, _ = _embedding_splits(spark, sf_dir)
+    rows = svm_auc_grid(train, cv)
+    return spark.createDataFrame(rows, "model string, param double, auc double")
+
+
+def _clustered_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks, vocab = _ranked_vocab(spark, sf_dir)
+    vec = doc_vectors(toks, vocab)
+    assigned = kmeans_assign(
+        to_ml_vectors(dense_feature_array(vec, VOCAB_K)).cache(), k=10
+    ).select("doc", "cluster", "label", "indices")
+    return sample_api_structs(assigned, vocab, total_features=VOCAB_K)
+
+
+def _q_cluster_report_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return report_lines(_clustered_samples(spark, sf_dir))
+
+
+def _q_d3_export_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return d3_tree(_clustered_samples(spark, sf_dir))
+
+
+CATALOG.update(
+    {
+        "vectorize_doc_indices": QuerySpec(
+            _q_vectorize_doc_indices,
+            _SQL_VECTORIZE_DOC_INDICES,
+            "vocab membership → 1-based rank indices (FeatureSelectionCloud.scala:494-519)",
+        ),
+        "vectorize_libsvm_lines": QuerySpec(
+            _q_vectorize_libsvm_lines,
+            _SQL_VECTORIZE_LIBSVM_LINES,
+            "LIBSVM text rendering (FeatureSelectionCloud.scala:445-489)",
+        ),
+        "kmeans_doc_clusters": QuerySpec(
+            _q_kmeans_doc_clusters,
+            None,
+            "end-to-end: IG vocab → binary vectors → KMeans k=10 histogram (KmeansVirus.scala)",
+        ),
+        "kmeans_weighted_entropy": QuerySpec(
+            _q_kmeans_weighted_entropy,
+            None,
+            "weighted entropy of KMeans clusters vs labels (SVMDT.scala:253-285)",
+        ),
+        "dt_auc_grid": QuerySpec(
+            _q_dt_auc_grid,
+            None,
+            "DecisionTree depth×impurity grid AUC (SVMDT.scala:98-101,133-163)",
+        ),
+        "svm_auc_grid": QuerySpec(
+            _q_svm_auc_grid, None, "LinearSVC regParam grid AUC (SVMDT.scala:188-214)"
+        ),
+        "cluster_report_lines": QuerySpec(
+            _q_cluster_report_lines,
+            None,
+            "per-sample report rows cluster;label;json (KmeansVirus.scala:106-135)",
+        ),
+        "d3_export_tree": QuerySpec(
+            _q_d3_export_tree, None, "D3 circle-packing JSON tree (exportJSON.php:12-45)"
+        ),
+    }
+)

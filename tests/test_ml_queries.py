@@ -1,0 +1,70 @@
+"""Invariant checks for the non-SQL-expressible (rows-only) queries —
+the SURVEY.md §5 strategy for ML nondeterminism: assert structure, not
+exact values."""
+
+from __future__ import annotations
+
+import json
+
+from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+from conftest import SF_DIR
+
+
+def test_kmeans_doc_clusters(spark):
+    rows = CATALOG["kmeans_doc_clusters"].spark(spark, SF_DIR).collect()
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(10)) and len(clusters) >= 2
+    assert all(r.label in (0.0, 1.0) for r in rows)
+    assert sum(r.n_samples for r in rows) > 0
+
+
+def test_kmeans_weighted_entropy(spark):
+    rows = CATALOG["kmeans_weighted_entropy"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    # binary labels → weighted average entropy ∈ [0, ln 2]
+    assert 0.0 <= rows[0].score <= 0.6931472
+
+
+def test_dt_auc_grid(spark):
+    rows = CATALOG["dt_auc_grid"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 14  # 7 depths × 2 impurities
+    assert all(0.0 < r.auc <= 1.0 for r in rows)
+    assert {r.model for r in rows} == {"dt_entropy", "dt_gini"}
+
+
+def test_svm_auc_grid(spark):
+    rows = CATALOG["svm_auc_grid"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(0.0 < r.auc <= 1.0 for r in rows)
+
+
+def test_cluster_report_lines_grammar(spark):
+    rows = CATALOG["cluster_report_lines"].spark(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:20]:
+        cluster, label, apis_json = r.line.split(";", 2)
+        assert 0 <= int(cluster) < 10
+        assert float(label) in (0.0, 1.0)
+        apis = json.loads(apis_json)
+        assert isinstance(apis, list) and len(apis) > 0
+        assert set(apis[0].keys()) == {"name", "size"}
+        sizes = [a["size"] for a in apis]
+        assert sizes == sorted(sizes, reverse=True)  # descending rank weight
+
+
+def test_d3_export_tree_shape(spark):
+    rows = CATALOG["d3_export_tree"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    tree = json.loads(rows[0].tree_json)
+    assert tree["name"] == "Main Container"
+    clusters = tree["children"]
+    assert 2 <= len(clusters) <= 10
+    for c in clusters[:3]:
+        assert c["name"].startswith("Cluster #")
+        for cls in c["children"]:
+            assert cls["name"] in ("Clean", "Virus")
+            sample = cls["children"][0]
+            assert sample["name"].startswith("Sample ")
+            leaf = sample["children"][0]
+            assert set(leaf.keys()) == {"name", "size"}
