@@ -991,6 +991,91 @@ CATALOG.update(
 )
 
 # --------------------------------------------------------------------------
+# Streaming pack — batch forms of streaming/ transformations (the same
+# functions run under readStream; tests/test_streaming.py asserts parity)
+# --------------------------------------------------------------------------
+
+from ..streaming.stateful import running_user_totals  # noqa: E402
+from ..streaming.streams import session_window_agg, sliding_window_agg  # noqa: E402
+
+
+def _q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_agg(load_table(spark, sf_dir, "events"), watermark=None)
+
+
+# every event belongs to exactly length/slide = 2 windows: the slide
+# bucket it falls in and the one before (both within 60 min of it)
+_SQL_SLIDING_WINDOW_EVENTS = """
+SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes')
+         AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k)
+GROUP BY window_start_us, event_type
+"""
+
+
+def _q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(load_table(spark, sf_dir, "events"), watermark=None)
+
+
+# session_window's half-open [t, t+gap) merge rule: a successor exactly
+# `gap` later starts a NEW session → the lag test is `>=`, unlike
+# sessionize's `>` (see streaming/streams.py docstring)
+_SQL_SESSION_WINDOW_EVENTS = """
+WITH x AS (
+  SELECT user_id, value, event_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM x
+), sessions AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(tus) AS session_start_us,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+def _q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return running_user_totals(load_table(spark, sf_dir, "events"))
+
+
+_SQL_RUNNING_USER_TOTALS = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+CATALOG.update(
+    {
+        "sliding_window_events": QuerySpec(
+            _q_sliding_window_events,
+            _SQL_SLIDING_WINDOW_EVENTS,
+            "sliding (60m/30m) event-time windows — batch form of streaming/streams.py",
+        ),
+        "session_window_events": QuerySpec(
+            _q_session_window_events,
+            _SQL_SESSION_WINDOW_EVENTS,
+            "built-in session_window gap sessions — batch form of streaming/streams.py",
+        ),
+        "running_user_totals": QuerySpec(
+            _q_running_user_totals,
+            _SQL_RUNNING_USER_TOTALS,
+            "applyInPandasWithState per-user running totals (batch degenerate form)",
+        ),
+    }
+)
+
+# --------------------------------------------------------------------------
 # Vectorization + ML + report pack (operators/vectorize.py, ml/, report.py)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,167 @@
+"""Event-time streaming transformations (batch/stream polymorphic).
+
+Every transformation here takes a DataFrame that may be either a batch
+frame (``spark.read.parquet``) or a streaming frame
+(``spark.readStream``) and declares the SAME logical plan for both —
+Catalyst picks the incremental physical plan when the source is
+streaming.  That is the whole design: the batch form is the
+DuckDB-oracle-checkable semantics (wired into ``plans/catalog.py``), the
+streaming form is the production path, and tests assert they agree
+row-for-row under ``Trigger.AvailableNow``.
+
+No reference counterpart exists (SURVEY.md §2.10: "Streaming … none —
+batch only"); semantics follow ``operators/sessions.py``.
+
+Scale notes (100 TB / continuous ingest):
+
+* Watermarks bound state: without ``withWatermark`` a windowed streaming
+  aggregation keeps every window forever.  The default 10-minute
+  watermark here is a policy knob, not a magic number.
+* ``session_window`` state is per (user, open session) — skewed users
+  produce long sessions, not big state, because the aggregation is
+  merge-on-overlap.
+* Streaming dedup state is bounded by the watermark horizon
+  (``dropDuplicatesWithinWatermark``), i.e. O(events within horizon),
+  not O(all history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Explicit schema for the file-stream source — streaming sources cannot
+#: infer schemas, and schema-on-read is a batch-only convenience anyway.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    ``maxFilesPerTrigger`` paces replays/backfills; production would
+    point this at the landing path an ingest job appends to.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
+
+
+def _with_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
+    # withWatermark is legal (and a no-op) on batch frames, so the same
+    # code path serves both; None skips it for pure-batch callers.
+    return events.withWatermark("ts", watermark) if watermark else events
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    minutes: int = 60,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Tumbling event-time windows × event_type; late rows beyond the
+    watermark are dropped (stream) / included (batch — batch has no
+    lateness)."""
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        _with_watermark(events, watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    length_minutes: int = 60,
+    slide_minutes: int = 30,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows × event_type.
+
+    Each event lands in ``length/slide`` windows; Spark expands the
+    row internally (no self-join).  Output keyed by window start.
+    """
+    win = F.window("ts", f"{length_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        _with_watermark(events, watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Gap-based session windows per user via ``session_window`` —
+    the built-in merge-on-overlap form of ``operators/sessions.py``'s
+    lag/running-sum sessionization.
+
+    Boundary semantics: an event exactly ``gap`` after its predecessor
+    starts a NEW session (windows ``[t, t+gap)`` are half-open), which
+    matches ``sessionize``'s ``next - prev > gap`` test only for
+    ``next - prev != gap`` — the catalog oracle mirrors the half-open
+    rule exactly.
+    """
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        _with_watermark(events, watermark)
+        .groupBy(sw.alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Exactly-once event stream by ``event_id`` with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it — O(horizon) state, unlike ``dropDuplicates``
+    on a stream which retains all keys forever.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -1,0 +1,150 @@
+"""Structured-Streaming parity: the streaming/ transformations, run as
+real streams (file source → Trigger.AvailableNow → memory sink), must
+agree row-for-row with their batch forms (which are themselves
+DuckDB-oracle-checked via the catalog).
+
+Streams read from a temp directory holding the events parquet split
+into multiple files, so AvailableNow actually exercises multi-batch
+incremental state (maxFilesPerTrigger=1).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_virus_analysis_spark.operators.sessions import tumbling_window_agg
+from big_data_virus_analysis_spark.sources.tables import load_table
+from big_data_virus_analysis_spark.streaming import (
+    read_events_stream,
+    running_user_totals,
+    session_window_agg,
+    sliding_window_agg,
+    streaming_dedup,
+    tumbling_window_counts,
+)
+
+from conftest import SMOKE_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Events split into 4 parquet files ordered by time — a replayable
+    landing directory for the file-stream source.
+
+    The file source processes files in modification-time order, but the
+    4 range-partitioned files are written by parallel tasks whose finish
+    order is arbitrary — so pin mtimes to ascend with the time range
+    (part file path order == range order for repartitionByRange), or
+    later-range files can be consumed first and earlier rows dropped as
+    late by watermarked operators.
+    """
+    root = tmp_path_factory.mktemp("events_stream")
+    data = root / "data"
+    (
+        load_table(spark, SMOKE_SF_DIR, "events")
+        .orderBy("ts")
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(str(data))
+    )
+    base = time.time()
+    for i, f in enumerate(sorted(glob.glob(str(data / "part-*")))):
+        os.utime(f, (base + i, base + i))
+    # fewer state-store partitions → much faster per-trigger commit
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    yield str(data)
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, output_mode: str, tmp_path):
+    """Drain the stream with AvailableNow into a memory sink; return the
+    final table as a DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _canon(df, keys):
+    return sorted(tuple(r) for r in df.select(*keys).collect())
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stream_dir, tmp_path):
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, tumbling_window_counts(stream), "complete", tmp_path
+    )
+    want = tumbling_window_agg(load_table(spark, SMOKE_SF_DIR, "events"))
+    cols = ["window_start_us", "event_type", "n_events", "sum_value"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_streaming_sliding_matches_batch(spark, events_stream_dir, tmp_path):
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got = _run_stream(spark, sliding_window_agg(stream), "complete", tmp_path)
+    want = sliding_window_agg(batch, watermark=None)
+    cols = ["window_start_us", "event_type", "n_events", "sum_value"]
+    assert _canon(got, cols) == _canon(want, cols)
+    # every event lands in exactly length/slide = 2 windows
+    assert want.agg(F.sum("n_events")).first()[0] == 2 * batch.count()
+
+
+def test_streaming_session_matches_batch(spark, events_stream_dir, tmp_path):
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    # watermark=None on the stream too: with a watermark, closed sessions
+    # are evicted from state once the watermark passes them, so complete
+    # mode would only show still-open sessions — here we want ALL of them
+    got = _run_stream(
+        spark, session_window_agg(stream, watermark=None), "complete", tmp_path
+    )
+    want = session_window_agg(batch, watermark=None)
+    cols = ["user_id", "session_start_us", "n_events", "sum_value"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_streaming_dedup_bounded_state(spark, events_stream_dir, tmp_path):
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got = _run_stream(spark, streaming_dedup(stream), "append", tmp_path)
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    # source has unique event_ids → dedup must be the identity
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_stateful_running_totals_stream(spark, events_stream_dir, tmp_path):
+    """applyInPandasWithState across micro-batches: the LAST update per
+    user must equal the global batch aggregate."""
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got = _run_stream(spark, running_user_totals(stream), "update", tmp_path)
+    # memory sink in update mode appends every emitted update; the final
+    # state per user is the row with the max n_events
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.sum_value")
+    )
+    want = (
+        load_table(spark, SMOKE_SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    cols = ["user_id", "n_events", "sum_value"]
+    assert _canon(final, cols) == _canon(want, cols)
