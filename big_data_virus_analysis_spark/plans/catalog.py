@@ -991,6 +991,40 @@ CATALOG.update(
 )
 
 # --------------------------------------------------------------------------
+# Reference-corpus pack: the original pipeline over the real checked-in
+# api_logs (tests/test_reference_parity.py holds the golden assertions;
+# rows-only here — DuckDB views cover only the synthetic tables)
+# --------------------------------------------------------------------------
+
+from ..sources.api_logs import api_log_tokens, read_api_logs  # noqa: E402
+
+_REF_CLEAN = "/root/reference/api_logs/clean_LOGS_CONVERTED"
+_REF_VIRUS = "/root/reference/api_logs/virus_LOGS_CONVERTED"
+
+
+def _q_api_log_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship analytic on the reference's own corpus
+    (ignores sf_dir — the corpus is fixed).  One scan, two hash aggs,
+    broadcast totals, window top-k (FeatureSelectionCloud.scala:376-442).
+    """
+    raw = read_api_logs(spark, _REF_CLEAN, _REF_VIRUS)
+    return info_gain_ranking(api_log_tokens(raw), k=2000).select(
+        "token", "pos_df", "neg_df", "info_gain", "rank"
+    )
+
+
+CATALOG.update(
+    {
+        "api_log_info_gain": QuerySpec(
+            _q_api_log_info_gain,
+            None,
+            "info-gain ranking over the real api_logs corpus (84 survivors; "
+            "golden-checked in tests/test_reference_parity.py)",
+        ),
+    }
+)
+
+# --------------------------------------------------------------------------
 # Streaming pack — batch forms of streaming/ transformations (the same
 # functions run under readStream; tests/test_streaming.py asserts parity)
 # --------------------------------------------------------------------------

@@ -71,3 +71,18 @@ def file_features(raw: DataFrame) -> DataFrame:
     (file, api), partial aggregation map-side.
     """
     return clean_tokens(raw).dropDuplicates(["file", "class", "api"])
+
+
+def api_log_tokens(raw: DataFrame) -> DataFrame:
+    """Adapt the api-log corpus to the generic feature-selection shape
+    ``(doc, cls, token)`` consumed by ``operators.features`` — virus is
+    the positive class (label 1.0, reference readme.md:51).
+    """
+    return clean_tokens(raw).select(
+        # class-qualified id: clean/ and virus/ dirs reuse the same
+        # basenames (LOG_API (N)converted.txt), so the bare file name
+        # is not a document identity
+        F.concat_ws("/", "class", "file").alias("doc"),
+        F.when(F.col("class") == VIRUS, F.lit("pos")).otherwise(F.lit("neg")).alias("cls"),
+        F.col("api").alias("token"),
+    )

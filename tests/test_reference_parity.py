@@ -1,0 +1,147 @@
+"""Reference-corpus golden tests (SURVEY.md §5.2).
+
+Runs the engine's feature pipeline over the reference's REAL checked-in
+corpus (`/root/reference/api_logs/`, read-only) and compares against the
+reference's own golden artifacts:
+
+* `topFeatures.txt` — the 68 surviving (feature, info-gain) pairs.  The
+  IG values are deterministic (pure arithmetic over doc-frequencies), so
+  the comparison is exact-to-tolerance, per feature.
+* corpus statistics from BASELINE.md — 720 clean + 884 virus files,
+  124 distinct cleaned API tokens.
+* LIBSVM grammar invariants (the reference's committed LIBSVMOutput.txt
+  came from a 162-sample subset run, and its index assignment was
+  partition-order-nondeterministic — SURVEY.md §7 "deterministic feature
+  indexing" — so we assert structure, not bytes).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_virus_analysis_spark.operators.features import info_gain_ranking
+from big_data_virus_analysis_spark.operators.vectorize import (
+    doc_vectors,
+    libsvm_text,
+)
+from big_data_virus_analysis_spark.sources.api_logs import (
+    api_log_tokens,
+    file_features,
+    read_api_logs,
+)
+
+REF = "/root/reference"
+CLEAN_DIR = f"{REF}/api_logs/clean_LOGS_CONVERTED"
+VIRUS_DIR = f"{REF}/api_logs/virus_LOGS_CONVERTED"
+
+
+@pytest.fixture(scope="module")
+def raw_logs(spark):
+    return read_api_logs(spark, CLEAN_DIR, VIRUS_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def golden_features() -> dict[str, float]:
+    out = {}
+    with open(f"{REF}/topFeatures.txt") as f:
+        for line in f:
+            m = re.match(r"\(([^,]+),([0-9.Ee-]+)\)", line.strip())
+            if m:
+                out[m.group(1)] = float(m.group(2))
+    assert len(out) == 68
+    return out
+
+
+def test_corpus_statistics(raw_logs):
+    counts = dict(
+        raw_logs.select("file", "class")
+        .distinct()
+        .groupBy("class")
+        .count()
+        .collect()
+    )
+    assert counts == {"clean": 720, "virus": 884}  # readme.md:87
+
+
+def test_distinct_cleaned_tokens(raw_logs):
+    feats = file_features(raw_logs)
+    assert feats.select("api").distinct().count() == 124  # BASELINE.md
+
+
+# The committed topFeatures.txt is NOT reproducible from the committed
+# corpus: its token `Executing:C:\ProgramFiles` does not occur in any
+# checked-in log (the logs carry `Executing:C:\Users\leesteele\...`
+# paths instead), and no shared token's IG value matches — the golden
+# was generated from an earlier corpus snapshot (most likely the
+# 162-sample subset that also produced output.txt / LIBSVMOutput.txt,
+# both 162 lines).  So golden-vs-engine comparison is *structural*
+# (survivor-set containment, grammar), and value regression is guarded
+# by a self-golden computed deterministically from the committed corpus.
+
+#: engine output over the committed corpus — deterministic (pure
+#: integer doc-frequency arithmetic), so exact equality is asserted
+SELF_GOLDEN_TOP10 = [
+    ("CreateFile", 516, 192, 0.074592),
+    ("CreateToolhelp32Snapshot", 306, 82, 0.055694),
+    ("SetProcessDEPPolicy", 197, 29, 0.055459),
+    ("WriteProcessMemory", 403, 145, 0.053061),
+    ("CreateProcess", 411, 152, 0.052005),
+    ("GetProcessDEPPolicy", 449, 181, 0.050391),
+    ("AdjustTokenPrivileges", 301, 109, 0.034802),
+    ("SystemParametersInfo", 502, 271, 0.026402),
+    ("GetSystemDefaultLangID", 142, 33, 0.026295),
+    ("GetUserName", 159, 50, 0.020294),
+]
+N_SURVIVORS = 84  # two-class tokens in the committed corpus (68 in golden's snapshot)
+
+
+def test_info_gain_structural_parity(raw_logs, golden_features):
+    ranked = info_gain_ranking(api_log_tokens(raw_logs), k=2000)
+    got = {r["token"]: r["info_gain"] for r in ranked.collect()}
+    assert len(got) == N_SURVIVORS
+    # every golden survivor that still exists in the committed corpus
+    # must survive our inner-join semantics too (66 of 68; the other 2
+    # are path-tokens from the golden's drifted corpus)
+    missing = set(golden_features) - set(got)
+    assert missing == {r"Executing:C:\ProgramFiles", "InternetReadFile"}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_info_gain_self_golden(raw_logs):
+    ranked = info_gain_ranking(api_log_tokens(raw_logs), k=2000).orderBy("rank")
+    top10 = [
+        (r["token"], r["pos_df"], r["neg_df"], r["info_gain"])
+        for r in ranked.limit(10).collect()
+    ]
+    assert top10 == SELF_GOLDEN_TOP10
+
+
+def test_rank_is_deterministic_ig_order(raw_logs):
+    ranked = info_gain_ranking(api_log_tokens(raw_logs), k=2000).collect()
+    rows = sorted(ranked, key=lambda r: r["rank"])
+    igs = [r["info_gain"] for r in rows]
+    assert igs == sorted(igs, reverse=True)
+    assert [r["rank"] for r in rows] == list(range(1, N_SURVIVORS + 1))
+
+
+def test_libsvm_grammar_invariants(raw_logs):
+    toks = api_log_tokens(raw_logs)
+    vocab = info_gain_ranking(toks, k=2000).select("token", "rank")
+    lines = libsvm_text(doc_vectors(toks, vocab)).collect()
+    n_docs_with_hits = (
+        toks.join(vocab.select("token"), "token", "left_semi")
+        .select("doc")
+        .distinct()
+        .count()
+    )
+    # zero-hit files silently dropped (FeatureSelectionCloud.scala:482-483)
+    assert len(lines) == n_docs_with_hits
+    pat = re.compile(r"^(0\.0|1\.0)( \d+:1)+$")
+    for r in lines:
+        assert pat.match(r["line"]), r["line"]
+        idxs = [int(p.split(":")[0]) for p in r["line"].split()[1:]]
+        assert idxs == sorted(idxs)  # 1-based ascending rank indices
+        assert 1 <= idxs[0] and idxs[-1] <= N_SURVIVORS
