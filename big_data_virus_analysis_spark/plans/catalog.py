@@ -991,6 +991,85 @@ CATALOG.update(
 )
 
 # --------------------------------------------------------------------------
+# Multimodal pack (operators/multimodal.py): binary payload columns with
+# typed metadata; decode kernel is a deterministic stub (no codecs in
+# container) but all Spark plumbing is real
+# --------------------------------------------------------------------------
+
+from ..operators.multimodal import (  # noqa: E402
+    FRAME_BYTES,
+    decode_features,
+    payload_metadata_stats,
+    sample_frames,
+)
+
+
+def _q_payload_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return payload_metadata_stats(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_PAYLOAD_METADATA_STATS = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(doc_id % 4 * 160 + 320 AS INT) AS width,
+         CAST(doc_id % 3 * 120 + 240 AS INT) AS height
+  FROM documents
+)
+SELECT width, height,
+       count(*) AS n_docs,
+       sum(n_bytes) AS total_bytes,
+       round(avg(n_bytes), 4) AS avg_bytes
+FROM m GROUP BY width, height
+"""
+
+
+def _q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(load_table(spark, sf_dir, "documents"), every_kth=4)
+
+
+_SQL_SAMPLE_FRAMES = f"""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+), idx AS (
+  SELECT doc_id, n_bytes,
+         unnest(generate_series(0, CAST(ceil(CAST(n_bytes AS DOUBLE) / {FRAME_BYTES}) AS BIGINT) - 1)) AS i
+  FROM m
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(least({FRAME_BYTES}, n_bytes - i * {FRAME_BYTES}) AS INT) AS frame_len
+FROM idx
+WHERE i % 4 = 0
+"""
+
+
+def _q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_features(load_table(spark, sf_dir, "documents"))
+
+
+CATALOG.update(
+    {
+        "payload_metadata_stats": QuerySpec(
+            _q_payload_metadata_stats,
+            _SQL_PAYLOAD_METADATA_STATS,
+            "binary payload metadata rollup (payload column pruned from scan)",
+        ),
+        "sample_frames": QuerySpec(
+            _q_sample_frames,
+            _SQL_SAMPLE_FRAMES,
+            "fixed-size frame sampling over binary payloads (every 4th frame)",
+        ),
+        "decode_features": QuerySpec(
+            _q_decode_features,
+            None,
+            "Arrow-batched mapInPandas decode kernel (deterministic stub — "
+            "container has no codecs; checked vs local recompute in tests)",
+        ),
+    }
+)
+
+# --------------------------------------------------------------------------
 # Reference-corpus pack: the original pipeline over the real checked-in
 # api_logs (tests/test_reference_parity.py holds the golden assertions;
 # rows-only here — DuckDB views cover only the synthetic tables)
