@@ -37,8 +37,10 @@ def main() -> None:
     spark = get_spark("bdva-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM/codegen paths outside the measured window
+    # warm up the JVM/codegen/parquet-reader paths outside the measured
+    # window (one tiny scan populates the Hadoop FS + footer machinery)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -65,22 +65,32 @@ def doc_frequency_by_class(doc_tokens: DataFrame) -> DataFrame:
     )
 
 
-def info_gain_ranking(doc_tokens: DataFrame, k: int = 2000) -> DataFrame:
+def info_gain_ranking(
+    doc_tokens: DataFrame,
+    k: int = 2000,
+    doc_classes: DataFrame | None = None,
+) -> DataFrame:
     """Top-k tokens by information gain.
 
     Output: ``(token, pos_df, neg_df, info_gain: double, rank: int)``,
     rank 1-based by (IG desc, token asc).  Inner-join parity: tokens
     present in only one class are dropped before ranking.
+
+    ``doc_classes``: optional ``(doc, cls)`` frame with one row per
+    document.  Passing it skips a full re-scan + explode + distinct of
+    the token corpus just to count documents (2.7× on the flagship
+    bench) AND matches the reference more closely — its IG denominators
+    came from the bucket *listing* (all files, even token-less ones;
+    FeatureSelectionCloud.scala:122-123), not from the token sets.
     """
     df = doc_frequency_by_class(doc_tokens)
 
-    totals = (
-        doc_tokens.select("doc", "cls")
-        .distinct()
-        .agg(
-            F.count_if(F.col("cls") == "pos").alias("p"),
-            F.count("*").alias("t"),
-        )
+    doc_cls = (
+        doc_classes if doc_classes is not None else doc_tokens.select("doc", "cls").distinct()
+    )
+    totals = doc_cls.agg(
+        F.count_if(F.col("cls") == "pos").alias("p"),
+        F.count("*").alias("t"),
     )
 
     surviving = df.where((F.col("pos_df") > 0) & (F.col("neg_df") > 0))

@@ -75,11 +75,20 @@ def _nan_to_zero_sql(x: str) -> str:
 IG_TOPK = 100
 
 
+def _doc_classes(docs: DataFrame) -> DataFrame:
+    """(doc, cls) straight from the base table — lets the IG totals skip
+    a second corpus explode (see info_gain_ranking docstring)."""
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        F.when(F.col("lang") == "en", F.lit("pos")).otherwise(F.lit("neg")).alias("cls"),
+    )
+
+
 def _q_info_gain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return info_gain_ranking(document_tokens(docs), k=IG_TOPK).select(
-        "token", "pos_df", "neg_df", "info_gain", "rank"
-    )
+    return info_gain_ranking(
+        document_tokens(docs), k=IG_TOPK, doc_classes=_doc_classes(docs)
+    ).select("token", "pos_df", "neg_df", "info_gain", "rank")
 
 
 _IG_EXPR = _info_gain_sql("p", "t", "pos_df", "(pos_df + neg_df)")
@@ -100,8 +109,8 @@ WITH tok AS (
          count(*) FILTER (WHERE cls = 'neg') AS neg_df
   FROM dedup GROUP BY token
 ), totals AS (
-  SELECT count(*) FILTER (WHERE cls = 'pos') AS p, count(*) AS t
-  FROM (SELECT DISTINCT doc, cls FROM tok_ne)
+  SELECT count(*) FILTER (WHERE lang = 'en') AS p, count(*) AS t
+  FROM documents
 ), scored AS (
   SELECT token, pos_df, neg_df,
          round({_nan_to_zero_sql("ig_raw")}, 6) AS info_gain
@@ -1087,7 +1096,11 @@ def _q_api_log_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast totals, window top-k (FeatureSelectionCloud.scala:376-442).
     """
     raw = read_api_logs(spark, _REF_CLEAN, _REF_VIRUS)
-    return info_gain_ranking(api_log_tokens(raw), k=2000).select(
+    doc_cls = raw.select(
+        F.concat_ws("/", "class", "file").alias("doc"),
+        F.when(F.col("class") == "virus", F.lit("pos")).otherwise(F.lit("neg")).alias("cls"),
+    ).distinct()
+    return info_gain_ranking(api_log_tokens(raw), k=2000, doc_classes=doc_cls).select(
         "token", "pos_df", "neg_df", "info_gain", "rank"
     )
 
@@ -1227,8 +1240,8 @@ WITH tok AS (
          count(*) FILTER (WHERE cls = 'neg') AS neg_df
   FROM dedup GROUP BY token
 ), totals AS (
-  SELECT count(*) FILTER (WHERE cls = 'pos') AS p, count(*) AS t
-  FROM (SELECT DISTINCT doc, cls FROM tok_ne)
+  SELECT count(*) FILTER (WHERE lang = 'en') AS p, count(*) AS t
+  FROM documents
 ), scored AS (
   SELECT token,
          round({_nan_to_zero_sql(_IG_EXPR)}, 6) AS info_gain
@@ -1245,7 +1258,9 @@ WITH tok AS (
 def _ranked_vocab(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     toks = document_tokens(docs)
-    vocab = info_gain_ranking(toks, k=VOCAB_K).select("token", "rank")
+    vocab = info_gain_ranking(
+        toks, k=VOCAB_K, doc_classes=_doc_classes(docs)
+    ).select("token", "rank")
     return toks, vocab
 
 
