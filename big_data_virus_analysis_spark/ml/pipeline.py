@@ -91,3 +91,28 @@ def svm_auc_grid(
         preds = clf.fit(train).transform(cv)
         out.append(("svm", float(reg), _auc(preds, "rawPrediction")))
     return out
+
+
+def kmeans_k_sweep(
+    df: DataFrame,
+    ks: list[int],
+    seed: int = DEFAULT_SEED,
+    tol: float = 1e-6,
+) -> list[tuple[int, float]]:
+    """Weighted-entropy score for each k — the reference's best-k search
+    (searchBestKWithUsingEntropy: KmeansVirus.scala:165-173 sweeps
+    5..100 step 5, SVMDT.scala:240-247 sweeps 30..160 step 10; both
+    commented out of main — shipped here as the optional diagnostic).
+
+    The grid loop is inherently driver-side (one fit per k, same shape
+    as the reference); each score is a single-row DataFrame aggregate.
+    Caller caches ``df`` — every fit re-reads it.
+    """
+    from ..operators.entropy_score import weighted_average_entropy
+
+    out = []
+    for k in ks:
+        assigned = kmeans_assign(df, k=k, seed=seed, tol=tol)
+        score = weighted_average_entropy(assigned, "cluster", "label").first()["score"]
+        out.append((k, float(score)))
+    return out

@@ -1105,6 +1105,23 @@ def _q_api_log_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_api_log_byte_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-mode tokenizer variant (createByteFeatures,
+    FeatureSelectionCloud.scala:257-321) through the same IG ranking —
+    dead code in the reference's main() but declared capability
+    (SURVEY.md §7 hazard 4)."""
+    from ..sources.api_logs import api_log_byte_tokens
+
+    raw = read_api_logs(spark, _REF_CLEAN, _REF_VIRUS)
+    doc_cls = raw.select(
+        F.concat_ws("/", "class", "file").alias("doc"),
+        F.when(F.col("class") == "virus", F.lit("pos")).otherwise(F.lit("neg")).alias("cls"),
+    ).distinct()
+    return info_gain_ranking(
+        api_log_byte_tokens(raw), k=100, doc_classes=doc_cls
+    ).select("token", "pos_df", "neg_df", "info_gain", "rank")
+
+
 CATALOG.update(
     {
         "api_log_info_gain": QuerySpec(
@@ -1112,6 +1129,12 @@ CATALOG.update(
             None,
             "info-gain ranking over the real api_logs corpus (84 survivors; "
             "golden-checked in tests/test_reference_parity.py)",
+        ),
+        "api_log_byte_info_gain": QuerySpec(
+            _q_api_log_byte_info_gain,
+            None,
+            "byte-mode (14-char shingle) tokenizer through the IG ranking "
+            "(createByteFeatures, FeatureSelectionCloud.scala:257-321)",
         ),
     }
 )
@@ -1312,6 +1335,14 @@ def _q_kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.pipeline import kmeans_k_sweep
+
+    vec = _document_feature_vectors(spark, sf_dir).cache()
+    rows = kmeans_k_sweep(vec, ks=[5, 10, 15, 20])
+    return spark.createDataFrame(rows, "k int, score double")
+
+
 def _q_kmeans_weighted_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-quality score of the k=10 clustering vs true labels
     (SVMDT.scala:253-285)."""
@@ -1378,6 +1409,12 @@ CATALOG.update(
             _q_kmeans_weighted_entropy,
             None,
             "weighted entropy of KMeans clusters vs labels (SVMDT.scala:253-285)",
+        ),
+        "kmeans_k_sweep": QuerySpec(
+            _q_kmeans_k_sweep,
+            None,
+            "best-k diagnostic: weighted entropy per k (searchBestKWithUsingEntropy, "
+            "KmeansVirus.scala:165-173 / SVMDT.scala:240-247)",
         ),
         "dt_auc_grid": QuerySpec(
             _q_dt_auc_grid,

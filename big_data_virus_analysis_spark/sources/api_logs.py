@@ -86,3 +86,22 @@ def api_log_tokens(raw: DataFrame) -> DataFrame:
         F.when(F.col("class") == VIRUS, F.lit("pos")).otherwise(F.lit("neg")).alias("cls"),
         F.col("api").alias("token"),
     )
+
+
+def api_log_byte_tokens(raw: DataFrame, width: int = 14) -> DataFrame:
+    """Byte-mode alternate tokenizer: every uppercased ``width``-char
+    sliding window of each raw line becomes a token.
+
+    The reference implemented this (createByteFeatures,
+    FeatureSelectionCloud.scala:257-321) for hexdump inputs but main()
+    never calls it (SURVEY.md §7 hazard 4); it is part of the declared
+    capability surface, so it ships as a first-class tokenizer that
+    plugs into the same ``(doc, cls, token)`` feature pipeline.
+    """
+    from ..functions.text import shingles
+
+    return raw.select(
+        F.concat_ws("/", "class", "file").alias("doc"),
+        F.when(F.col("class") == VIRUS, F.lit("pos")).otherwise(F.lit("neg")).alias("cls"),
+        F.explode(shingles(F.col("raw_line"), width=width)).alias("token"),
+    ).where(F.length("token") == width)

@@ -8,7 +8,7 @@ import json
 
 from big_data_virus_analysis_spark.plans.catalog import CATALOG
 
-from conftest import SF_DIR
+from conftest import SF_DIR, SMOKE_SF_DIR
 
 
 def test_kmeans_doc_clusters(spark):
@@ -68,3 +68,16 @@ def test_d3_export_tree_shape(spark):
             assert sample["name"].startswith("Sample ")
             leaf = sample["children"][0]
             assert set(leaf.keys()) == {"name", "size"}
+
+
+def test_kmeans_k_sweep_scores(spark):
+    """Entropy score is finite and k is echoed back in order; larger k
+    cannot make the weighted entropy worse by much (diagnostic sanity,
+    not a strict theorem for fixed seeds)."""
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["kmeans_k_sweep"].spark(spark, SMOKE_SF_DIR).collect()
+    ks = [r["k"] for r in rows]
+    assert ks == [5, 10, 15, 20]
+    for r in rows:
+        assert 0.0 <= r["score"] < 10.0

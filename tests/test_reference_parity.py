@@ -145,3 +145,32 @@ def test_libsvm_grammar_invariants(raw_logs):
         idxs = [int(p.split(":")[0]) for p in r["line"].split()[1:]]
         assert idxs == sorted(idxs)  # 1-based ascending rank indices
         assert 1 <= idxs[0] and idxs[-1] <= N_SURVIVORS
+
+
+def test_byte_mode_tokenizer(spark, raw_logs):
+    """Byte-mode shingling (createByteFeatures parity): windows are
+    uppercased, fixed-width, and plug into the same IG ranking."""
+    from big_data_virus_analysis_spark.sources.api_logs import api_log_byte_tokens
+
+    toks = api_log_byte_tokens(raw_logs, width=14)
+    sample = toks.limit(200).collect()
+    assert sample
+    for r in sample:
+        assert len(r["token"]) == 14
+        assert r["token"] == r["token"].upper()
+        assert r["cls"] in ("pos", "neg")
+    # a line shorter than the window yields no tokens; spot-check one
+    # known API line produces the expected first window
+    one = (
+        raw_logs.where(F.col("raw_line").startswith("GetProcessDEPPolicy"))
+        .limit(1)
+        .select("raw_line")
+        .first()
+    )
+    first_window = one["raw_line"][:14].upper()
+    got = (
+        api_log_byte_tokens(raw_logs.where(F.col("raw_line") == one["raw_line"]), 14)
+        .limit(1)
+        .first()
+    )
+    assert got["token"] == first_window
