@@ -100,3 +100,33 @@ def test_numpy_topk_matches_expression_topk(spark):
     expr_pairs = {(r.query_id, r.cand_id) for r in cosine_topk(emb, 10, 5).collect()}
     np_pairs = {(r.query_id, r.cand_id) for r in cosine_topk_numpy(emb, 10, 5).collect()}
     assert expr_pairs == np_pairs
+
+
+def test_libsvm_write_read_roundtrip(spark, tmp_path):
+    """write_libsvm_text → spark.read.format('libsvm') preserves
+    (label, 0-based indices) — SURVEY.md §5.3 property; the text form
+    is 1-based (FeatureSelectionCloud.scala:513-517), the reader
+    auto-decrements."""
+    from big_data_virus_analysis_spark.sources.libsvm import (
+        read_libsvm,
+        write_libsvm_text,
+    )
+
+    rows = [
+        (1.0, [1, 3, 7]),
+        (0.0, [2, 7]),
+        (1.0, [5]),
+    ]
+    df = spark.createDataFrame(rows, "label double, indices array<int>")
+    path = str(tmp_path / "libsvm_out")
+    write_libsvm_text(df, path, single_file=True)
+
+    back = read_libsvm(spark, path, num_features=8).collect()
+    got = sorted(
+        (r["label"], tuple(int(i) for i in r["features"].indices)) for r in back
+    )
+    want = sorted((lbl, tuple(i - 1 for i in idxs)) for lbl, idxs in rows)
+    assert got == want
+    # all stored values are 1.0 (binary presence)
+    for r in back:
+        assert all(v == 1.0 for v in r["features"].values)
