@@ -120,20 +120,21 @@ def ngram_jaccard_pairs(
 
 
 def shingle_ids(dg: DataFrame) -> DataFrame:
-    """Dictionary-encode shingles: ``(doc_id, tid)``.
+    """Hash-encode shingles: ``(doc_id, tid)``.
 
-    row_number over sorted distinct grams — deterministic and
-    oracle-matchable.  SCALE PATH: replace with
-    ``F.xxhash64("gram")`` to avoid the vocabulary-sized global window
-    (loses DuckDB comparability, keeps MinHash validity).
+    tid = first 15 hex chars of md5(gram) as a BIGINT (< 2^60) — a pure
+    per-row expression that DuckDB reproduces bit-for-bit
+    (``CAST('0x'||substr(md5(g),1,15) AS BIGINT)``), so the oracle holds
+    with NO dictionary: no distinct, no vocabulary-sized global window,
+    no join-back.  This is the scale path and the oracle path at once.
     """
-    w = Window.orderBy("gram")
-    dictionary = dg.select("gram").distinct().withColumn("tid", F.row_number().over(w))
-    return dg.join(dictionary, "gram").select("doc_id", "tid")
+    tid = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+    return dg.select("doc_id", tid.alias("tid"))
 
 
 def _scramble(tid):
-    return (tid.cast("bigint") * _SCRAMBLE) % _M31
+    # reduce below 2^31 BEFORE the multiply so the product stays < 2^63
+    return ((tid % _M31) * _SCRAMBLE) % _M31
 
 
 def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
@@ -144,18 +145,23 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFra
     identical in Spark and DuckDB, products bounded < 2^63.
     """
     ids = shingle_ids(word_ngrams(documents, n)).withColumn("s", _scramble(F.col("tid")))
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.lit(k)),
-        lambda i: F.struct(
-            i.alias("i"),
-            (((2 * i + 1).cast("bigint") * F.col("s") + 7919 * i) % _P31).alias("hv"),
+    # k parallel min-aggregates instead of a k× row explode: the shuffle
+    # carries ONE k-column row per doc per map partition (partial agg)
+    # rather than k rows per (doc, shingle) — 32× less shuffle volume
+    mins = ids.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(2 * i + 1).cast("bigint") * F.col("s") + 7919 * i) % _P31).alias(
+                f"_h{i}"
+            )
+            for i in range(1, k + 1)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"_h{i}") for i in range(1, k + 1)])).alias(
+            "i0", "h"
         ),
-    )
-    return (
-        ids.select("doc_id", F.explode(hashes).alias("x"))
-        .groupBy("doc_id", F.col("x.i").alias("i"))
-        .agg(F.min("x.hv").alias("h"))
-    )
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "h")
 
 
 def minhash_lsh_pairs(

@@ -616,12 +616,13 @@ WITH toks AS (
   FROM toks WHERE len(tokens) >= 3
 ), dg AS (
   SELECT DISTINCT doc_id, gram FROM grams
-), dict AS (
-  SELECT gram, CAST(row_number() OVER (ORDER BY gram) AS BIGINT) AS tid
-  FROM (SELECT DISTINCT gram FROM dg)
 ), ids AS (
-  SELECT dg.doc_id, (dict.tid * 2654435761) % 2147483648 AS s
-  FROM dg JOIN dict USING (gram)
+  -- tid = md5-prefix BIGINT (bit-identical to Spark's conv(substring(md5)..));
+  -- reduce mod 2^31 before the multiply so the product stays < 2^63
+  SELECT doc_id,
+         ((CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 2147483648)
+          * 2654435761) % 2147483648 AS s
+  FROM dg
 )
 """
 
