@@ -1195,6 +1195,22 @@ GROUP BY user_id, sid
 """
 
 
+def _q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_count_sum
+
+    return salted_count_sum(load_table(spark, sf_dir, "events"), "user_id", "value")
+
+
+# algebraic aggregates: two-phase salted == plain GROUP BY, exactly
+_SQL_SALTED_USER_TOTALS = """
+SELECT user_id,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+FROM events
+GROUP BY user_id
+"""
+
+
 def _q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_user_totals(load_table(spark, sf_dir, "events"))
 
@@ -1221,6 +1237,11 @@ CATALOG.update(
             _q_running_user_totals,
             _SQL_RUNNING_USER_TOTALS,
             "applyInPandasWithState per-user running totals (batch degenerate form)",
+        ),
+        "salted_user_totals": QuerySpec(
+            _q_salted_user_totals,
+            _SQL_SALTED_USER_TOTALS,
+            "two-phase salted aggregation for reducer-skewed keys (operators/skew.py)",
         ),
     }
 )

@@ -1,0 +1,51 @@
+"""Distributed sinks — the reference's driver-side writers done right.
+
+The reference collected results to the driver and wrote local files,
+then uploaded to S3 (BufferedWriter + putFile:
+FeatureSelectionCloud.scala:147-180, KmeansVirus.scala:128-157,
+SVMDT.scala:216-226).  Every sink here is a distributed ``df.write`` —
+on a cluster the same call targets ``s3a://`` URIs directly, no driver
+hop, no single-node memory ceiling.
+
+Layout guidance for the 100 TB design point is baked into the
+partitioned-parquet writer: partition columns for coarse pruning
+(low-cardinality dimensions like class/date), bucketing for co-located
+joins on high-cardinality keys (see tests/test_bucketing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet with optional hive-style partition directories.
+
+    Partition columns become directory keys → partition pruning turns
+    ``WHERE class = 'virus'`` into a directory listing, not a scan.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json_lines(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-lines sink (the D3 export path: exportJSON.php's tree is one
+    row from ``report.d3_tree`` → one JSON document)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def write_report_text(df: DataFrame, path: str, column: str = "line", single_file: bool = False) -> None:
+    """Text sink for the ``cluster;label;json`` report rows
+    (KmeansVirus.scala:128-136's output.txt, written distributed)."""
+    out = df.select(df[column].alias("value"))
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)

@@ -1,0 +1,127 @@
+"""Sinks + physical layout: partitioned writes prune, bucketed tables
+co-locate joins (no Exchange), salted aggregation spreads reducers.
+
+These are the storage-layout halves of the 100 TB story (SURVEY.md
+§4.3): partition columns for coarse pruning, bucketing for shuffle-free
+equi-joins, salting for reducer skew.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_virus_analysis_spark.operators.skew import salted_count_sum
+from big_data_virus_analysis_spark.sources.sinks import (
+    write_json_lines,
+    write_partitioned_parquet,
+    write_report_text,
+)
+from big_data_virus_analysis_spark.sources.tables import load_table
+
+from conftest import SMOKE_SF_DIR
+from test_plans import fmt_plan
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned_parquet(docs, path, partition_by=["lang"])
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    q = back.where(F.col("lang") == "en").select("doc_id")
+    plan = fmt_plan(q)
+    # partition pruning: the lang filter is a PartitionFilter on the
+    # scan, not a post-scan Filter over all rows
+    assert "PartitionFilters: [" in plan
+    assert "lang" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert q.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_report_text_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("0;0.0;[]",), ("1;1.0;[{\"name\":\"x\",\"size\":1}]",)], "line string"
+    )
+    path = str(tmp_path / "report")
+    write_report_text(df, path, single_file=True)
+    back = spark.read.text(path)
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        r["line"] for r in df.collect()
+    )
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    path = str(tmp_path / "json_out")
+    write_json_lines(df, path, single_file=True)
+    back = spark.read.json(path).select("id", "name")
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    salted = salted_count_sum(ev, "user_id", "value", n_salts=8)
+    plain = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total"),
+    )
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+    # and it really is two aggregation phases (partial+final × 2); AQE's
+    # formatted output shows Final + Initial plan trees, so keep one
+    plan = fmt_plan(salted).split("== Initial Plan ==")[0]
+    assert plan.count("HashAggregate (") == 4
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    """orders + customer bucketed by the join key into the session
+    warehouse — the co-located-join layout for 100 TB fact tables."""
+    names = ("b_orders", "b_customer")
+    orders = load_table(spark, SMOKE_SF_DIR, "orders")
+    cust = load_table(spark, SMOKE_SF_DIR, "customer")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        cust.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("b_customer")
+    )
+    yield names
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    """Equi-join on the bucket key must not exchange either side — the
+    layout, not the optimizer, pays for co-location."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.table("b_orders")
+        cust = spark.table("b_customer")
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+            "o_orderkey", "c_name"
+        )
+        plan = fmt_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # zero shuffles: bucketing co-locates
+        # sanity: same result as the unbucketed join
+        want = (
+            load_table(spark, SMOKE_SF_DIR, "orders")
+            .join(
+                load_table(spark, SMOKE_SF_DIR, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
