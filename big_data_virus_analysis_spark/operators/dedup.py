@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import fan_out
+
 # LCG-style mixing constants (Knuth/Numerical-Recipes lineage, public)
 _SCRAMBLE = 2654435761  # Fibonacci hashing multiplier
 _M31 = 2147483648  # 2^31
@@ -61,7 +63,8 @@ def word_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
     )
     return (
-        documents.where(F.size(tokens) >= n)
+        fan_out(documents)
+        .where(F.size(tokens) >= n)
         .select("doc_id", F.explode(grams).alias("gram"))
         .dropDuplicates(["doc_id", "gram"])
     )
@@ -137,18 +140,33 @@ def _scramble(tid):
     return ((tid % _M31) * _SCRAMBLE) % _M31
 
 
-def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
-    """MinHash signatures: ``(doc_id, i, h)`` for i ∈ 1..k.
+def _minhash_mins(documents: DataFrame, n: int, k: int) -> DataFrame:
+    """Wide MinHash row per doc: ``(doc_id, _h1 … _hk)``.
 
     Hash family h_i(t) = (a_i·s + b_i) mod (2^31−1) with s the scrambled
     shingle id, a_i = 2i+1, b_i = 7919·i — plain modular arithmetic,
     identical in Spark and DuckDB, products bounded < 2^63.
+
+    k parallel min-aggregates instead of a k× row explode: the shuffle
+    carries ONE k-column row per doc per map partition (partial agg)
+    rather than k rows per (doc, shingle) — 32× less shuffle volume.
     """
-    ids = shingle_ids(word_ngrams(documents, n)).withColumn("s", _scramble(F.col("tid")))
-    # k parallel min-aggregates instead of a k× row explode: the shuffle
-    # carries ONE k-column row per doc per map partition (partial agg)
-    # rather than k rows per (doc, shingle) — 32× less shuffle volume
-    mins = ids.groupBy("doc_id").agg(
+    # NOTE deliberately NOT word_ngrams(): min() is duplicate-insensitive,
+    # so the per-doc distinct (a full shuffle of the gram table) would buy
+    # nothing — raw grams flow straight into map-side partial min-agg and
+    # the only shuffle is one k-column row per doc.
+    tokens = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    raw = (
+        fan_out(documents)
+        .where(F.size(tokens) >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    ids = shingle_ids(raw).withColumn("s", _scramble(F.col("tid")))
+    return ids.groupBy("doc_id").agg(
         *[
             F.min((F.lit(2 * i + 1).cast("bigint") * F.col("s") + 7919 * i) % _P31).alias(
                 f"_h{i}"
@@ -156,7 +174,11 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFra
             for i in range(1, k + 1)
         ]
     )
-    return mins.select(
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
+    """MinHash signatures in long form: ``(doc_id, i, h)`` for i ∈ 1..k."""
+    return _minhash_mins(documents, n, k).select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"_h{i}") for i in range(1, k + 1)])).alias(
             "i0", "h"
@@ -176,17 +198,29 @@ def minhash_lsh_pairs(
     Output: ``(doc_a, doc_b, n_shared_bands)``.
     """
     r = k // bands
-    sig = minhash_signatures(documents, n, k).withColumn(
-        "band", ((F.col("i") - 1) / r).cast("int")
-    )
-    band_keys = sig.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "h"))),
-                lambda s: s["h"].cast("string"),
-            ),
-            ",",
-        ).alias("key")
+    # band keys straight off the wide per-doc row: an earlier version
+    # exploded the signature back to k rows and RE-GROUPED by (doc, band)
+    # with collect_list just to concatenate — a whole extra shuffle whose
+    # only product was string glue.  concat_ws over the already-adjacent
+    # columns is a per-row projection; posexplode of `bands` small
+    # strings replaces the aggregation entirely.
+    mins = _minhash_mins(documents, n, k)
+    band_keys = mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"_h{b * r + j}").cast("string")
+                            for j in range(1, r + 1)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
     )
     a = band_keys.alias("a")
     b = band_keys.alias("b")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity
+from ..sources.tables import fan_out
 
 DIM = 64
 N_PLANES = 8
@@ -67,7 +68,9 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataF
     q = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    c = embeddings.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    c = fan_out(embeddings).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
     return (
         c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
@@ -84,7 +87,9 @@ def ann_lsh_topk(
     """Sign-LSH bucketed top-k: like :func:`cosine_topk` but candidates
     are restricted to the query's bucket — the scan-once/shuffle-on-
     bucket plan that survives a 1000× corpus."""
-    with_bucket = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), n_planes))
+    with_bucket = fan_out(embeddings).withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), n_planes)
+    )
     q = with_bucket.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
     )
@@ -105,7 +110,9 @@ def ann_lsh_topk(
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding near-dup pairs: ``(vec_a, vec_b, sim)`` at/above the
     rounded-cosine threshold, vec_a < vec_b."""
-    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    a = fan_out(embeddings).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
     b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import fan_out
+
 #: word-token pattern shared with the oracle (letters | digits | single other)
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -162,7 +164,8 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     # transform(..., slice(hashes, ...)) would re-evaluate the entire
     # inner array once per outer element (O(n²·k) per row)
     staged = (
-        documents.where(max_pos >= FP_WINDOW)
+        fan_out(documents)
+        .where(max_pos >= FP_WINDOW)
         .select("doc_id", F.split("text", "").alias("chars"))
         .select(
             "doc_id",

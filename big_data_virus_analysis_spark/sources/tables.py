@@ -54,6 +54,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across all cores before a compute-heavy
+    stage (shingling, per-gram hashing, fingerprinting).
+
+    A small table is one parquet file → one input split → the whole
+    CPU-bound pipeline runs on a single core regardless of cluster size.
+    Repartitioning costs one shuffle of the NARROW input (documents are
+    ~300 B/row here — trivial next to the 50× gram explosion downstream).
+    At the 100 TB design point the scan already has ≥ thousands of splits,
+    so the guard makes this a structural no-op: never an extra shuffle at
+    scale, full parallelism in the small-file case.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
