@@ -21,7 +21,11 @@ splits (same shape as the reference; the per-fit work is distributed).
 
 from __future__ import annotations
 
-from pyspark.ml.classification import DecisionTreeClassifier, LinearSVC
+from pyspark.ml.classification import (
+    DecisionTreeClassifier,
+    LinearSVC,
+    LogisticRegression,
+)
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.ml.functions import array_to_vector
@@ -91,6 +95,37 @@ def svm_auc_grid(
         preds = clf.fit(train).transform(cv)
         out.append(("svm", float(reg), _auc(preds, "rawPrediction")))
     return out
+
+
+def lr_auc_grid(
+    train: DataFrame,
+    cv: DataFrame,
+    regs: tuple[float, ...] = SVM_REGS,
+    max_iter: int = 20,
+) -> list[tuple[str, float, float]]:
+    """LogisticRegression grid → [(model, param, auc)].
+
+    The reference's selectable alternate classifier
+    (LogisticRegressionWithSGD behind ``case '1'``, SVMDT.scala:206-208)
+    — modern LBFGS optimizer here, same regParam grid as the SVM path.
+    """
+    out: list[tuple[str, float, float]] = []
+    for reg in regs:
+        clf = LogisticRegression(regParam=reg, maxIter=max_iter, labelCol="label")
+        preds = clf.fit(train).transform(cv)
+        out.append(("lr", float(reg), _auc(preds, "rawPrediction")))
+    return out
+
+
+def kmeans_centers(
+    df: DataFrame, k: int = 10, seed: int = DEFAULT_SEED, tol: float = 1e-6
+) -> list[tuple[int, list[float]]]:
+    """Cluster-centers dump: [(cluster, center)] (SVMDT.scala:316's
+    ``model.clusterCenters.foreach(println)``, k=60 diagnostic there)."""
+    model = KMeans(k=k, seed=seed, tol=tol, featuresCol="features").fit(df)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
 
 
 def kmeans_k_sweep(

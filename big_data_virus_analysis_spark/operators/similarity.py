@@ -107,6 +107,93 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the trained-quantizer
+    scale path next to :func:`ann_lsh_topk`'s data-independent one.
+
+    1. Coarse quantizer: K-Means over the corpus → ``n_cells`` centroids
+       (one ml fit; the model is tiny and rides to executors with the
+       transform).
+    2. Invert: every vector is assigned to its nearest centroid's cell —
+       the corpus is now partitioned by ``cell``, which is exactly the
+       shuffle key of the probe join.
+    3. Probe: each query scores all centroids (centroid table is a
+       driver-built literal → broadcast) and keeps its ``n_probe``
+       nearest cells.
+    4. Exact cosine only within probed cells; per-query top-k window.
+
+    At 100 TB the win over sign-LSH is that cells track the data
+    distribution (balanced inverted lists vs potentially-empty random
+    half-spaces); the plan shape is identical — broadcast the query
+    probes, shuffle candidates on ``cell``, aggregate per query.
+
+    Output: ``(query_id, cand_id, sim, rank)`` — rows-only oracle (the
+    quantizer is ml-trained); recall vs brute force is tested in
+    tests/test_operators.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fanned = fan_out(embeddings)
+    with_vec = fanned.withColumn(
+        "_v", array_to_vector(F.col("embedding").cast("array<double>"))
+    ).cache()
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell").fit(
+        with_vec
+    )
+    inverted = model.transform(with_vec).drop("_v")
+
+    centroids = model.clusterCenters()
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+
+    q = inverted.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(
+                    "qe", "centroid", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qe", "cell")
+    )
+
+    c = inverted.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "cell"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
+    return (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding near-dup pairs: ``(vec_a, vec_b, sim)`` at/above the
     rounded-cosine threshold, vec_a < vec_b."""

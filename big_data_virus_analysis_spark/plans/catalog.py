@@ -713,6 +713,7 @@ from ..operators.similarity import (  # noqa: E402
     ann_lsh_topk,
     cosine_near_dup_pairs,
     cosine_topk,
+    ivf_topk,
     knn_label_vote,
 )
 
@@ -814,6 +815,12 @@ def _q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_vote(load_table(spark, sf_dir, "embeddings"), n_queries=50, k=5)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5, n_cells=16, n_probe=4
+    )
+
+
 _SQL_KNN_LABEL_VOTE = _SQL_EMB_BASE + """
 , dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
@@ -852,6 +859,12 @@ CATALOG.update(
         ),
         "knn_label_vote": QuerySpec(
             _q_knn_label_vote, _SQL_KNN_LABEL_VOTE, "k-NN majority-vote classification"
+        ),
+        "ivf_ann_topk": QuerySpec(
+            _q_ivf_topk,
+            None,
+            "IVF approximate top-k: K-Means coarse quantizer + n_probe cell probe "
+            "(trained-quantizer counterpart of ann_lsh_topk)",
         ),
     }
 )
@@ -1253,6 +1266,8 @@ CATALOG.update(
 from ..ml.pipeline import (  # noqa: E402
     dt_auc_grid,
     kmeans_assign,
+    kmeans_centers,
+    lr_auc_grid,
     svm_auc_grid,
     to_ml_vectors,
 )
@@ -1393,6 +1408,22 @@ def _q_svm_auc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "model string, param double, auc double")
 
 
+def _q_lr_auc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, cv, _ = _embedding_splits(spark, sf_dir)
+    rows = lr_auc_grid(train, cv)
+    return spark.createDataFrame(rows, "model string, param double, auc double")
+
+
+def _q_kmeans_cluster_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Center dump as a scalar digest per cluster (row count = k, values
+    deterministic under the fixed seed)."""
+    centers = kmeans_centers(_document_feature_vectors(spark, sf_dir).cache(), k=10)
+    rows = [
+        (c, len(vec), round(sum(x * x for x in vec) ** 0.5, 6)) for c, vec in centers
+    ]
+    return spark.createDataFrame(rows, "cluster int, n_dims int, center_norm double")
+
+
 def _clustered_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks, vocab = _ranked_vocab(spark, sf_dir)
     vec = doc_vectors(toks, vocab)
@@ -1446,6 +1477,17 @@ CATALOG.update(
         "svm_auc_grid": QuerySpec(
             _q_svm_auc_grid, None, "LinearSVC regParam grid AUC (SVMDT.scala:188-214)"
         ),
+        "lr_auc_grid": QuerySpec(
+            _q_lr_auc_grid,
+            None,
+            "LogisticRegression regParam grid AUC (the case-'1' alternate path, "
+            "SVMDT.scala:206-208)",
+        ),
+        "kmeans_cluster_centers": QuerySpec(
+            _q_kmeans_cluster_centers,
+            None,
+            "cluster-centers dump as per-cluster norm digest (SVMDT.scala:316)",
+        ),
         "cluster_report_lines": QuerySpec(
             _q_cluster_report_lines,
             None,
@@ -1453,6 +1495,121 @@ CATALOG.update(
         ),
         "d3_export_tree": QuerySpec(
             _q_d3_export_tree, None, "D3 circle-packing JSON tree (exportJSON.php:12-45)"
+        ),
+    }
+)
+
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregation pack: ROLLUP / CUBE / GROUPING SETS
+# --------------------------------------------------------------------------
+# No reference counterpart (the reference has no grouping-set surface);
+# engine-breadth ops that fall out of the same hash-aggregate machinery.
+# Spark expands grouping sets into one Expand + one aggregate — a single
+# shuffle regardless of how many sets, which is exactly the 100 TB shape
+# (vs N self-unioned aggregations).  GROUPING() flags disambiguate "NULL
+# because subtotal" from "NULL in the data" on both engines.
+
+
+def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        # grouping() flags must be computed IN the aggregate (they read
+        # the internal spark_grouping_id, gone after the agg projects)
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum(dec).cast("decimal(18,2)").alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_price", "n")
+    )
+
+
+_SQL_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_cube_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_total"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "sum_total", "n"
+        )
+    )
+
+
+_SQL_CUBE_ORDER_PRIORITIES = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def _q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupingSets(
+            [["user_id"], ["event_type"], []],
+            "user_id",
+            "event_type",
+        )
+        .agg(
+            F.grouping("user_id").cast("int").alias("g_user"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.count("*").alias("n"),
+        )
+        .select("user_id", "event_type", "g_user", "g_type", "n")
+    )
+
+
+_SQL_GROUPING_SETS_EVENTS = """
+SELECT user_id, event_type,
+       CAST(GROUPING(user_id) AS INT) AS g_user,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       count(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((user_id), (event_type), ())
+"""
+
+
+CATALOG.update(
+    {
+        "rollup_pricing": QuerySpec(
+            _q_rollup_pricing,
+            _SQL_ROLLUP_PRICING,
+            "ROLLUP subtotals over lineitem (single Expand+aggregate shuffle)",
+        ),
+        "cube_order_priorities": QuerySpec(
+            _q_cube_order_priorities,
+            _SQL_CUBE_ORDER_PRIORITIES,
+            "CUBE over orders status × priority with GROUPING flags",
+        ),
+        "grouping_sets_events": QuerySpec(
+            _q_grouping_sets_events,
+            _SQL_GROUPING_SETS_EVENTS,
+            "explicit GROUPING SETS over events (per-user, per-type, grand total)",
         ),
     }
 )

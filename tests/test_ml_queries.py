@@ -39,6 +39,24 @@ def test_svm_auc_grid(spark):
     assert all(0.0 < r.auc <= 1.0 for r in rows)
 
 
+def test_lr_auc_grid(spark):
+    rows = CATALOG["lr_auc_grid"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(0.0 < r.auc <= 1.0 for r in rows)
+    assert all(r.model == "lr" for r in rows)
+
+
+def test_kmeans_cluster_centers(spark):
+    rows = CATALOG["kmeans_cluster_centers"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 10  # one digest row per cluster, k=10
+    assert sorted(r.cluster for r in rows) == list(range(10))
+    # binary presence vectors → every center coordinate ∈ [0,1], so the
+    # norm is bounded by sqrt(dims)
+    for r in rows:
+        assert r.n_dims > 0
+        assert 0.0 <= r.center_norm <= r.n_dims**0.5
+
+
 def test_cluster_report_lines_grammar(spark):
     rows = CATALOG["cluster_report_lines"].spark(spark, SF_DIR).collect()
     assert len(rows) > 0

@@ -95,6 +95,23 @@ def test_lsh_recall_vs_bruteforce(spark):
         assert abs(bf[key] - lsh[key]) < 1e-9
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF probes 4 of 16 cells; sims for pairs it finds must equal the
+    brute-force values, and recall@5 should beat random cell coverage."""
+    from big_data_virus_analysis_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bf = {(r.query_id, r.cand_id): r.sim for r in cosine_topk(emb, 10, 5).collect()}
+    ivf = {(r.query_id, r.cand_id): r.sim for r in ivf_topk(emb, 10, 5).collect()}
+    assert len(ivf) > 0
+    shared = set(bf) & set(ivf)
+    # nearest-cell probing concentrates true neighbors: expect well over
+    # the 4/16 = 25% random-cell baseline
+    assert len(shared) >= len(bf) * 0.4, f"IVF recall too low: {len(shared)}/{len(bf)}"
+    for key in shared:
+        assert abs(bf[key] - ivf[key]) < 1e-9
+
+
 def test_numpy_topk_matches_expression_topk(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     expr_pairs = {(r.query_id, r.cand_id) for r in cosine_topk(emb, 10, 5).collect()}
