@@ -1613,3 +1613,81 @@ CATALOG.update(
         ),
     }
 )
+
+# --------------------------------------------------------------------------
+# Statistics + pivot pack
+# --------------------------------------------------------------------------
+# Engine-breadth aggregates past the reference's count/sum/entropy set.
+# percentile() here is the EXACT interpolating percentile (matches
+# DuckDB's quantile_cont bit-for-bit); at the 100 TB design point swap
+# approx_percentile(col, q, accuracy) — a t-digest style mergeable
+# sketch, one pass, no per-group sort — and accept the documented error
+# bound.  stddev/corr are single-pass mergeable moments (map-side
+# partials) at any scale.
+
+
+def _q_stats_price_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.count("*").alias("n"),
+    )
+
+
+_SQL_STATS_PRICE_SUMMARY = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       round(stddev_samp(l_extendedprice), 6) AS sd_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _q_pivot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list — without it Spark
+    runs an extra distinct job to discover values, which at 100 TB is a
+    full shuffle before the real aggregation even starts."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+_SQL_PIVOT_ORDER_COUNTS = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+CATALOG.update(
+    {
+        "stats_price_summary": QuerySpec(
+            _q_stats_price_summary,
+            _SQL_STATS_PRICE_SUMMARY,
+            "exact percentiles + mergeable moments (stddev, corr) per return flag",
+        ),
+        "pivot_order_counts": QuerySpec(
+            _q_pivot_order_counts,
+            _SQL_PIVOT_ORDER_COUNTS,
+            "pivot with explicit value list (no value-discovery pre-job)",
+        ),
+    }
+)

@@ -91,3 +91,49 @@ def test_events_scans_prune_columns(plan_of):
     plan = plan_of("count_by_value")
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "props" not in read_schema  # wide string column not read
+
+
+def test_rollup_is_one_expand_one_shuffle(plan_of):
+    """Grouping sets must compile to a single Expand + one aggregation
+    pair — NOT one aggregate per grouping set unioned together."""
+    plan = plan_of("rollup_pricing")
+    tree = plan.split("== Initial Plan ==")[0]
+    assert tree.count("Expand (") == 1
+    assert tree.count("HashAggregate (") == 2  # partial + final
+    assert "Union" not in tree
+
+
+def test_cube_is_one_expand_one_shuffle(plan_of):
+    plan = plan_of("cube_order_priorities")
+    tree = plan.split("== Initial Plan ==")[0]
+    assert tree.count("Expand (") == 1
+    assert "Union" not in tree
+
+
+def test_pivot_has_no_value_discovery_job(plan_of):
+    """Explicit pivot values → pure aggregation plan: a cardinality-
+    reducing pre-agg on (row key, pivot key), then the pivot agg over
+    that tiny intermediate.  No join per value, no value-discovery
+    subquery — two agg pairs and nothing else."""
+    plan = plan_of("pivot_order_counts")
+    tree = plan.split("== Initial Plan ==")[0]
+    assert tree.count("HashAggregate (") == 4  # (partial+final) × 2 levels
+    assert tree.count("Exchange (") == 2
+    assert "Join" not in tree and "Subquery" not in tree
+
+
+def test_ivf_probe_join_broadcasts(spark):
+    """IVF candidate join must broadcast the tiny probe side; the corpus
+    side must never be broadcast or nested-loop joined."""
+    from big_data_virus_analysis_spark.operators.similarity import ivf_topk
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    df = ivf_topk(load_table(spark, SMOKE_SF_DIR, "embeddings"), n_queries=5, k=3)
+    plan = fmt_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_partials_before_shuffle(plan_of):
+    plan = plan_of("salted_user_totals")
+    assert "partial_sum" in plan and "partial_count" in plan
