@@ -129,6 +129,77 @@ def test_streaming_dedup_bounded_state(spark, events_stream_dir, tmp_path):
     assert got.select("event_id").distinct().count() == batch.count()
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy end-to-end: rows arriving behind the watermark
+    are DROPPED from windowed aggregation, and closed windows emit in
+    append mode.
+
+    Four files, one per micro-batch (mtime-ordered).  Four, not three:
+    the late-record filter uses the watermark as of the PREVIOUS batch
+    (Spark separates "watermark for late events" from the eviction
+    watermark, which trails it by one batch), so a filler batch must sit
+    between the watermark-advancing file and the late file:
+      1. on-time rows at 10:00–10:04
+      2. rows at 20:00 → eviction watermark becomes 19:50 (10 min delay)
+      3. filler at 20:01 → the 10:00 window closes + emits (5 rows);
+         late-events watermark now 19:50
+      4. LATE rows back at 10:05 — behind 19:50, must be dropped
+    """
+    data = tmp_path / "late_data"
+    rows1 = [(f"e1_{i}", 1, "click", 1.0, f"2024-01-01 10:0{i}:00") for i in range(5)]
+    rows2 = [(f"e2_{i}", 2, "click", 1.0, "2024-01-01 20:00:00") for i in range(3)]
+    rows3 = [("e3_0", 3, "click", 1.0, "2024-01-01 20:01:00")]
+    rows4 = [(f"e4_{i}", 4, "click", 1.0, "2024-01-01 10:05:00") for i in range(4)]
+    schema = "event_id string, user_id int, event_type string, value double, ts_s string"
+    base = time.time()
+    seen: set[str] = set()
+    for i, rows in enumerate([rows1, rows2, rows3, rows4]):
+        (
+            spark.createDataFrame(rows, schema)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.to_timestamp("ts_s").alias("ts"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(data))
+        )
+        for f in glob.glob(str(data / "part-*")):
+            if f not in seen:
+                os.utime(f, (base + i, base + i))
+                seen.add(f)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id string, user_id int, event_type string, value double, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data))
+    )
+    got = _run_stream(
+        spark,
+        tumbling_window_counts(stream, minutes=60, watermark="10 minutes"),
+        "append",
+        tmp_path,
+    )
+    emitted = {r.window_start_us: r.n_events for r in got.collect()}
+    win_10 = int(
+        spark.sql("SELECT unix_micros(timestamp '2024-01-01 10:00:00')").first()[0]
+    )
+    # the 10:00 window closed with exactly the 5 on-time rows — the 4
+    # late rows were dropped, not merged and not re-emitted
+    assert emitted.get(win_10) == 5
+    # the 20:00 window never closed (watermark stops at 19:50) → append
+    # mode must not have emitted it
+    win_20 = int(
+        spark.sql("SELECT unix_micros(timestamp '2024-01-01 20:00:00')").first()[0]
+    )
+    assert win_20 not in emitted
+
+
 def test_stateful_running_totals_stream(spark, events_stream_dir, tmp_path):
     """applyInPandasWithState across micro-batches: the LAST update per
     user must equal the global batch aggregate."""
