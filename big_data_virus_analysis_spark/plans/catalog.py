@@ -1691,3 +1691,154 @@ CATALOG.update(
         ),
     }
 )
+
+# --------------------------------------------------------------------------
+# Join + set-operation + analytic-window pack
+# --------------------------------------------------------------------------
+# Joins beyond the reference's inner/left-outer pair (SURVEY §2.4 "No
+# sort-merge, theta, range, as-of, interval, anti, or cross joins"):
+# as-of (union+window custom operator — operators/asof.py), left-anti,
+# EXCEPT/INTERSECT, and explicit lag/lead/cumulative windows.
+
+from ..operators.asof import asof_join  # noqa: E402
+
+
+def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join(
+        ev, purchases, key="user_id", left_time="ts", right_time="ts",
+        value_cols=["ts"], suffix="_lp",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_lp").alias("last_purchase_us"),
+    )
+
+
+_SQL_ASOF_LAST_PURCHASE = """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, epoch_us(p.ts) AS last_purchase_us
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def _q_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join against a FILTERED right side (urgent orders) —
+    the filter keeps the result non-empty in the synthetic data, where
+    every customer has at least one order."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SQL_ANTI_JOIN_NO_ORDERS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def _q_except_clickers_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, day) pairs with clicks but no purchase — day granularity
+    keeps the result non-empty (every user in the fixture eventually
+    purchases, but not on every active day)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros(day).alias("day_us")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros(day).alias("day_us")
+    )
+    return clicks.subtract(buys)  # EXCEPT (distinct) semantics
+
+
+_SQL_EXCEPT_CLICKERS = """
+SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def _q_intersect_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = load_table(spark, sf_dir, "part").where(F.col("p_size") >= 40)
+    return li.select(F.col("l_partkey").alias("partkey")).intersect(
+        big.select(F.col("p_partkey").alias("partkey"))
+    )
+
+
+_SQL_INTERSECT_ORDERED_PARTS = """
+SELECT l_partkey AS partkey FROM lineitem
+INTERSECT
+SELECT p_partkey AS partkey FROM part WHERE p_size >= 40
+"""
+
+
+def _q_lag_lead_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        F.round(F.sum("value").over(run), 4).alias("run_sum"),
+    )
+
+
+_SQL_LAG_LEAD_USER_VALUES = """
+SELECT user_id, event_id,
+       round(lag(value) OVER w, 4) AS prev_value,
+       round(lead(value) OVER w, 4) AS next_value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+CATALOG.update(
+    {
+        "asof_last_purchase": QuerySpec(
+            _q_asof_last_purchase,
+            _SQL_ASOF_LAST_PURCHASE,
+            "as-of join via union+running-window (operators/asof.py) vs native "
+            "DuckDB ASOF JOIN",
+        ),
+        "anti_join_no_orders": QuerySpec(
+            _q_anti_join_no_orders,
+            _SQL_ANTI_JOIN_NO_ORDERS,
+            "left-anti join (customers without orders)",
+        ),
+        "except_clickers": QuerySpec(
+            _q_except_clickers_no_purchase,
+            _SQL_EXCEPT_CLICKERS,
+            "EXCEPT set op (clickers who never purchased)",
+        ),
+        "intersect_ordered_parts": QuerySpec(
+            _q_intersect_ordered_parts,
+            _SQL_INTERSECT_ORDERED_PARTS,
+            "INTERSECT set op (ordered parts that are also size>=40)",
+        ),
+        "lag_lead_user_values": QuerySpec(
+            _q_lag_lead_user_values,
+            _SQL_LAG_LEAD_USER_VALUES,
+            "lag/lead/cumulative-sum analytic windows per user",
+        ),
+    }
+)

@@ -147,3 +147,46 @@ def test_libsvm_write_read_roundtrip(spark, tmp_path):
     # all stored values are 1.0 (binary presence)
     for r in back:
         assert all(v == 1.0 for v in r["features"].values)
+
+
+def test_asof_join_edge_semantics(spark):
+    """Hand-computed as-of: <= tie matches, no-prior rows get NULL, and
+    the latest (not first) preceding right row wins."""
+    from big_data_virus_analysis_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, "l1"), ("a", 10, "l2"), ("a", 20, "l3"), ("b", 7, "l4")],
+        "k string, t bigint, who string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 100), ("a", 15, 150), ("c", 1, 999)],
+        "k string, t bigint, rv int",
+    )
+    out = {
+        r.who: r.rv_asof
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="t", value_cols=["rv"]
+        ).collect()
+    }
+    assert out == {
+        "l1": None,  # before any right row
+        "l2": 100,  # tie at t=10 matches (<= semantics)
+        "l3": 150,  # latest preceding, not first
+        "l4": None,  # key with no right rows at all
+    }
+
+
+def test_asof_join_plan_is_single_shuffle_no_pair_join(spark):
+    """The as-of plan must be union + one keyed window — never a join
+    node (a range pair-join explodes at scale)."""
+    from big_data_virus_analysis_spark.operators.asof import asof_join
+    from test_plans import fmt_plan
+
+    ev = load_table(spark, SF_DIR, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    plan = fmt_plan(
+        asof_join(ev, purchases, "user_id", "ts", "ts", ["ts"], suffix="_lp")
+    ).split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1
+    assert "Union" in plan and "Window" in plan
