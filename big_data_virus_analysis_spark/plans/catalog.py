@@ -1842,3 +1842,53 @@ CATALOG.update(
         ),
     }
 )
+
+# --------------------------------------------------------------------------
+# Interval (range) join pack (operators/interval.py)
+# --------------------------------------------------------------------------
+
+from ..operators.interval import bucketed_interval_join  # noqa: E402
+
+
+def _q_interval_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within ±5 minutes of each error by the same user — the
+    bucketed-equi-join rewrite of a BETWEEN range join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    joined = bucketed_interval_join(
+        clicks, errors, key="user_id", point_time="click_ts",
+        start="w_start", end="w_end", bucket_seconds=600,
+    )
+    return joined.groupBy("err_id").agg(F.count("*").alias("n_clicks_nearby"))
+
+
+_SQL_INTERVAL_JOIN_ERROR_CLICKS = """
+SELECT e.event_id AS err_id, count(*) AS n_clicks_nearby
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY err_id
+"""
+
+
+CATALOG.update(
+    {
+        "interval_join_error_clicks": QuerySpec(
+            _q_interval_join_error_clicks,
+            _SQL_INTERVAL_JOIN_ERROR_CLICKS,
+            "bucketed interval join: clicks within ±5 min of same-user errors "
+            "(equi-join on (key, time bucket), exact range re-filter)",
+        ),
+    }
+)

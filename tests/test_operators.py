@@ -190,3 +190,32 @@ def test_asof_join_plan_is_single_shuffle_no_pair_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange (") == 1
     assert "Union" in plan and "Window" in plan
+
+
+def test_interval_join_equi_plan_and_edges(spark):
+    """Bucketed interval join: exact boundary containment (<= both ends)
+    and an EQUI join plan — never nested-loop/cartesian."""
+    from big_data_virus_analysis_spark.operators.interval import (
+        bucketed_interval_join,
+    )
+    from test_plans import fmt_plan
+
+    pts = spark.createDataFrame(
+        [("u", "p0", "2024-01-01 10:00:00"),   # == start: in
+         ("u", "p1", "2024-01-01 10:10:00"),   # == end: in
+         ("u", "p2", "2024-01-01 10:10:01"),   # just past: out
+         ("v", "p3", "2024-01-01 10:05:00")],  # other key: out
+        "k string, pid string, t_s string",
+    ).select("k", "pid", F.to_timestamp("t_s").alias("t"))
+    ivs = spark.createDataFrame(
+        [("u", "i0", "2024-01-01 10:00:00", "2024-01-01 10:10:00")],
+        "k string, iid string, s_s string, e_s string",
+    ).select(
+        "k", "iid", F.to_timestamp("s_s").alias("s"), F.to_timestamp("e_s").alias("e")
+    )
+    out = bucketed_interval_join(pts, ivs, "k", "t", "s", "e", bucket_seconds=300)
+    assert sorted(r.pid for r in out.collect()) == ["p0", "p1"]
+
+    plan = fmt_plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # a real equi join node exists
