@@ -1,0 +1,63 @@
+"""Catalog-wide physical-plan lint.
+
+Every query in the catalog is compiled and its physical plan checked for
+the two shapes that do not survive scale:
+
+* ``CartesianProduct`` — never allowed, for any query.
+* ``BroadcastNestedLoopJoin`` — allowed ONLY where the build side is a
+  deliberately tiny broadcast (single-row class totals, a 16-row
+  centroid table, a 5-language stopword table) or the query is the
+  documented brute-force baseline next to an LSH/IVF scale path.  The
+  allowlist is explicit so any NEW query that accidentally plans a
+  nested loop fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+from conftest import SMOKE_SF_DIR
+from test_plans import fmt_plan
+
+#: queries whose BroadcastNestedLoopJoin is by-design (tiny build side
+#: or documented brute-force baseline)
+BNLJ_ALLOWED = {
+    # single-row corpus-totals broadcast crossed onto per-token rows
+    "info_gain_topk",
+    "api_log_info_gain",
+    "api_log_byte_info_gain",
+    # IG pipeline consumers (inherit the totals cross join)
+    "vectorize_doc_indices",
+    "vectorize_libsvm_lines",
+    "kmeans_doc_clusters",
+    "kmeans_weighted_entropy",
+    "kmeans_k_sweep",
+    "kmeans_cluster_centers",
+    "cluster_report_lines",
+    "d3_export_tree",
+    # 16-row centroid table / 5-language stopword table broadcast
+    "ivf_ann_topk",
+    "language_id",
+    # brute-force baselines (the LSH/IVF variants are the scale path)
+    "simhash_pairs",
+    "cosine_topk_bruteforce",
+    "embedding_near_dup",
+    "knn_label_vote",
+}
+
+#: model-fitting queries too slow to compile in a lint sweep are still
+#: covered: their plan prefix (the IG pipeline) is linted via the
+#: cheaper queries above, and their ML stage is a pyspark.ml transform
+SKIP_SLOW = {"kmeans_k_sweep", "dt_auc_grid", "svm_auc_grid", "lr_auc_grid"}
+
+
+@pytest.mark.parametrize("name", sorted(set(CATALOG) - SKIP_SLOW))
+def test_no_unplanned_nested_loops(spark, name):
+    plan = fmt_plan(CATALOG[name].spark(spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert (
+            "BroadcastNestedLoopJoin" not in plan
+        ), f"{name} plans an unallowlisted nested-loop join"
