@@ -1892,3 +1892,46 @@ CATALOG.update(
         ),
     }
 )
+
+# --------------------------------------------------------------------------
+# Approximate-sketch pack: HLL distinct counts, t-digest percentiles
+# --------------------------------------------------------------------------
+# The 100 TB forms of COUNT(DISTINCT) and percentile: single-pass,
+# mergeable, bounded-memory sketches (HyperLogLog++ / quantile digest).
+# Sketch values are engine-specific, so there is no exact cross-engine
+# oracle — the driver records rows-only; tests/test_operators.py pins
+# the error bound against the exact answers instead.
+
+
+def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap95"),
+    )
+
+
+CATALOG.update(
+    {
+        "approx_distinct_users": QuerySpec(
+            _q_approx_distinct_users,
+            None,
+            "HyperLogLog++ distinct users per event type (rsd=2%; error bound "
+            "pinned vs exact in tests)",
+        ),
+        "approx_percentile_prices": QuerySpec(
+            _q_approx_percentile_prices,
+            None,
+            "approx_percentile sketch (accuracy 10000) per return flag; error "
+            "bound pinned vs exact in tests",
+        ),
+    }
+)

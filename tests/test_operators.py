@@ -219,3 +219,41 @@ def test_interval_join_equi_plan_and_edges(spark):
     plan = fmt_plan(out)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan  # a real equi join node exists
+
+
+def test_approx_sketches_error_bounds(spark):
+    """HLL distinct count within its 2% rsd (3 sigma) of exact; approx
+    percentile within accuracy-bound rank error of the exact one."""
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in CATALOG["approx_distinct_users"].spark(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.u
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    for t, e in exact.items():
+        assert abs(approx[t] - e) <= max(3, 0.06 * e), (t, approx[t], e)
+
+    ap = {
+        r.l_returnflag: (r.ap50, r.ap95)
+        for r in CATALOG["approx_percentile_prices"].spark(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    ex = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for flag, (p50, p95) in ex.items():
+        assert abs(ap[flag][0] - p50) / p50 < 0.02
+        assert abs(ap[flag][1] - p95) / p95 < 0.02
