@@ -36,6 +36,8 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "payload_metadata_stats",
     "sliding_window_events",
+    "tfidf_top_terms",
+    "hypertable_rollup",
 ]
 
 

@@ -292,3 +292,58 @@ def simhash_pairs(documents: DataFrame, n: int = 3, max_hamming: int = 6) -> Dat
             F.col("hamming"),
         )
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components with
+    cluster id = min doc_id in the component (the canonical survivor).
+
+    Min-label propagation to a fixpoint: every node starts labeled with
+    itself; each round a node takes the min of its own and its
+    neighbors' labels.  Rounds needed = graph diameter, and near-dup
+    graphs are unions of small dense cliques (band-collision clusters),
+    so convergence is a handful of rounds.  ``localCheckpoint`` after
+    each round truncates the join lineage — without it the plan doubles
+    per iteration.  At 100 TB the same loop runs with the
+    large-star/small-star optimization (alternately hooking high-degree
+    nodes) to bound the per-round shuffle; plain propagation is the
+    diameter-bounded form.
+
+    Convergence test is ``sum(label)``: labels only ever decrease, so
+    the sum is strictly monotone until the fixpoint — one cheap
+    aggregate per round instead of a change-count join.
+
+    Output: ``(doc_id, cluster_id)`` for every doc in >=1 pair.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)  # pair generation (LSH) runs once, not per round
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                labels.node,
+                F.least(
+                    labels.label, F.coalesce(nbr.nbr_label, labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

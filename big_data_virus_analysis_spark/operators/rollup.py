@@ -1,0 +1,48 @@
+"""Hierarchical time-bucket rollup (hypertable-style continuous
+aggregate) over the events table.
+
+The 100 TB pattern for multi-granularity time-series dashboards: the
+raw table is scanned ONCE at the finest grain (hour), and every coarser
+grain (day) is re-aggregated from the hour table — count and sum are
+algebraic, so the day rollup reads the tiny hour aggregate instead of
+re-shuffling the raw events.  In a materialized deployment the hour
+table is the continuous aggregate and the day view is derived; here
+both grains are returned in one frame tagged by a ``grain`` column.
+
+Money-exact accumulation: ``value`` is summed through DECIMAL(18,6) so
+the double-summation order (which differs between partial/final Spark
+aggregation and any other engine) cannot perturb the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hypertable_rollup(events: DataFrame) -> DataFrame:
+    """Hour buckets from the raw scan; day buckets from the hour table.
+
+    Output: ``(grain, bucket_us, event_type, n_events, sum_value)`` with
+    ``bucket_us`` the bucket start as epoch microseconds.
+    """
+    hour = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+
+    def shape(grain: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.unix_micros(F.col("bucket")).alias("bucket_us"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("sv").cast("double"), 6).alias("sum_value"),
+        )
+
+    return shape("hour", hour).unionByName(shape("day", day))

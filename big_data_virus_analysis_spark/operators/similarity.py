@@ -229,3 +229,76 @@ def knn_label_vote(embeddings: DataFrame, n_queries: int = 50, k: int = 5) -> Da
         .where(F.col("rn") == 1)
         .select("query_id", F.col("label").alias("pred_label"), "votes")
     )
+
+
+def quantize_int8(emb):
+    """Column expr: symmetric int8 scalar quantization of a float array.
+
+    q_i = floor(x_i·127/max|x| + 0.5) ∈ [-127, 127]; zero vectors map to
+    all-zeros.  floor(v + 0.5) (round-half-up) instead of round() so the
+    tie-breaking rule is engine-independent.
+    """
+    s = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    return F.when(
+        s > 0,
+        F.transform(
+            emb,
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / s + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ),
+    ).otherwise(F.transform(emb, lambda x: F.lit(0).cast("bigint")))
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors — the compressed-storage
+    scale path: 4× less memory/shuffle bandwidth than float32 (16× vs
+    float64), integer dot products, and the scale factors cancel in the
+    cosine so only the quantized ints ever leave the scan.
+
+    The quantized dot is EXACT integer arithmetic, so unlike the float
+    baseline the result is bit-identical across engines by construction;
+    accuracy vs the float cosine is bounded by the quantization step
+    (recall pinned in tests/test_operators.py).
+
+    Output: ``(query_id, cand_id, qsim, rank)``.
+    """
+    quant = fan_out(embeddings).select(
+        "vec_id",
+        quantize_int8(F.col("embedding")).alias("q"),
+    )
+    quant = quant.withColumn(
+        "qn",
+        F.sqrt(_int_dot(F.col("q"), F.col("q")).cast("double")),
+    ).where(F.col("qn") > 0)
+    q = quant.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("qn").alias("qqn")
+    )
+    c = quant.select(
+        F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"), F.col("qn").alias("cqn")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("cand_id").asc())
+    return (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "qsim",
+            F.round(
+                _int_dot(F.col("qq"), F.col("cq")).cast("double")
+                / (F.col("qqn") * F.col("cqn")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "qsim", "rank")
+    )

@@ -191,3 +191,47 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
             "fp_checksum"
         ),
     )
+
+
+def tfidf_top_terms(documents: DataFrame, m: int = 3) -> DataFrame:
+    """Top-``m`` TF-IDF terms per document.
+
+    tf = term count / doc token count; idf = ln(N / df) with df = number
+    of documents containing the term.  Rank by tfidf desc with token-asc
+    tiebreak so results are stable across engines.
+
+    Scale shape: two hash aggregations on (doc, token) / (token) plus a
+    single-row corpus-total broadcast — the same shuffle profile as the
+    doc-frequency pipeline, no collect.  The (doc, token) aggregation
+    output is reused for BOTH tf and df, so the corpus is tokenized and
+    shuffled once.
+
+    Output: ``(doc_id, token, tfidf, rank)``.
+    """
+    toks = (
+        fan_out(documents)
+        .select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfc"))
+    totals = documents.agg(F.count("*").alias("nd"))
+    scored = (
+        tf.join(dlen, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("dlen").cast("double"))
+                * F.log(F.col("nd").cast("double") / F.col("dfc").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+        .select("doc_id", "token", "tfidf", "rank")
+    )

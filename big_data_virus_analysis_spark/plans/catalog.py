@@ -1935,3 +1935,161 @@ CATALOG.update(
         ),
     }
 )
+
+# --------------------------------------------------------------------------
+# Round-2 extension pack: TF-IDF, hypertable rollup, dedup cluster
+# resolution, int8-quantized similarity
+# --------------------------------------------------------------------------
+
+from ..operators.text_quality import tfidf_top_terms  # noqa: E402
+from ..operators.rollup import hypertable_rollup  # noqa: E402
+from ..operators.dedup import dedup_clusters  # noqa: E402
+from ..operators.similarity import quantized_cosine_topk  # noqa: E402
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), m=3)
+
+
+_SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tok_ne AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), tf AS (
+  SELECT doc_id, token, count(*) AS cnt FROM tok_ne GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dlen FROM tok_ne GROUP BY 1
+), dfreq AS (
+  SELECT token, count(*) AS dfc FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS nd FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         round((CAST(cnt AS DOUBLE) / CAST(dlen AS DOUBLE))
+               * ln(CAST(nd AS DOUBLE) / CAST(dfc AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hypertable_rollup(load_table(spark, sf_dir, "events"))
+
+
+_SQL_HYPERTABLE_ROLLUP = """
+WITH hour AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         count(*) AS n_events, sum(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events GROUP BY 1, 2
+), day AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         sum(n_events) AS n_events, sum(sv) AS sv
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, epoch_us(bucket) AS bucket_us, event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(CAST(sv AS DOUBLE), 6) AS sum_value
+FROM hour
+UNION ALL
+SELECT 'day' AS grain, epoch_us(bucket) AS bucket_us, event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(CAST(sv AS DOUBLE), 6) AS sum_value
+FROM day
+"""
+
+
+def _q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(minhash_lsh_pairs(docs, n=3, k=32, bands=8))
+
+
+# transitive closure of the (tiny) LSH pair graph via recursive CTE;
+# cluster id = min over each node's reachable set — exactly the
+# fixpoint min-label propagation computes
+_SQL_DEDUP_CLUSTER_ASSIGN = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _SQL_MINHASH_LSH_PAIRS
+    + """
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+)
+
+
+def _q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantized_cosine_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+_SQL_QUANTIZED_COSINE_TOPK = _SQL_EMB_BASE + """
+, scales AS (
+  SELECT vec_id, max(abs(x)) AS s FROM elems GROUP BY vec_id
+), q AS (
+  SELECT e.vec_id, e.i,
+         CASE WHEN s > 0 THEN CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)
+              ELSE 0 END AS qx
+  FROM elems e JOIN scales USING (vec_id)
+), qnorms AS (
+  SELECT vec_id, sqrt(CAST(sum(qx * qx) AS DOUBLE)) AS qn
+  FROM q GROUP BY vec_id HAVING sum(qx * qx) > 0
+), dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.qx * b.qx) AS dot
+  FROM q a JOIN q b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 10
+  GROUP BY 1, 2
+), sims AS (
+  SELECT query_id, cand_id,
+         round(CAST(dot AS DOUBLE) / (na.qn * nb.qn), 6) AS qsim
+  FROM dots
+  JOIN qnorms na ON query_id = na.vec_id
+  JOIN qnorms nb ON cand_id = nb.vec_id
+)
+SELECT query_id, cand_id, qsim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY qsim DESC, cand_id ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= 5
+"""
+
+CATALOG.update(
+    {
+        "tfidf_top_terms": QuerySpec(
+            _q_tfidf_top_terms,
+            _SQL_TFIDF_TOP_TERMS,
+            "top-3 TF-IDF terms per document (tokenize once, tf and df from "
+            "one shuffled aggregate)",
+        ),
+        "hypertable_rollup": QuerySpec(
+            _q_hypertable_rollup,
+            _SQL_HYPERTABLE_ROLLUP,
+            "hierarchical hour→day time-bucket rollup; day grain re-aggregated "
+            "from the hour aggregate, not the raw scan",
+        ),
+        "dedup_cluster_assign": QuerySpec(
+            _q_dedup_cluster_assign,
+            _SQL_DEDUP_CLUSTER_ASSIGN,
+            "connected components over MinHash-LSH pairs: min-label propagation "
+            "to fixpoint; cluster id = canonical (min) doc",
+        ),
+        "quantized_cosine_topk": QuerySpec(
+            _q_quantized_cosine_topk,
+            _SQL_QUANTIZED_COSINE_TOPK,
+            "int8 scalar-quantized cosine top-k (4x less scan/shuffle bandwidth; "
+            "exact integer dots; recall vs float baseline pinned in tests)",
+        ),
+    }
+)

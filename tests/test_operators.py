@@ -257,3 +257,69 @@ def test_approx_sketches_error_bounds(spark):
     for flag, (p50, p95) in ex.items():
         assert abs(ap[flag][0] - p50) / p50 < 0.02
         assert abs(ap[flag][1] - p95) / p95 < 0.02
+
+
+def test_hypertable_rollup_hierarchy(spark):
+    """Day-grain totals must equal the sum of their hour-grain parts,
+    and the hour grain must account for every event."""
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+    out = CATALOG["hypertable_rollup"].spark(spark, SF_DIR).collect()
+    hours = [r for r in out if r.grain == "hour"]
+    days = [r for r in out if r.grain == "day"]
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in hours) == n_events
+    assert sum(r.n_events for r in days) == n_events
+
+    by_day = {}
+    for r in hours:
+        day_us = (r.bucket_us // 86_400_000_000) * 86_400_000_000
+        k = (day_us, r.event_type)
+        c, s = by_day.get(k, (0, 0.0))
+        by_day[k] = (c + r.n_events, s + r.sum_value)
+    for r in days:
+        c, s = by_day[(r.bucket_us, r.event_type)]
+        assert r.n_events == c
+        assert abs(r.sum_value - s) < 1e-3
+
+
+def test_dedup_clusters_properties(spark):
+    """Every pair's endpoints share a cluster; each cluster's id is its
+    own minimum member (the canonical survivor)."""
+    from big_data_virus_analysis_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_pairs(docs).collect()
+    assign = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(
+            minhash_lsh_pairs(docs)
+        ).collect()
+    }
+    assert assign, "expected at least one near-dup pair at sf0.01"
+    for p in pairs:
+        assert assign[p.doc_a] == assign[p.doc_b], (p, assign[p.doc_a], assign[p.doc_b])
+    members: dict[int, list[int]] = {}
+    for doc, cl in assign.items():
+        members.setdefault(cl, []).append(doc)
+    for cl, docs_in in members.items():
+        assert cl == min(docs_in)
+
+
+def test_quantized_cosine_recall(spark):
+    """int8 quantization must preserve the float-cosine top-5 almost
+    everywhere (mean overlap >= 0.8 at 64 dims)."""
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+    exact = {}
+    for r in CATALOG["cosine_topk_bruteforce"].spark(spark, SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.cand_id)
+    quant = {}
+    for r in CATALOG["quantized_cosine_topk"].spark(spark, SF_DIR).collect():
+        quant.setdefault(r.query_id, set()).add(r.cand_id)
+    assert set(exact) == set(quant)
+    overlaps = [len(exact[q] & quant[q]) / 5 for q in exact]
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps

@@ -45,6 +45,9 @@ BNLJ_ALLOWED = {
     "cosine_topk_bruteforce",
     "embedding_near_dup",
     "knn_label_vote",
+    "quantized_cosine_topk",
+    # single-row corpus-total broadcast (like info_gain_topk)
+    "tfidf_top_terms",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
