@@ -200,11 +200,11 @@ def tfidf_top_terms(documents: DataFrame, m: int = 3) -> DataFrame:
     of documents containing the term.  Rank by tfidf desc with token-asc
     tiebreak so results are stable across engines.
 
-    Scale shape: two hash aggregations on (doc, token) / (token) plus a
-    single-row corpus-total broadcast — the same shuffle profile as the
-    doc-frequency pipeline, no collect.  The (doc, token) aggregation
-    output is reused for BOTH tf and df, so the corpus is tokenized and
-    shuffled once.
+    Scale shape: the exploded corpus is shuffled exactly ONCE — into the
+    (doc, token) count aggregate.  Doc length and document frequency are
+    windows over that (much smaller) aggregate rather than separate
+    aggregations of the raw token table, and the corpus total is a
+    single-row broadcast.  No collect anywhere.
 
     Output: ``(doc_id, token, tfidf, rank)``.
     """
@@ -213,12 +213,10 @@ def tfidf_top_terms(documents: DataFrame, m: int = 3) -> DataFrame:
         .select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfc"))
     totals = documents.agg(F.count("*").alias("nd"))
     scored = (
-        tf.join(dlen, "doc_id")
-        .join(dfreq, "token")
+        tf.withColumn("dfc", F.count("*").over(Window.partitionBy("token")))
+        .withColumn("dlen", F.sum("cnt").over(Window.partitionBy("doc_id")))
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "tfidf",

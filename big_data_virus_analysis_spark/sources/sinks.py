@@ -49,3 +49,17 @@ def write_report_text(df: DataFrame, path: str, column: str = "line", single_fil
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").text(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header; timestamps in ISO-8601 micros so a
+    header-driven schema read round-trips exactly."""
+    df.write.mode(mode).option("header", "true").option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar alternative when the downstream reader is
+    Hive/Trino-side; same pushdown/pruning properties as parquet."""
+    df.write.mode(mode).orc(path)

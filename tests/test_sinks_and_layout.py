@@ -125,3 +125,25 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert j.count() == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_format_round_trips(spark, tmp_path):
+    """orders survives CSV, JSON, and ORC write→read bit-for-bit under
+    explicit schemas (no inference scan)."""
+    from big_data_virus_analysis_spark.sources import formats, sinks
+
+    orders = load_table(spark, SMOKE_SF_DIR, "orders").limit(200)
+    expected = sorted(map(tuple, orders.collect()))
+    schema = formats.schema_of(orders)
+
+    p = str(tmp_path / "csv")
+    sinks.write_csv(orders, p)
+    assert sorted(map(tuple, formats.read_csv(spark, p, schema).collect())) == expected
+
+    p = str(tmp_path / "json")
+    sinks.write_json_lines(orders, p)
+    assert sorted(map(tuple, formats.read_json(spark, p, schema).collect())) == expected
+
+    p = str(tmp_path / "orc")
+    sinks.write_orc(orders, p)
+    assert sorted(map(tuple, formats.read_orc(spark, p).collect())) == expected
