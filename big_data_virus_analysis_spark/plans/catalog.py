@@ -2093,3 +2093,106 @@ CATALOG.update(
         ),
     }
 )
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment (batch form) + classic revenue top-k
+# --------------------------------------------------------------------------
+
+from ..streaming.streams import segment_activity  # noqa: E402
+
+
+def _q_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_activity(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+_SQL_SEGMENT_ACTIVITY = """
+SELECT coalesce(c_mktsegment, 'unknown') AS segment,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events
+LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
+def _q_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers x orders placed before
+    the cutoff x lineitems shipped after it; revenue per order; top 10.
+
+    Scale shape: the customer filter prunes BEFORE the join (predicate
+    pushdown to the scan); orders joins filtered customers broadcast-or-
+    shuffle per AQE; revenue aggregates partially map-side; the top-10 is
+    TakeOrderedAndProject, never a full sort.
+    """
+    cutoff = "1998-01-01"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ: format, don't epoch — an
+            # NTZ→epoch cast would inject the session timezone
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_TOP_UNSHIPPED_REVENUE = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+CATALOG.update(
+    {
+        "segment_activity": QuerySpec(
+            _q_segment_activity,
+            _SQL_SEGMENT_ACTIVITY,
+            "stream-static enrichment join (batch form): events x broadcast "
+            "customer dim -> per-segment totals; streaming parity in "
+            "tests/test_streaming.py",
+        ),
+        "top_unshipped_revenue": QuerySpec(
+            _q_top_unshipped_revenue,
+            _SQL_TOP_UNSHIPPED_REVENUE,
+            "TPC-H Q3-shaped revenue top-10: filtered 3-way join, exact "
+            "decimal revenue, TakeOrderedAndProject top-k",
+        ),
+    }
+)

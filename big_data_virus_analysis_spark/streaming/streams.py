@@ -165,3 +165,49 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def segment_activity(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: events joined to the (static) customer
+    dimension, aggregated per market segment.
+
+    The static side is broadcast — in a stream this re-reads the
+    dimension per micro-batch (picking up dim updates for free) and
+    never shuffles the stream.  Unmatched users fall into 'unknown'
+    rather than being dropped, so the aggregate still accounts for every
+    event.
+
+    Output: ``(segment, n_events, sum_value)``.
+    """
+    seg = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        events.join(F.broadcast(seg), "user_id", "left")
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )
+
+
+def materialize_segment_activity(
+    stream_events: DataFrame, customer: DataFrame, path: str
+):
+    """foreachBatch materialized-view maintenance: the complete-mode
+    aggregate is overwritten to parquet every micro-batch.
+
+    Complete-mode output IS the full aggregate, so the overwrite is
+    idempotent — a replayed batch rewrites the same table, which is the
+    exactly-once story without a transactional table format.  Returns
+    the un-started writer (caller adds checkpoint + start).
+    """
+    agg = segment_activity(stream_events, customer)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    return agg.writeStream.outputMode("complete").foreachBatch(_write)

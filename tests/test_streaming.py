@@ -219,3 +219,46 @@ def test_stateful_running_totals_stream(spark, events_stream_dir, tmp_path):
     )
     cols = ["user_id", "n_events", "sum_value"]
     assert _canon(final, cols) == _canon(want, cols)
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream_dir, tmp_path):
+    """segment_activity over a stream equals the same plan over batch."""
+    from big_data_virus_analysis_spark.sources.tables import load_table
+    from big_data_virus_analysis_spark.streaming.streams import EVENTS_SCHEMA, segment_activity
+
+    customer = load_table(spark, SMOKE_SF_DIR, "customer")
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=2)
+    got = _run_stream(
+        spark, segment_activity(stream, customer), "complete", tmp_path
+    )
+    batch_events = spark.read.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    want = segment_activity(batch_events, customer)
+    keys = ["segment", "n_events", "sum_value"]
+    assert _canon(got, keys) == _canon(want, keys)
+
+
+def test_foreach_batch_materialized_view(spark, events_stream_dir, tmp_path):
+    """The foreachBatch-maintained parquet equals the batch aggregate
+    after the stream drains."""
+    from big_data_virus_analysis_spark.sources.tables import load_table
+    from big_data_virus_analysis_spark.streaming.streams import (
+        EVENTS_SCHEMA,
+        materialize_segment_activity,
+        segment_activity,
+    )
+
+    customer = load_table(spark, SMOKE_SF_DIR, "customer")
+    out = str(tmp_path / "mv")
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=2)
+    q = (
+        materialize_segment_activity(stream, customer, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    batch_events = spark.read.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    want = segment_activity(batch_events, customer)
+    keys = ["segment", "n_events", "sum_value"]
+    assert _canon(got, keys) == _canon(want, keys)
