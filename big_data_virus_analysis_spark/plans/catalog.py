@@ -2196,3 +2196,45 @@ CATALOG.update(
         ),
     }
 )
+
+
+def _q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape — 'orders larger than their
+    customer's average order' — decorrelated into a single window pass:
+    one shuffle on o_custkey computes the per-customer average AND
+    filters against it, where the naive correlated form re-aggregates
+    orders per outer row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn(
+            "cust_avg",
+            F.round(F.avg(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 6),
+        )
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+_SQL_ORDERS_ABOVE_CUST_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         round(CAST(avg(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS cust_avg
+  FROM orders
+)
+WHERE o_totalprice > cust_avg
+"""
+
+CATALOG.update(
+    {
+        "orders_above_cust_avg": QuerySpec(
+            _q_orders_above_cust_avg,
+            _SQL_ORDERS_ABOVE_CUST_AVG,
+            "correlated scalar subquery decorrelated to one window pass "
+            "(per-customer average computed and probed in a single shuffle)",
+        ),
+    }
+)
