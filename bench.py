@@ -38,6 +38,7 @@ HEADLINE = [
     "sliding_window_events",
     "tfidf_top_terms",
     "hypertable_rollup",
+    "top_unshipped_revenue",
 ]
 
 
