@@ -2238,3 +2238,75 @@ CATALOG.update(
         ),
     }
 )
+
+
+def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the ordering customer and
+    the line's supplier sit in the SAME nation, one region, one year.
+
+    Join strategy at scale: region→nation→supplier/customer are
+    broadcast (kilobytes); only lineitem⋈orders shuffles, on the
+    high-cardinality order key.  The same-nation constraint lands as a
+    join predicate on the two broadcast lookups, not a post-filter.
+    """
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_nationkey").alias("cn_key"), "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", F.col("s_nationkey").alias("sn_key"))
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("sn_key") == F.col("cn_key")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .select("n_name", "revenue")
+    )
+
+
+_SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+CATALOG.update(
+    {
+        "local_supplier_volume": QuerySpec(
+            _q_local_supplier_volume,
+            _SQL_LOCAL_SUPPLIER_VOLUME,
+            "TPC-H Q5-shaped 6-table join: broadcast dim chain, one shuffle "
+            "join on the order key, same-nation join predicate",
+        ),
+    }
+)
