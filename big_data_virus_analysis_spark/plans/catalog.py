@@ -2310,3 +2310,55 @@ CATALOG.update(
         ),
     }
 )
+
+
+def _q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, enriched with customer identity.
+
+    The HAVING filter runs on the aggregate BEFORE any join — the
+    survivor set is tiny, so the joins back to orders and customer see
+    thousandths of the lineitem cardinality.  Joining first and
+    filtering later would drag the whole fact table through two joins.
+    """
+    threshold = 300
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > threshold)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+_SQL_LARGE_QUANTITY_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) > 300
+)
+SELECT c_name, o_orderkey, o_totalprice, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+CATALOG.update(
+    {
+        "large_quantity_orders": QuerySpec(
+            _q_large_quantity_orders,
+            _SQL_LARGE_QUANTITY_ORDERS,
+            "TPC-H Q18-shaped HAVING-on-aggregate: filter the per-order "
+            "quantity sum before joining back to orders and customer",
+        ),
+    }
+)
