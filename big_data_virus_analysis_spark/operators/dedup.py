@@ -347,3 +347,18 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The end product of the near-dup pipeline: the corpus with every
+    non-canonical cluster member removed (one survivor per cluster, the
+    min doc_id).
+
+    One anti-join of the corpus against the (tiny) loser set — the
+    corpus itself is never shuffled: losers broadcast.
+
+    Output: ``(doc_id,)`` of surviving documents.
+    """
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return documents.join(F.broadcast(losers), "doc_id", "left_anti").select("doc_id")

@@ -2362,3 +2362,44 @@ CATALOG.update(
         ),
     }
 )
+
+
+from ..operators.dedup import dedup_survivors  # noqa: E402
+
+
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_survivors(docs, minhash_lsh_pairs(docs, n=3, k=32, bands=8))
+
+
+_SQL_DEDUP_SURVIVORS = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _SQL_MINHASH_LSH_PAIRS
+    + """
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), assign AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM assign WHERE doc_id <> cluster_id)
+"""
+)
+
+CATALOG.update(
+    {
+        "dedup_survivors": QuerySpec(
+            _q_dedup_survivors,
+            _SQL_DEDUP_SURVIVORS,
+            "near-dup pipeline end product: corpus minus non-canonical cluster "
+            "members (losers broadcast into one anti-join; corpus never shuffles)",
+        ),
+    }
+)
