@@ -2403,3 +2403,51 @@ CATALOG.update(
         ),
     }
 )
+
+
+def _q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile segmentation of users by total event value: ntile +
+    percent_rank over the per-user aggregate.
+
+    The global sort is over the USER-sized aggregate, not the raw event
+    table — the only stage that is inherently single-ordered, and it is
+    |users| rows, thousandths of the fact table.  Tiebreak on user_id
+    makes both rank functions engine-deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "total_value"
+        )
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return per_user.select(
+        "user_id",
+        "total_value",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+_SQL_USER_VALUE_DECILES = """
+WITH per_user AS (
+  SELECT user_id,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_value,
+       CAST(ntile(10) OVER (ORDER BY total_value DESC, user_id ASC) AS INT) AS decile,
+       round(percent_rank() OVER (ORDER BY total_value DESC, user_id ASC), 6) AS pct_rank
+FROM per_user
+"""
+
+CATALOG.update(
+    {
+        "user_value_deciles": QuerySpec(
+            _q_user_value_deciles,
+            _SQL_USER_VALUE_DECILES,
+            "ntile(10) + percent_rank decile segmentation over the per-user "
+            "aggregate (global sort is |users|-sized, never the fact table)",
+        ),
+    }
+)
