@@ -2451,3 +2451,82 @@ CATALOG.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured props access + event-sequence funnel
+# --------------------------------------------------------------------------
+
+from ..operators.funnel import funnel_stages  # noqa: E402
+
+
+def _q_props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: parse the JSON ``props`` column with a
+    real JSON path (from_json with an explicit schema — schema-on-read
+    stops at the scan; no inference pass) and aggregate the extracted
+    field per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# oracle parses with a regex instead of DuckDB's JSON extension so the
+# check has no extension/network dependency; values must agree anyway
+_SQL_PROPS_K_STATS = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INT) AS k
+  FROM events
+)
+SELECT event_type, count(k) AS n_with_k, sum(CAST(k AS BIGINT)) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM parsed GROUP BY event_type
+"""
+
+
+def _q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+_SQL_FUNNEL_STAGES = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS step_name, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2 AS stage, 'click' AS step_name, count(*) AS n_users FROM s2
+UNION ALL
+SELECT 3 AS stage, 'purchase' AS step_name, count(*) AS n_users FROM s3
+"""
+
+CATALOG.update(
+    {
+        "props_k_stats": QuerySpec(
+            _q_props_k_stats,
+            _SQL_PROPS_K_STATS,
+            "JSON props field extraction (from_json, explicit schema) + "
+            "per-type stats; oracle parses by regex to stay extension-free",
+        ),
+        "funnel_stages": QuerySpec(
+            _q_funnel_stages,
+            _SQL_FUNNEL_STAGES,
+            "view->click->purchase funnel via staged conditional min-ts "
+            "aggregation — per-user tables only, no raw-event self-join",
+        ),
+    }
+)
