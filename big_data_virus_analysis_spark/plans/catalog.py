@@ -2530,3 +2530,50 @@ CATALOG.update(
         ),
     }
 )
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per weeks-since-cohort offset.
+
+    Two user-keyed aggregations (first-seen, then distinct user-week
+    activity) and one co-partitioned join — the standard retention
+    matrix without any per-cohort scan loop.  Week arithmetic is pure
+    integer epoch math (no tz, no calendar functions), so the oracle
+    agrees bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.unix_micros(F.col("ts")) / F.lit(604_800_000_000)).cast("bigint")
+    byweek = ev.select("user_id", week.alias("week")).distinct()
+    first = byweek.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        byweek.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_SQL_COHORT_RETENTION = """
+WITH byweek AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM byweek GROUP BY user_id
+)
+SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+FROM byweek JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+CATALOG.update(
+    {
+        "cohort_retention": QuerySpec(
+            _q_cohort_retention,
+            _SQL_COHORT_RETENTION,
+            "weekly cohort retention matrix: first-seen week x offset via two "
+            "user-keyed aggs + one join; integer epoch-week math",
+        ),
+    }
+)
