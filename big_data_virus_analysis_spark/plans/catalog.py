@@ -2577,3 +2577,62 @@ CATALOG.update(
         ),
     }
 )
+
+
+def _q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended prices: floor-math binning into
+    100-wide buckets — a single map-side projection plus one hash agg,
+    the shape dashboards want at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_w = 1000.0
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(bin_w)).cast("bigint")
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(bin_w)).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
+_SQL_PRICE_HISTOGRAM = """
+SELECT bucket, bucket * 1000.0 AS bucket_lo, count(*) AS n
+FROM (SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket FROM lineitem)
+GROUP BY bucket
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample: 10% of 'view' events, 50% of 'purchase',
+    100% of 'error' — the downsample-the-majority-class primitive for
+    training-set construction.  Per-engine deterministic (seeded), but
+    sampling decisions are engine-specific, so the driver records
+    rows-only; the fraction bound is pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"view": 0.1, "purchase": 0.5, "error": 1.0}
+    return (
+        ev.sampleBy("event_type", fractions, seed=42)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+CATALOG.update(
+    {
+        "price_histogram": QuerySpec(
+            _q_price_histogram,
+            _SQL_PRICE_HISTOGRAM,
+            "fixed-width histogram by floor-math binning; one projection + "
+            "one hash agg",
+        ),
+        "stratified_sample": QuerySpec(
+            _q_stratified_sample,
+            None,
+            "seeded per-class downsampling (sampleBy); fraction bounds pinned "
+            "in tests/test_operators.py",
+        ),
+    }
+)

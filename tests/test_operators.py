@@ -323,3 +323,25 @@ def test_quantized_cosine_recall(spark):
     assert set(exact) == set(quant)
     overlaps = [len(exact[q] & quant[q]) / 5 for q in exact]
     assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+
+
+def test_stratified_sample_fractions(spark):
+    """Sampled counts respect the per-class fractions (binomial 4-sigma
+    band) and classes outside the fraction map are dropped."""
+    import math
+
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+    ev = load_table(spark, SF_DIR, "events")
+    totals = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r.event_type: r.n_sampled
+        for r in CATALOG["stratified_sample"].spark(spark, SF_DIR).collect()
+    }
+    fractions = {"view": 0.1, "purchase": 0.5, "error": 1.0}
+    assert set(got) <= set(fractions)
+    assert got["error"] == totals["error"]
+    for cls, frac in fractions.items():
+        n = totals[cls]
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(got[cls] - n * frac) <= 4 * sigma + 1, (cls, got[cls], n * frac)
