@@ -2636,3 +2636,46 @@ CATALOG.update(
         ),
     }
 )
+
+
+def _q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the three lineitem measures rotated into
+    (measure, value) rows, then aggregated per measure — a per-row
+    projection (no shuffle for the melt itself); the inverse of pivot.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount").unpivot(
+        "l_orderkey",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "sum_value"
+        ),
+    )
+
+
+_SQL_UNPIVOT_MEASURES = """
+SELECT measure, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount
+  INTO NAME measure VALUE value
+)
+GROUP BY measure
+"""
+
+CATALOG.update(
+    {
+        "unpivot_measures": QuerySpec(
+            _q_unpivot_measures,
+            _SQL_UNPIVOT_MEASURES,
+            "UNPIVOT/melt of the lineitem measures into long form (per-row "
+            "projection, the inverse of pivot), aggregated per measure",
+        ),
+    }
+)
