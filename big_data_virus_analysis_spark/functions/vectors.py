@@ -37,3 +37,21 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def zorder_value(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns —
+    sort by this before writing and parquet min/max stats narrow on
+    BOTH dimensions at once (multi-dimensional data skipping).
+
+    Pure shift/add expression tree (interleaved bits never overlap, so
+    addition is bitwise-or): bit i of ``a`` lands at 2i, of ``b`` at
+    2i+1.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(a.cast("bigint"), i) % 2, 2 * i)
+        z = z + F.shiftleft(F.shiftright(b.cast("bigint"), i) % 2, 2 * i + 1)
+    return z

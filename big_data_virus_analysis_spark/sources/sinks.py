@@ -63,3 +63,18 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — columnar alternative when the downstream reader is
     Hive/Trino-side; same pushdown/pruning properties as parquet."""
     df.write.mode(mode).orc(path)
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, col: str, n_files: int, mode: str = "overwrite"
+) -> None:
+    """Range-partitioned, in-file-sorted parquet: per-file min/max
+    ranges on ``col`` are DISJOINT, so a point/range predicate prunes to
+    one file's row groups via parquet statistics — data skipping
+    without any table-format dependency."""
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -147,3 +147,58 @@ def test_format_round_trips(spark, tmp_path):
     p = str(tmp_path / "orc")
     sinks.write_orc(orders, p)
     assert sorted(map(tuple, formats.read_orc(spark, p).collect())) == expected
+
+
+def test_range_sorted_write_disjoint_files(spark, tmp_path):
+    """write_range_sorted produces per-file key ranges that do not
+    overlap — a point predicate touches exactly one file's stats."""
+    import glob
+
+    from big_data_virus_analysis_spark.sources.sinks import write_range_sorted
+
+    orders = load_table(spark, SMOKE_SF_DIR, "orders")
+    out = str(tmp_path / "ranged")
+    write_range_sorted(orders, out, "o_totalprice", n_files=4)
+    bounds = []
+    for f in sorted(glob.glob(out + "/part-*")):
+        pf = spark.read.parquet(f)
+        lo, hi = pf.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+        bounds.append((lo, hi))
+    bounds.sort()
+    assert len(bounds) == 4
+    for (_, hi_prev), (lo_next, _) in zip(bounds, bounds[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_zorder_narrows_both_dimensions(spark, tmp_path):
+    """Sorting by the Morton value shrinks the average per-file
+    bounding box over BOTH keys vs the unsorted layout."""
+    import glob
+
+    from big_data_virus_analysis_spark.functions.vectors import zorder_value
+
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+
+    def avg_box(path):
+        areas = []
+        for f in sorted(glob.glob(path + "/part-*")):
+            pf = spark.read.parquet(f)
+            r = pf.agg(
+                F.min("l_partkey"), F.max("l_partkey"),
+                F.min("l_suppkey"), F.max("l_suppkey"),
+            ).first()
+            areas.append((r[1] - r[0] + 1) * (r[3] - r[2] + 1))
+        return sum(areas) / len(areas)
+
+    base = str(tmp_path / "plain")
+    li.repartition(8).write.mode("overwrite").parquet(base)
+    zed = str(tmp_path / "zorder")
+    (
+        li.withColumn("z", zorder_value(F.col("l_partkey"), F.col("l_suppkey")))
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(zed)
+    )
+    assert avg_box(zed) < 0.5 * avg_box(base)
