@@ -2679,3 +2679,29 @@ CATALOG.update(
         ),
     }
 )
+
+
+def _q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: users above ~2% frequency via the frequent-items
+    sketch (Karp/Shenker/Papadimitriou-style) — single pass, bounded
+    memory, mergeable across partitions; the 100 TB form of 'which keys
+    dominate'.  Sketch output may include false positives, never false
+    negatives — the containment guarantee is pinned in tests.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.stat.freqItems(["user_id"], support=0.02)
+    return out.select(
+        F.array_sort(F.col("user_id_freqItems")).alias("heavy_users")
+    )
+
+
+CATALOG.update(
+    {
+        "heavy_hitter_users": QuerySpec(
+            _q_heavy_hitter_users,
+            None,
+            "frequent-items sketch heavy hitters (>2% support); no false "
+            "negatives — containment vs exact counts pinned in tests",
+        ),
+    }
+)

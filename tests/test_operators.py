@@ -345,3 +345,21 @@ def test_stratified_sample_fractions(spark):
         n = totals[cls]
         sigma = math.sqrt(n * frac * (1 - frac))
         assert abs(got[cls] - n * frac) <= 4 * sigma + 1, (cls, got[cls], n * frac)
+
+
+def test_heavy_hitters_contain_all_true_hitters(spark):
+    """freqItems may over-report but must never miss a key above the
+    support threshold."""
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+    got = set(
+        CATALOG["heavy_hitter_users"].spark(spark, SF_DIR).first().heavy_users
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+    exact = {
+        r.user_id
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+        if r.c / n > 0.02
+    }
+    assert exact <= got
