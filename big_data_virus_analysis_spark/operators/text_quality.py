@@ -233,3 +233,37 @@ def tfidf_top_terms(documents: DataFrame, m: int = 3) -> DataFrame:
         .where(F.col("rank") <= m)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+#: PII patterns kept to the regex subset where Java regex and RE2 agree
+#: (no backrefs, no lookaround)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^\s]+"),
+    ("phone", r"\+?[0-9][0-9()\s\-]{6,}[0-9]"),
+)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Redact emails, URLs, and phone numbers from ``text`` — the
+    standard scrubbing pass before a corpus becomes training data.
+
+    Pure regexp_replace chain (one projection, no shuffle, JVM-side);
+    per-doc redaction counts come from counting matches BEFORE
+    replacement so the operation is auditable.
+
+    Output: ``(doc_id, clean_text, n_email, n_url, n_phone)``.
+    """
+    out = fan_out(documents).select("doc_id", F.col("text").alias("clean_text"))
+    counts = []
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col("clean_text"), F.lit(pat), 0)),
+        )
+        counts.append(f"n_{name}")
+        out = out.withColumn(
+            "clean_text",
+            F.regexp_replace(F.col("clean_text"), pat, f"<{name.upper()}>"),
+        )
+    return out.select("doc_id", "clean_text", *counts)

@@ -2705,3 +2705,44 @@ CATALOG.update(
         ),
     }
 )
+
+
+from ..operators.text_quality import pii_scrub  # noqa: E402
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scrubbed = pii_scrub(load_table(spark, sf_dir, "documents"))
+    return scrubbed.select(
+        "doc_id", F.md5("clean_text").alias("clean_hash"), "n_email", "n_url", "n_phone"
+    )
+
+
+_SQL_PII_SCRUB = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^\s]+', '<URL>', 'g'),
+            '\+?[0-9][0-9()\s\-]{6,}[0-9]', '<PHONE>', 'g')) AS clean_hash,
+       len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(regexp_replace(text,
+            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^\s]+')) AS n_url,
+       len(regexp_extract_all(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^\s]+', '<URL>', 'g'),
+            '\+?[0-9][0-9()\s\-]{6,}[0-9]')) AS n_phone
+FROM documents
+"""
+
+CATALOG.update(
+    {
+        "pii_scrub": QuerySpec(
+            _q_pii_scrub,
+            _SQL_PII_SCRUB,
+            "PII redaction (email/url/phone) as a regexp_replace chain with "
+            "auditable per-doc match counts; behavior on PII-bearing text "
+            "proven in tests with injected fixtures",
+        ),
+    }
+)

@@ -363,3 +363,27 @@ def test_heavy_hitters_contain_all_true_hitters(spark):
         if r.c / n > 0.02
     }
     assert exact <= got
+
+
+def test_pii_scrub_redacts_injected_pii(spark):
+    """The scrub patterns actually fire: injected emails, URLs, and
+    phone numbers are replaced and counted."""
+    from big_data_virus_analysis_spark.operators.text_quality import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+spam@example.co.uk for details"),
+            (2, "see https://example.com/a?b=1 and http://x.org today"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].clean_text
+    assert "jane.doe" not in rows[1].clean_text
+    assert rows[2].n_url == 2 and rows[2].clean_text.count("<URL>") == 2
+    assert rows[3].n_phone == 1 and "<PHONE>" in rows[3].clean_text
+    assert "555" not in rows[3].clean_text
+    assert rows[4].clean_text == "nothing sensitive here"
+    assert (rows[4].n_email, rows[4].n_url, rows[4].n_phone) == (0, 0, 0)
