@@ -2746,3 +2746,36 @@ CATALOG.update(
         ),
     }
 )
+
+
+from ..streaming.streams import clicks_after_views  # noqa: E402
+
+
+def _q_clicks_after_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clicks_after_views(load_table(spark, sf_dir, "events"))
+
+
+_SQL_CLICKS_AFTER_VIEWS = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       CAST((epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts
+ AND c.ts <= v.ts + INTERVAL 10 MINUTE
+"""
+
+CATALOG.update(
+    {
+        "clicks_after_views": QuerySpec(
+            _q_clicks_after_views,
+            _SQL_CLICKS_AFTER_VIEWS,
+            "stream-stream interval join (batch form): clicks matched to the "
+            "same user's views within 10 minutes; double-watermarked + "
+            "time-bounded so streaming state stays finite — parity in "
+            "tests/test_streaming.py",
+        ),
+    }
+)

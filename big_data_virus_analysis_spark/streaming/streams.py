@@ -211,3 +211,49 @@ def materialize_segment_activity(
         batch_df.write.mode("overwrite").parquet(path)
 
     return agg.writeStream.outputMode("complete").foreachBatch(_write)
+
+
+def clicks_after_views(
+    events: DataFrame,
+    horizon_minutes: int = 10,
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click matched to the same
+    user's views in the preceding ``horizon_minutes``.
+
+    Both sides carry a watermark and the join has a two-sided time
+    constraint — that pair is what lets Spark bound join state (a side's
+    row is dropped once no future match can exist) instead of keeping
+    the full history.  The watermark must exceed the join horizon or
+    matches get evicted early; 2h is deliberately generous next to the
+    10-minute horizon.  Same plan runs batch (watermark is a no-op) for
+    the DuckDB oracle.
+
+    Output: ``(user_id, view_id, click_id, gap_s)``.
+    """
+    v = _with_watermark(events.where(F.col("event_type") == "view"), watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = _with_watermark(events.where(F.col("event_type") == "click"), watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"""v_user = c_user
+                AND click_ts > view_ts
+                AND click_ts <= view_ts + interval {horizon_minutes} minutes"""
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        ((F.unix_micros("click_ts") - F.unix_micros("view_ts")) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("gap_s"),
+    )

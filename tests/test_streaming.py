@@ -262,3 +262,19 @@ def test_foreach_batch_materialized_view(spark, events_stream_dir, tmp_path):
     want = segment_activity(batch_events, customer)
     keys = ["segment", "n_events", "sum_value"]
     assert _canon(got, keys) == _canon(want, keys)
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream_dir, tmp_path):
+    """The double-watermarked stream-stream interval join emits exactly
+    the batch join's rows once drained."""
+    from big_data_virus_analysis_spark.streaming.streams import (
+        EVENTS_SCHEMA,
+        clicks_after_views,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got = _run_stream(spark, clicks_after_views(stream), "append", tmp_path)
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    want = clicks_after_views(batch)
+    keys = ["user_id", "view_id", "click_id", "gap_s"]
+    assert _canon(got, keys) == _canon(want, keys)
