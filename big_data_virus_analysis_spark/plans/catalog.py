@@ -2779,3 +2779,561 @@ CATALOG.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Per-group top-k: top parts by revenue within each brand
+# --------------------------------------------------------------------------
+
+def _q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by net revenue within each brand.
+
+    Extends the reference's global top-k (`takeOrdered`,
+    FeatureSelectionCloud.scala:438) to the grouped form it has no
+    operator for.  Plan: partial-aggregated hash agg keyed on
+    (brand, partkey) — the high-cardinality key, so the agg shuffle is
+    well spread — then a `row_number` window over the ~few-dozen brands.
+    At 100 TB the agg output is |parts| rows (data-independent), so the
+    window stage input is already tiny; no per-brand skew survives the
+    pre-aggregation.  Money through DECIMAL, rank fully tie-broken.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    net = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    rev = (
+        li.join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(net).alias("rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    return (
+        rev.withColumn("brand_rank", F.row_number().over(w))
+        .where(F.col("brand_rank") <= 3)
+        .select(
+            "p_brand",
+            "l_partkey",
+            F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+            "brand_rank",
+        )
+    )
+
+
+_SQL_TOPK_PARTS_PER_BRAND = """
+WITH rev AS (
+  SELECT p_brand, l_partkey,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_partkey
+)
+SELECT p_brand, l_partkey, round(CAST(rev AS DOUBLE), 4) AS revenue, brand_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+                               ORDER BY rev DESC, l_partkey) AS brand_rank
+  FROM rev
+)
+WHERE brand_rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-range window: trailing one-hour per-user average
+# --------------------------------------------------------------------------
+
+def _q_trailing_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving average of `value` per user — a RANGE
+    window over event time, not a ROWS offset window (lag_lead pack),
+    so frames follow the clock even through bursts and gaps.
+
+    The order key is epoch microseconds (pure integer), so the frame
+    boundary `[t-1h, t]` is exact in both engines and tied timestamps
+    share one frame deterministically.  Sums accumulate in DECIMAL:
+    range frames are recomputed per row, and double accumulation order
+    inside a frame is engine-private.  One shuffle on user_id; state per
+    row is bounded by the hour, which is what keeps the same plan viable
+    as a watermarked stream (streaming/streams.py sliding windows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(
+            F.sum("v").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        ).alias("trail_avg"),
+    )
+
+
+_SQL_TRAILING_HOUR_AVG = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 4) AS trail_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Single-pass column profiling (data-quality / schema-drift monitoring)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of `orders` — row count, null count, exact
+    distinct count, min/max rendered to a canonical string — in ONE scan.
+
+    The pipeline-hygiene primitive a training-data ingest runs on every
+    drop.  All 6 columns' aggregates land in a single hash-agg pass
+    (Catalyst plans the multi-distinct via Expand, 6x row multiply of a
+    single scan, still partial-aggregated); `stack` pivots the one
+    result row into the long (column, stats) form.  At 100 TB swap the
+    exact distinct for `approx_count_distinct` — kept exact here so the
+    oracle can check it bit-for-bit.  Renders: doubles via printf
+    '%.4f', timestamps via NTZ-safe date_format (never epoch of an NTZ).
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def _repr(c: str):
+        t = dict(zip(o.columns, (f.dataType.simpleString() for f in o.schema)))[c]
+        col = F.col(c)
+        if t == "double":
+            return lambda agg: F.format_string("%.4f", agg(col))
+        if t.startswith("timestamp"):
+            return lambda agg: F.date_format(agg(col), "yyyy-MM-dd HH:mm:ss")
+        return lambda agg: agg(col).cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        r = _repr(c)
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            r(F.min).alias(f"min_{c}"),
+            r(F.max).alias(f"max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n_rows, n_rows - cnt_{c}, nd_{c}, min_{c}, max_{c}"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)"
+    )
+
+
+def _profile_union_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c == "o_totalprice":
+            mn, mx = f"printf('%.4f', min({c}))", f"printf('%.4f', max({c}))"
+        elif c == "o_orderdate":
+            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows,\n"
+            f"       count(*) - count({c}) AS n_nulls,\n"
+            f"       count(DISTINCT {c}) AS n_distinct,\n"
+            f"       {mn} AS min_repr, {mx} AS max_repr\nFROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_SQL_COLUMN_PROFILE_ORDERS = _profile_union_sql()
+
+
+# --------------------------------------------------------------------------
+# CDC merge / upsert (MERGE INTO semantics as a full-outer join)
+# --------------------------------------------------------------------------
+
+def _q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE: apply a deterministic changeset (updates for
+    keys % 7 == 0 at +5% price, inserts cloned from keys % 11 == 3 under
+    new keys) onto `orders` — WHEN MATCHED THEN UPDATE / WHEN NOT
+    MATCHED THEN INSERT, expressed as one full-outer join + coalesce.
+
+    This is the batch-upsert primitive of an incremental training-data
+    pipeline (no Delta/Iceberg in this container, so the join IS the
+    merge).  The join shuffles both sides on the primary key; against a
+    bucketed base table (sources/sinks.py bucketing) the base side's
+    shuffle disappears, which is the 100 TB deployment shape: changesets
+    are small, the base is bucketed, merge cost ~ O(changeset).  Price
+    math stays in DECIMAL end-to-end so +5% is exact in both engines;
+    dates export NTZ-formatted.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    price4 = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4))"
+    upd = o.where(F.col("o_orderkey") % 7 == 0).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "'U' AS o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)) "
+        "AS DECIMAL(18,4)) AS o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    ins = o.where(F.col("o_orderkey") % 11 == 3).selectExpr(
+        "o_orderkey + 100000000 AS o_orderkey",
+        "o_custkey",
+        "'N' AS o_orderstatus",
+        f"{price4} AS o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    chg = upd.unionByName(ins).alias("c")
+    base = o.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        f"{price4} AS o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).alias("b")
+    j = base.join(chg, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+
+    def pick(c: str):
+        return F.coalesce(F.col(f"c.{c}"), F.col(f"b.{c}")).alias(c)
+
+    return j.select(
+        pick("o_orderkey"),
+        pick("o_custkey"),
+        pick("o_orderstatus"),
+        F.coalesce(F.col("c.o_totalprice"), F.col("b.o_totalprice"))
+        .cast("double")
+        .alias("o_totalprice"),
+        F.date_format(
+            F.coalesce(F.col("c.o_orderdate"), F.col("b.o_orderdate")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("o_orderdate"),
+        pick("o_orderpriority"),
+        F.when(F.col("b.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("c.o_orderkey").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+_SQL_MERGE_UPSERT_ORDERS = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2))
+              AS DECIMAL(18,4)) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+), ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 = 3
+), chg AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM ins
+)
+SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+       coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       CAST(coalesce(c.o_totalprice,
+                     CAST(CAST(b.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4)))
+            AS DOUBLE) AS o_totalprice,
+       strftime(coalesce(c.o_orderdate, b.o_orderdate),
+                '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       coalesce(c.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+            WHEN c.o_orderkey IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
+"""
+
+
+CATALOG.update(
+    {
+        "topk_parts_per_brand": QuerySpec(
+            _q_topk_parts_per_brand,
+            _SQL_TOPK_PARTS_PER_BRAND,
+            "per-group top-k (top-3 parts per brand): partial-agg on the "
+            "high-cardinality key, then row_number over brands; grouped form "
+            "of the reference's global takeOrdered "
+            "(FeatureSelectionCloud.scala:438)",
+        ),
+        "trailing_hour_avg": QuerySpec(
+            _q_trailing_hour_avg,
+            _SQL_TRAILING_HOUR_AVG,
+            "event-time RANGE window (trailing 1 h per-user moving average) "
+            "on an integer epoch-us order key; DECIMAL accumulation inside "
+            "recomputed frames",
+        ),
+        "column_profile_orders": QuerySpec(
+            _q_column_profile_orders,
+            _SQL_COLUMN_PROFILE_ORDERS,
+            "single-pass per-column profiling (rows/nulls/exact distinct/"
+            "min/max) via multi-distinct hash agg + stack; the data-quality "
+            "gate of an ingest pipeline",
+        ),
+        "merge_upsert_orders": QuerySpec(
+            _q_merge_upsert_orders,
+            _SQL_MERGE_UPSERT_ORDERS,
+            "CDC MERGE INTO as full-outer join + coalesce (update/insert/"
+            "keep actions); bucketed-base deployment shape documented",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Promo revenue ratio by ship month (TPC-H Q14 shape)
+# --------------------------------------------------------------------------
+
+def _q_promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of net revenue from PROMO-type parts, by ship month — the
+    TPC-H Q14 shape: one fact-dim equi-join feeding a conditional
+    aggregate, no second pass for the denominator.
+
+    The part side is projected to (p_partkey, p_type) before the join so
+    only 2 columns cross the exchange; at 100 TB the join shuffles on
+    partkey (or broadcasts, if the part dim fits) and both the promo and
+    total sums come out of the same partial-aggregated hash agg.  Money
+    in DECIMAL; the ratio computed double-side in one fixed op order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    net = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    month = F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM")
+    agg = (
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == part.p_partkey)
+        .groupBy(month.alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", net).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("promo"),
+            F.sum(net).alias("total"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        F.round(
+            F.lit(100.0)
+            * F.col("promo").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.round(F.col("total").cast("double"), 4).alias("revenue"),
+    )
+
+
+_SQL_PROMO_REVENUE_BY_MONTH = """
+SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+                    AS DOUBLE), 6) AS promo_pct,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids (distributed vector aggregation)
+# --------------------------------------------------------------------------
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label — the distributed vector
+    aggregation behind centroid init, class prototypes, and IVF coarse
+    quantizers (operators/similarity.py::ivf_topk trains K-Means for
+    the same thing; this is the relational form with an exact oracle).
+
+    `posexplode` turns array<float> into (pos, x) rows so the mean is a
+    plain partial-aggregated hash agg on (label, pos) — no UDAF, no
+    driver-side vectors; output cardinality is labels x dim regardless
+    of input row count, so the plan is 100 TB-safe.  Floats go through
+    DECIMAL(18,9) before summing (exact, order-independent) and the
+    mean divides double-side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid")
+    )
+
+
+_SQL_LABEL_CENTROIDS = """
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, pos,
+       round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+         AS centroid
+FROM ex GROUP BY label, pos
+"""
+
+
+# --------------------------------------------------------------------------
+# Bigram PMI collocations (text analysis)
+# --------------------------------------------------------------------------
+
+def _q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information:
+    PMI(w1,w2) = log2(c(w1,w2)·N / (c(w1,·)·c(·,w2))) over adjacent
+    token pairs, min support 5, top-100 fully tie-broken.
+
+    Bigrams come out of a pure expression (`transform` over the token
+    array) — no window, no shuffle until the count agg.  The three
+    marginal tables are vocabulary-sized, so they broadcast; the 1-row
+    bigram total crosses on as a broadcast nested loop (allowlisted,
+    same pattern as the IG corpus totals).  Ordering for the top-k uses
+    the ROUNDED pmi so the cut line is identical in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("filter(split(text, ' '), t -> length(t) > 0)").alias("a")
+    ).where(F.expr("size(a) >= 2"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1), "
+                "i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    firsts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cx"))
+    seconds = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("cy"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("nb"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c").cast("double") * F.col("nb"))
+            / (F.col("cx").cast("double") * F.col("cy"))
+        ),
+        6,
+    )
+    return (
+        cnt.join(F.broadcast(firsts), "w1")
+        .join(F.broadcast(seconds), "w2")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("c") >= 5)
+        .select("w1", "w2", "c", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+_SQL_BIGRAM_PMI_TOP = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> length(t) > 0) AS a
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i
+  FROM toks WHERE len(a) >= 2
+), big AS (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM ex
+), big2 AS (
+  SELECT w1, w2 FROM big WHERE w2 IS NOT NULL
+), cnt AS (
+  SELECT w1, w2, count(*) AS c FROM big2 GROUP BY 1, 2
+), firsts AS (
+  SELECT w1, count(*) AS cx FROM big2 GROUP BY 1
+), seconds AS (
+  SELECT w2, count(*) AS cy FROM big2 GROUP BY 1
+), tot AS (
+  SELECT count(*) AS nb FROM big2
+)
+SELECT w1, w2, c,
+       round(log2(CAST(c AS DOUBLE) * nb / (CAST(cx AS DOUBLE) * cy)), 6) AS pmi
+FROM cnt JOIN firsts USING (w1) JOIN seconds USING (w2) CROSS JOIN tot
+WHERE c >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 100
+"""
+
+
+CATALOG.update(
+    {
+        "promo_revenue_by_month": QuerySpec(
+            _q_promo_revenue_by_month,
+            _SQL_PROMO_REVENUE_BY_MONTH,
+            "TPC-H Q14 shape: promo revenue share by ship month — one "
+            "fact-dim join, conditional agg for numerator+denominator in a "
+            "single pass",
+        ),
+        "label_centroids": QuerySpec(
+            _q_label_centroids,
+            _SQL_LABEL_CENTROIDS,
+            "per-label embedding centroid via posexplode + hash agg on "
+            "(label, pos): distributed vector mean, output bounded by "
+            "labels x dim",
+        ),
+        "bigram_pmi_top": QuerySpec(
+            _q_bigram_pmi_top,
+            _SQL_BIGRAM_PMI_TOP,
+            "bigram PMI collocation ranking: expression-level bigramming, "
+            "broadcast marginals, rounded-PMI deterministic top-k",
+        ),
+    }
+)
+
+
+from ..operators.graph import copurchase_edges, pagerank, pagerank_oracle_sql  # noqa: E402
+
+
+def _q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (see operators/graph.py
+    for the iteration shape and the decimal-contribution determinism
+    contract).  Extends the reference's iterative-ML surface (K-Means,
+    KmeansVirus.scala:181-194) with the canonical iterative-join
+    algorithm, exact-oracle-checked via 5 unrolled CTE iterations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return pagerank(copurchase_edges(li), iterations=5)
+
+
+CATALOG.update(
+    {
+        "copurchase_pagerank": QuerySpec(
+            _q_copurchase_pagerank,
+            pagerank_oracle_sql(5),
+            "iterative PageRank (5 rounds) on the co-purchase edge list; "
+            "per-edge contributions cast to DECIMAL before the sum so both "
+            "engines accumulate exactly; oracle is the loop unrolled as CTEs",
+        ),
+    }
+)

@@ -387,3 +387,38 @@ def test_pii_scrub_redacts_injected_pii(spark):
     assert "555" not in rows[3].clean_text
     assert rows[4].clean_text == "nothing sensitive here"
     assert (rows[4].n_email, rows[4].n_url, rows[4].n_phone) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_invariants(spark):
+    from big_data_virus_analysis_spark.operators.graph import (
+        copurchase_edges,
+        pagerank,
+    )
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    from conftest import SMOKE_SF_DIR
+
+    edges = copurchase_edges(load_table(spark, SMOKE_SF_DIR, "lineitem"))
+    n = edges.select("src").distinct().count()
+    rows = pagerank(edges, iterations=5).collect()
+    assert len(rows) == n
+    assert all(r["rank"] >= 0.15 for r in rows)  # reset mass floor
+    # symmetric graph, no dangling nodes: total rank mass is conserved
+    assert abs(sum(r["rank"] for r in rows) - n) < 1e-3 * n
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a k-regular symmetric graph every node's rank is exactly 1."""
+    from big_data_virus_analysis_spark.operators.graph import pagerank
+
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    edges = spark.createDataFrame(
+        ring + [(b, a) for a, b in ring], ["src", "dst"]
+    )
+    rows = pagerank(edges, iterations=4).collect()
+    assert {r["rank"] for r in rows} == {1.0}

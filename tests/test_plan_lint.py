@@ -40,6 +40,8 @@ BNLJ_ALLOWED = {
     # 16-row centroid table / 5-language stopword table broadcast
     "ivf_ann_topk",
     "language_id",
+    # single-row bigram-total broadcast crossed onto vocabulary-sized counts
+    "bigram_pmi_top",
     # brute-force baselines (the LSH/IVF variants are the scale path)
     "simhash_pairs",
     "cosine_topk_bruteforce",
