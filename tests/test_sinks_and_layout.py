@@ -202,3 +202,78 @@ def test_zorder_narrows_both_dimensions(spark, tmp_path):
         .parquet(zed)
     )
     assert avg_box(zed) < 0.5 * avg_box(base)
+
+
+# ---------------------------------------------------------------------------
+# Runtime filtering: bloom-filter join pruning + dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """With a selective dim filter and a shuffle join, the optimizer
+    injects a bloom filter built from the dim side as a
+    `might_contain(xxhash64(key))` condition on the FACT scan — rows
+    that can't join die before the exchange.  This is the 100 TB
+    fact-dim pattern when the dim is too big to broadcast; the
+    application-side threshold (default 10 GB) is lowered only for the
+    test because local test scans are tiny."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+        pt = load_table(spark, SMOKE_SF_DIR, "part").where("p_size = 1")
+        q = li.join(pt, li.l_partkey == pt.p_partkey).groupBy("p_brand").count()
+        plan = fmt_plan(q)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        q.collect()  # the filtered plan still executes correctly
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A partition-columned fact joined to a filtered dim reads only the
+    partitions the dim filter selects: the scan carries a
+    `dynamicpruningexpression` PartitionFilter fed by a subquery over
+    the dim.  At 100 TB this is the difference between scanning one
+    month and scanning a decade."""
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    fact_path = str(tmp_path / "li_by_month")
+    (
+        li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .write.partitionBy("ship_month")
+        .parquet(fact_path)
+    )
+    dim_path = str(tmp_path / "month_dim")
+    (
+        li.select(F.date_format("l_shipdate", "yyyy-MM").alias("m"))
+        .distinct()
+        .withColumn("q", F.substring("m", 6, 2).cast("int"))
+        .write.parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where("q = 3")
+    q = fact.join(dim, fact.ship_month == dim.m).groupBy("ship_month").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = fmt_plan(q)
+    assert "dynamicpruningexpression" in plan
+    got = {r["ship_month"] for r in q.collect()}
+    assert got and all(m[5:7] == "03" for m in got)
