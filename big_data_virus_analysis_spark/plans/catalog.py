@@ -3337,3 +3337,12 @@ CATALOG.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Decision-support pack (classic TPC-H shapes; plans/decision_support.py)
+# --------------------------------------------------------------------------
+
+from .decision_support import SPECS as _DECISION_SUPPORT_SPECS  # noqa: E402
+
+CATALOG.update(_DECISION_SUPPORT_SPECS)

@@ -1,0 +1,763 @@
+"""Decision-support pack: the remaining classic TPC-H query shapes,
+adapted to the driver's synthetic star schema (FIXTURES.md §B).
+
+Round 1 covered Q1 (agg_pricing_summary), Q3 (top_unshipped_revenue),
+Q5 (local_supplier_volume), Q14 (promo_revenue_by_month) and Q18
+(large_quantity_orders).  This module adds the rest of the canonical
+shapes — EXISTS semi-joins, disjunctive predicate joins, left-outer
+count distributions, scalar-subquery decorrelations, market-share
+conditional aggregation, and anti-join "idle customer" analysis — each
+as an idiomatic single-pass DataFrame plan with an exact DuckDB oracle.
+
+These exist because the reference's capability surface is "analytics
+over a corpus" (SURVEY.md §0): a user replacing it with this engine
+gets the standard decision-support operator compositions, not just the
+virus-pipeline specials.  Every plan keeps filters on the scan side
+(pushdown), dimensions broadcast, aggregation partial, and top-k as
+TakeOrderedAndProject — the properties that survive a 100 TB scale-up.
+
+No partsupp table exists in the fixtures; Q2/Q11/Q20-style inventory
+queries are re-based on shipment volumes (documented per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import QuerySpec
+
+# Exact-money convention (catalog.py module docstring): per-row product
+# cast to DECIMAL(18,4), exact decimal accumulation, cast DOUBLE, round.
+def _rev():
+    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+_REV_SQL = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))"
+
+
+# --------------------------------------------------------------------------
+# Q4 shape — order-priority count of orders with a late shipment (EXISTS)
+# --------------------------------------------------------------------------
+
+def _q_order_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders placed in one quarter that have at least
+    one lineitem shipped >30 days after the order date, counted by
+    priority.  EXISTS becomes a LEFT SEMI join — the lineitem side is
+    filter-reduced before the shuffle and no duplicate orders survive,
+    so the count never double-counts multi-hit orders.
+
+    Scale: semi-join build side carries only (l_orderkey, l_shipdate);
+    the date filter pushes to both parquet scans.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-07-01")
+            & (F.col("o_orderdate") < "1996-10-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_ORDER_PRIORITY_WAITING = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q6 shape — forecast revenue change (pure scan-side filter + global agg)
+# --------------------------------------------------------------------------
+
+def _q_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from discount-bracket lineitems in
+    one year.  Deliberately join-free: every predicate reaches the
+    parquet scan (min/max row-group skipping at scale) and the single
+    global sum aggregates map-side first — at 100 TB this is a pure
+    scan-bound query, the pattern `.explain` should show as one
+    WholeStageCodegen over a filtered columnar scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    amt = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return li.agg(F.round(F.sum(amt).cast("double"), 4).alias("revenue_delta"))
+
+
+_SQL_FORECAST_REVENUE_DELTA = """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 4)
+       AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7 shape — bilateral nation trade volume by year
+# --------------------------------------------------------------------------
+
+def _q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipment revenue between two chosen nations in
+    either direction, by ship year.  The two nation dimensions broadcast
+    (25 rows each); the nation-pair filter applies right after those
+    broadcast joins so the big lineitem⋈orders shuffle only carries
+    surviving rows."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(_rev()).cast("double"), 4).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_SQL_NATION_TRADE_VOLUME = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       round(CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 shape — national market share within a part-type segment
+# --------------------------------------------------------------------------
+
+def _q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of PROMO-part revenue
+    sold to ASIA-region customers, by order year.  The share is a
+    conditional aggregate over one joined stream — sum(CASE)/sum(), no
+    second pass, no self-join.  Part/supplier/nation/region dims all
+    broadcast; only orders⋈lineitem shuffles."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    region = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    nat_rev = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                (F.sum(nat_rev) / F.sum(_rev())).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+_SQL_NATION_MARKET_SHARE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN {_REV_SQL}
+                           ELSE CAST(0 AS DECIMAL(18,4)) END)
+                  / sum({_REV_SQL}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 shape — product-type profit by supplier nation and year
+# --------------------------------------------------------------------------
+
+def _q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red %' parts by supplier nation and
+    order year.  No partsupp table in the fixtures, so supply cost is
+    modeled as 80% of p_retailprice (documented divergence) — the plan
+    shape (big fact ⋈ filtered part dim ⋈ supplier ⋈ nation ⋈ orders,
+    then two-key agg) is the point."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n_key"), F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(F.sum(profit).cast("double"), 4).alias("profit"))
+        .orderBy("nation", F.col("order_year").desc())
+    )
+
+
+_SQL_PRODUCT_TYPE_PROFIT = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           - 0.8 * p_retailprice * l_quantity
+                           AS DECIMAL(18,4))) AS DOUBLE), 4) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 shape — returned-item revenue: top customers
+# --------------------------------------------------------------------------
+
+def _q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue on returned items
+    (l_returnflag = 'R') for one quarter of orders.  Wide output row
+    (name, nation, balance) is joined back AFTER the aggregate on the
+    small top-k side at scale — here the single groupBy carries the
+    grouping columns since customer cardinality is modest and the
+    aggregate is one shuffle either way."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n_key"), F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_key"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(F.round(F.sum(_rev()).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_SQL_RETURNED_ITEM_REVENUE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       round(CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13 shape — customer order-count distribution (left outer + two-level agg)
+# --------------------------------------------------------------------------
+
+def _q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer including
+    zero-order customers.  LEFT OUTER join keeps customers with no
+    orders; the filter on order priority lives in the JOIN CONDITION
+    (not WHERE — a WHERE would turn the outer join inner).  Two-level
+    aggregation: count per customer, then count per count."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15 shape — top revenue supplier(s) via scalar-max decorrelation
+# --------------------------------------------------------------------------
+
+def _q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly shipment revenue
+    equals the maximum.  The scalar subquery `WHERE revenue = (SELECT
+    max…)` decorrelates to ONE window max over the aggregated (small)
+    revenue table — the base fact is scanned and shuffled exactly once.
+    Comparison happens on the exact DECIMAL sum, not the rounded
+    double, so ties are bit-exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev"))
+    )
+    w = Window.orderBy(F.lit(1))
+    top = rev.withColumn("max_rev", F.max("total_rev").over(w)).where(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    return (
+        top.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_TOP_REVENUE_SUPPLIERS = f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({_REV_SQL}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 4) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16 shape — supplier counts per part attribute with NOT-IN exclusion
+# --------------------------------------------------------------------------
+
+def _q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size)
+    bucket, excluding one brand, one type, and a 'complaints' supplier
+    set.  NOT IN becomes a LEFT ANTI join against the excluded-supplier
+    table; count(DISTINCT) is a real two-phase distinct aggregate."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_SQL_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 shape — small-quantity revenue (correlated avg decorrelated to window)
+# --------------------------------------------------------------------------
+
+def _q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue that would be lost by
+    not stocking small orders — lineitems with quantity below 20% of
+    their part's average quantity, for one brand.  The correlated
+    scalar subquery (per-part average) decorrelates into a window
+    average over l_partkey: one shuffle instead of fact ⋈ fact."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / F.lit(7.0))
+                .cast("double"),
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_SQL_SMALL_QUANTITY_REVENUE = """
+WITH b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0 AS DOUBLE), 4)
+       AS avg_yearly
+FROM b WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 shape — disjunctive bracket predicates across a join
+# --------------------------------------------------------------------------
+
+def _q_disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    brackets.  The disjunction spans join columns from both sides, so
+    it can't fully push down — but the shared conjuncts (size >= 1,
+    quantity bounds) are factored OUT of the OR so Catalyst pushes them
+    to the scans, shrinking the join input; the residual OR evaluates
+    post-join inside codegen."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(bracket)
+        .agg(F.round(F.sum(_rev()).cast("double"), 4).alias("revenue"))
+    )
+
+
+_SQL_DISJUNCTIVE_BRACKET_REVENUE = f"""
+SELECT round(CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity >= 1 AND l_quantity <= 30
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 shape — suppliers with heavy shipments of a part family (semi chain)
+# --------------------------------------------------------------------------
+
+def _q_heavy_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape re-based on shipments (no partsupp fixture):
+    suppliers whose 1996 shipped quantity of 'red %' parts exceeds
+    1.2x the all-supplier average, with their nation.  The threshold is
+    RELATIVE (scalar-subquery average, broadcast as a 1-row frame) so
+    the query stays selective at every scale factor; the qualifying set
+    probes the outer supplier table with a LEFT SEMI join — the classic
+    nested-IN chain flattened into semi-joins."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    per_supp = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg_qty = per_supp.agg(F.avg("qty").alias("avg_qty"))
+    qualifying = (
+        per_supp.crossJoin(F.broadcast(avg_qty))
+        .where(F.col("qty") > 1.2 * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n_key"), F.col("n_name").alias("nation")
+    )
+    return (
+        supp.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_key"))
+        .select("s_suppkey", "s_name", "nation")
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_HEAVY_SHIPMENT_SUPPLIERS = """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_supp
+  WHERE qty > 1.2 * (SELECT avg(qty) FROM per_supp)
+)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22 shape — idle rich customers (global scalar + anti join)
+# --------------------------------------------------------------------------
+
+def _q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balances
+    and no order since 2000-01-01 ("idle capital"), grouped by market
+    segment.  Two scalar pieces: the global average (computed once,
+    broadcast as a 1-row frame) and the NOT EXISTS → LEFT ANTI join
+    against the recent-orders set.  The recency filter keeps the anti
+    join's build side small AND the result non-degenerate at every
+    scale factor (orders span 1995-2001; every customer has *some*
+    order, few have recent ones)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SQL_IDLE_CUSTOMER_BALANCE = """
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "order_priority_waiting": QuerySpec(
+        _q_order_priority_waiting,
+        _SQL_ORDER_PRIORITY_WAITING,
+        "TPC-H Q4 shape: EXISTS → left-semi join with non-equi ship-lag predicate",
+    ),
+    "forecast_revenue_delta": QuerySpec(
+        _q_forecast_revenue_delta,
+        _SQL_FORECAST_REVENUE_DELTA,
+        "TPC-H Q6 shape: join-free pushdown filters + single global decimal sum",
+    ),
+    "nation_trade_volume": QuerySpec(
+        _q_nation_trade_volume,
+        _SQL_NATION_TRADE_VOLUME,
+        "TPC-H Q7 shape: bilateral nation pair volume, broadcast dims, year rollup",
+    ),
+    "nation_market_share": QuerySpec(
+        _q_nation_market_share,
+        _SQL_NATION_MARKET_SHARE,
+        "TPC-H Q8 shape: conditional-aggregate market share, single joined pass",
+    ),
+    "product_type_profit": QuerySpec(
+        _q_product_type_profit,
+        _SQL_PRODUCT_TYPE_PROFIT,
+        "TPC-H Q9 shape: profit by nation/year (cost modeled, no partsupp fixture)",
+    ),
+    "returned_item_revenue": QuerySpec(
+        _q_returned_item_revenue,
+        _SQL_RETURNED_ITEM_REVENUE,
+        "TPC-H Q10 shape: returned-item revenue top-20 customers",
+    ),
+    "customer_order_distribution": QuerySpec(
+        _q_customer_order_distribution,
+        _SQL_CUSTOMER_ORDER_DISTRIBUTION,
+        "TPC-H Q13 shape: left-outer join with join-condition filter, two-level agg",
+    ),
+    "top_revenue_suppliers": QuerySpec(
+        _q_top_revenue_suppliers,
+        _SQL_TOP_REVENUE_SUPPLIERS,
+        "TPC-H Q15 shape: scalar-max subquery decorrelated to a window over the agg",
+    ),
+    "part_supplier_counts": QuerySpec(
+        _q_part_supplier_counts,
+        _SQL_PART_SUPPLIER_COUNTS,
+        "TPC-H Q16 shape: NOT IN → left-anti, count(DISTINCT) two-phase agg",
+    ),
+    "small_quantity_revenue": QuerySpec(
+        _q_small_quantity_revenue,
+        _SQL_SMALL_QUANTITY_REVENUE,
+        "TPC-H Q17 shape: correlated per-part avg decorrelated into a window",
+    ),
+    "disjunctive_bracket_revenue": QuerySpec(
+        _q_disjunctive_bracket_revenue,
+        _SQL_DISJUNCTIVE_BRACKET_REVENUE,
+        "TPC-H Q19 shape: OR'd bracket predicates with factored-out pushdown conjuncts",
+    ),
+    "heavy_shipment_suppliers": QuerySpec(
+        _q_heavy_shipment_suppliers,
+        _SQL_HEAVY_SHIPMENT_SUPPLIERS,
+        "TPC-H Q20 shape: HAVING-filtered inner agg probed via left-semi chain",
+    ),
+    "idle_customer_balance": QuerySpec(
+        _q_idle_customer_balance,
+        _SQL_IDLE_CUSTOMER_BALANCE,
+        "TPC-H Q22 shape: global scalar broadcast + NOT EXISTS → left-anti",
+    ),
+}

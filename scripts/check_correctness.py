@@ -1,0 +1,121 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on Spark AND its DuckDB oracle
+SQL, then compares row count, column names, and an order-insensitive
+value hash.  Exit code 1 if any oracle-checked query mismatches.
+
+Usage: python scripts/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if hasattr(v, "item") and type(v).__module__ == "numpy":  # numpy scalar
+        v = v.item()
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_cell(v[k])}" for k in sorted(v)) + "}"
+    if hasattr(v, "asDict"):  # pyspark Row
+        d = v.asDict()
+        return "{" + ",".join(f"{k}:{_norm_cell(d[k])}" for k in sorted(d)) + "}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat(sep=" ").replace("+00:00", "")
+    return str(v)
+
+
+def _hash(rows, cols_sorted_idx) -> str:
+    lines = sorted(
+        "|".join(_norm_cell(r[i]) for i in cols_sorted_idx) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> None:
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG, oracle_sql
+    from big_data_virus_analysis_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("t2-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    osql = oracle_sql()
+    failures = []
+    for name, spec in sorted(CATALOG.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.spark(spark, SF_DIR)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in osql:
+            print(f"rows-only {name}: {len(srows)} rows")
+            continue
+        try:
+            cur = con.execute(osql[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        ok = True
+        if sorted(scols) != sorted(ocols):
+            failures.append((name, f"schema: spark={sorted(scols)} oracle={sorted(ocols)}"))
+            ok = False
+        elif len(srows) != len(orows):
+            failures.append((name, f"rows: spark={len(srows)} oracle={len(orows)}"))
+            ok = False
+        else:
+            sidx = [scols.index(c) for c in sorted(scols)]
+            oidx = [ocols.index(c) for c in sorted(ocols)]
+            sh, oh = _hash(srows, sidx), _hash(orows, oidx)
+            if sh != oh:
+                failures.append((name, "value-hash mismatch"))
+                ok = False
+        print(("PASS " if ok else "FAIL ") + f"{name}: {len(srows)} rows")
+    print(f"\n{len(failures)} failures")
+    for n, why in failures:
+        print(f"  {n}: {why}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
