@@ -3346,3 +3346,12 @@ CATALOG.update(
 from .decision_support import SPECS as _DECISION_SUPPORT_SPECS  # noqa: E402
 
 CATALOG.update(_DECISION_SUPPORT_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Pipeline-operations pack (everyday data-engineering ops; plans/pipeline_ops.py)
+# --------------------------------------------------------------------------
+
+from .pipeline_ops import SPECS as _PIPELINE_OPS_SPECS  # noqa: E402
+
+CATALOG.update(_PIPELINE_OPS_SPECS)

@@ -50,6 +50,12 @@ BNLJ_ALLOWED = {
     "quantized_cosine_topk",
     # single-row corpus-total broadcast (like info_gain_topk)
     "tfidf_top_terms",
+    # single-row scalar-threshold broadcast (relative avg crossed onto
+    # the aggregate, TPC-H Q20/Q22 shapes)
+    "heavy_shipment_suppliers",
+    "idle_customer_balance",
+    # 5x5 dimension-scaffold cross join, both sides broadcastable
+    "region_pair_matrix",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
