@@ -3355,3 +3355,13 @@ CATALOG.update(_DECISION_SUPPORT_SPECS)
 from .pipeline_ops import SPECS as _PIPELINE_OPS_SPECS  # noqa: E402
 
 CATALOG.update(_PIPELINE_OPS_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Statistics pack (order stats, argmax, corr/OLS, mode, Benford;
+# plans/statistics.py)
+# --------------------------------------------------------------------------
+
+from .statistics import SPECS as _STATISTICS_SPECS  # noqa: E402
+
+CATALOG.update(_STATISTICS_SPECS)
