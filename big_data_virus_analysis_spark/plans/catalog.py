@@ -3365,3 +3365,13 @@ CATALOG.update(_PIPELINE_OPS_SPECS)
 from .statistics import SPECS as _STATISTICS_SPECS  # noqa: E402
 
 CATALOG.update(_STATISTICS_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Outliers / robust-stats pack (z-score, MAD, repetition, attribution;
+# plans/outliers.py)
+# --------------------------------------------------------------------------
+
+from .outliers import SPECS as _OUTLIERS_SPECS  # noqa: E402
+
+CATALOG.update(_OUTLIERS_SPECS)

@@ -1,0 +1,221 @@
+"""Outlier-detection / robust-statistics pack: z-score outliers, median
+absolute deviation, Gopher-style duplicate-n-gram repetition scoring,
+and first/last-touch attribution.
+
+The first two are the workhorse anomaly screens of a data-quality
+layer (parametric and robust); the repetition fraction is the classic
+LLM-corpus filter (repeated n-grams ⇒ boilerplate / spam); first/last
+touch is the attribution primitive.  All four follow the catalog
+conventions (catalog.py module docstring).
+
+Scale notes per query below — headline: the repetition score is a PURE
+MAP (per-row array math, zero shuffles), and both robust-stat queries
+shuffle only aggregated or dimension-sized frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import QuerySpec
+
+
+# --------------------------------------------------------------------------
+# Parametric outliers (per-group z-score)
+# --------------------------------------------------------------------------
+
+def _q_zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total price sits ≥ 1.7 sample standard deviations
+    from their priority class's mean (threshold calibrated to the fixture's bounded,
+    uniform-like price distribution, whose |z| tops out near √3 ≈ 1.73 —
+    a 2.5σ normal-style cut would select nothing).  Group moments come from a window
+    over the class (one shuffle on o_orderpriority); the z-score and
+    filter are then row-local.  At 100 TB the same plan holds — the
+    window state per group is two running sums, and AQE splits a skewed
+    priority class across reducers."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
+        "o_totalprice"
+    ).over(w)
+    return (
+        orders.withColumn("z", z)
+        .where(F.abs(F.col("z")) >= 1.7)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("z", 4).alias("zscore"),
+        )
+    )
+
+
+_SQL_ZSCORE_OUTLIER_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, 4) AS o_totalprice,
+       round(z, 4) AS zscore
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         (o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
+           / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority) AS z
+  FROM orders
+)
+WHERE abs(z) >= 1.7
+"""
+
+
+# --------------------------------------------------------------------------
+# Robust dispersion (median absolute deviation)
+# --------------------------------------------------------------------------
+
+def _q_mad_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of retail price per brand — the robust
+    twin of stddev (50% breakdown point vs 0%).  Two exact-percentile
+    aggregations with a BROADCAST join of the 25-row median table in
+    between; the fact table is scanned twice but never self-joined on a
+    shuffle.  At 100 TB swap `percentile` for `approx_percentile` and
+    the plan shape is unchanged."""
+    part = load_table(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    medians = part.groupBy("p_brand").agg(
+        F.expr("percentile(p_retailprice, 0.5)").alias("med")
+    )
+    return (
+        part.join(F.broadcast(medians), "p_brand")
+        .withColumn("absdev", F.abs(F.col("p_retailprice") - F.col("med")))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.first("med"), 4).alias("median_price"),
+            F.round(F.expr("percentile(absdev, 0.5)"), 4).alias("mad"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SQL_MAD_PRICE_BY_BRAND = """
+WITH medians AS (
+  SELECT p_brand, quantile_cont(p_retailprice, 0.5) AS med
+  FROM part GROUP BY p_brand
+)
+SELECT part.p_brand,
+       round(any_value(med), 4) AS median_price,
+       round(quantile_cont(abs(p_retailprice - med), 0.5), 4) AS mad
+FROM part JOIN medians ON part.p_brand = medians.p_brand
+GROUP BY part.p_brand
+ORDER BY part.p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Duplicate-n-gram repetition score (LLM-corpus boilerplate filter)
+# --------------------------------------------------------------------------
+
+def _q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate word-3-gram fraction (the Gopher
+    repetition rule: high fraction ⇒ boilerplate/spam).  The entire
+    computation is per-row array math — transform over a sequence
+    builds the gram list, array_distinct dedups it — so the plan is a
+    PURE MAP over the scan: zero shuffles, embarrassingly parallel at
+    any scale.  No explode: the grams never become rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    return (
+        docs.where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.size(grams).alias("n_grams"),
+            F.size(F.array_distinct(grams)).alias("n_distinct"),
+            F.round(
+                1.0 - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+_SQL_DUP_NGRAM_FRACTION = """
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text, ' ')) - 1),
+                        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+           AS g
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT doc_id,
+       CAST(len(g) AS INT) AS n_grams,
+       CAST(len(list_distinct(g)) AS INT) AS n_distinct,
+       round(1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 6) AS dup_fraction
+FROM grams
+"""
+
+
+# --------------------------------------------------------------------------
+# First/last-touch attribution (single-pass struct min/max)
+# --------------------------------------------------------------------------
+
+def _q_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's first and last event type — attribution's first-
+    touch/last-touch primitive as ONE aggregation pass: lexicographic
+    min/max over (ts, event_id, type) structs.  event_id in the struct
+    makes ties deterministic; no window, no sort, map-side partial
+    aggregation all the way."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    touch = F.struct(
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("event_type").alias("y"),
+    )
+    first, last = F.min(touch), F.max(touch)
+    return ev.groupBy("user_id").agg(
+        first.getField("y").alias("first_type"),
+        first.getField("t").alias("first_ts_us"),
+        last.getField("y").alias("last_type"),
+        last.getField("t").alias("last_ts_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_SQL_FIRST_LAST_TOUCH = """
+SELECT user_id,
+       (min(struct_pack(t := epoch_us(ts), e := event_id, y := event_type))).y
+         AS first_type,
+       (min(struct_pack(t := epoch_us(ts), e := event_id, y := event_type))).t
+         AS first_ts_us,
+       (max(struct_pack(t := epoch_us(ts), e := event_id, y := event_type))).y
+         AS last_type,
+       (max(struct_pack(t := epoch_us(ts), e := event_id, y := event_type))).t
+         AS last_ts_us,
+       count(*) AS n_events
+FROM events
+WHERE user_id < 300
+GROUP BY user_id
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "zscore_outlier_orders": QuerySpec(
+        _q_zscore_outlier_orders,
+        _SQL_ZSCORE_OUTLIER_ORDERS,
+        "per-group z-score outlier screen via windowed moments",
+    ),
+    "mad_price_by_brand": QuerySpec(
+        _q_mad_price_by_brand,
+        _SQL_MAD_PRICE_BY_BRAND,
+        "median absolute deviation via two percentile passes + broadcast medians",
+    ),
+    "dup_ngram_fraction": QuerySpec(
+        _q_dup_ngram_fraction,
+        _SQL_DUP_NGRAM_FRACTION,
+        "Gopher duplicate-3-gram repetition score, shuffle-free pure map",
+    ),
+    "first_last_touch": QuerySpec(
+        _q_first_last_touch,
+        _SQL_FIRST_LAST_TOUCH,
+        "first/last-touch attribution via single-pass struct min/max",
+    ),
+}
