@@ -3375,3 +3375,12 @@ CATALOG.update(_STATISTICS_SPECS)
 from .outliers import SPECS as _OUTLIERS_SPECS  # noqa: E402
 
 CATALOG.update(_OUTLIERS_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Time-series / BI pack (WAU, MoM growth, Pareto; plans/timeseries_bi.py)
+# --------------------------------------------------------------------------
+
+from .timeseries_bi import SPECS as _TIMESERIES_BI_SPECS  # noqa: E402
+
+CATALOG.update(_TIMESERIES_BI_SPECS)

@@ -1,0 +1,201 @@
+"""Time-series / BI pack: rolling-window distinct counts (WAU),
+period-over-period growth, and Pareto concentration.
+
+Three reporting primitives every analytics layer ends up needing:
+
+* **weekly_active_users** — rolling 7-day COUNT DISTINCT.  Spark (like
+  most engines) cannot evaluate DISTINCT inside a RANGE window, so the
+  scalable rewrite is: distinct (user, day) grid → explode each
+  activity day into the 7 report days it supports → one hash-agg
+  count-distinct per report day.  The explode factor is a constant 7 on
+  the ALREADY-DEDUPED grid, not on raw events.
+* **month_over_month_revenue** — aggregate to month, then lag/pct-change
+  over the tiny aggregated series (window over ~dozens of rows).
+* **pareto_customers** — the smallest prefix of customers (by revenue)
+  covering 80% of total revenue.  Running share via an ordered window
+  over the per-customer aggregate.  NOTE for 100 TB: this ordered
+  running sum is the one single-reducer stage in the catalog family —
+  at billions of customers it becomes a range-partitioned two-phase
+  prefix sum (per-partition totals broadcast as offsets); the
+  aggregated-frame window here is the idiomatic form at any realistic
+  customer cardinality.
+
+Conventions as in catalog.py: matching aliases, decimal money, rounded
+doubles, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import QuerySpec
+
+_DAY_US = 86_400_000_000
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users (WAU per day)
+# --------------------------------------------------------------------------
+
+def _q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day trailing-7-day distinct-user count.  The (user, day)
+    activity grid is deduped FIRST (one shuffle), each grid row then
+    supports report days d..d+6 (constant ×7 explode), and a left-semi
+    join restricts report days to days that actually occur before the
+    final count-distinct agg.  No DISTINCT-in-window (unsupported), no
+    per-day self-joins."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / _DAY_US).cast("long").alias("day_num"),
+    )
+    grid = ev.distinct()
+    days = grid.select("day_num").distinct()
+    supported = grid.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + F.lit(6))
+        ).alias("report_day"),
+    )
+    return (
+        supported.join(
+            F.broadcast(days),
+            supported["report_day"] == days["day_num"],
+            "left_semi",
+        )
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .orderBy("report_day")
+    )
+
+
+_SQL_WEEKLY_ACTIVE_USERS = """
+WITH grid AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_num FROM events
+), days AS (
+  SELECT DISTINCT day_num FROM grid
+), supported AS (
+  SELECT user_id, day_num + offs AS report_day
+  FROM grid, UNNEST(generate_series(0, 6)) AS t(offs)
+)
+SELECT report_day, count(DISTINCT user_id) AS wau
+FROM supported
+WHERE report_day IN (SELECT day_num FROM days)
+GROUP BY report_day
+ORDER BY report_day
+"""
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue growth
+# --------------------------------------------------------------------------
+
+def _q_month_over_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order revenue with absolute and percent change vs the
+    prior month — aggregate-then-lag: the heavy groupBy shuffles on
+    month, the lag window runs over the resulting ~dozens-of-rows
+    series.  Exact decimal sums; percent change rounded to 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    monthly = orders.groupBy(month.alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return (
+        monthly.select(
+            "month",
+            F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+            F.round((F.col("rev") - prev).cast("double"), 4).alias("delta"),
+            F.round(
+                ((F.col("rev") - prev) / prev).cast("double"), 6
+            ).alias("pct_change"),
+        )
+        .orderBy("month")
+    )
+
+
+_SQL_MONTH_OVER_MONTH_REVENUE = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       round(CAST(rev AS DOUBLE), 4) AS revenue,
+       round(CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE), 4) AS delta,
+       round(CAST((rev - lag(rev) OVER (ORDER BY month))
+                  / lag(rev) OVER (ORDER BY month) AS DOUBLE), 6) AS pct_change
+FROM monthly
+ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
+# Pareto concentration (customers covering 80% of revenue)
+# --------------------------------------------------------------------------
+
+def _q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The smallest revenue-ranked customer prefix covering 80% of
+    total revenue — running decimal share over the per-customer
+    aggregate, ordered (revenue DESC, custkey) for tie-determinism; a
+    row survives while the share BEFORE it is < 0.80, so the customer
+    crossing the threshold is included.  See module docstring for the
+    100 TB prefix-sum note."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    wall = Window.orderBy(F.lit(1))
+    return (
+        per_cust.withColumn("cum_rev", F.sum("rev").over(w))
+        .withColumn("total", F.sum("rev").over(wall))
+        .where((F.col("cum_rev") - F.col("rev")) < F.lit(0.8) * F.col("total"))
+        .select(
+            "o_custkey",
+            F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+            F.round((F.col("cum_rev") / F.col("total")).cast("double"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+_SQL_PARETO_CUSTOMERS = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_custkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         sum(rev) OVER () AS total
+  FROM per_cust
+)
+SELECT o_custkey,
+       round(CAST(rev AS DOUBLE), 4) AS revenue,
+       round(CAST(cum_rev / total AS DOUBLE), 6) AS cum_share
+FROM ranked
+WHERE (cum_rev - rev) < 0.8 * total
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "weekly_active_users": QuerySpec(
+        _q_weekly_active_users,
+        _SQL_WEEKLY_ACTIVE_USERS,
+        "rolling 7-day distinct users via dedup-grid + constant explode",
+    ),
+    "month_over_month_revenue": QuerySpec(
+        _q_month_over_month_revenue,
+        _SQL_MONTH_OVER_MONTH_REVENUE,
+        "period-over-period growth: aggregate-then-lag",
+    ),
+    "pareto_customers": QuerySpec(
+        _q_pareto_customers,
+        _SQL_PARETO_CUSTOMERS,
+        "Pareto 80% revenue concentration via ordered running share",
+    ),
+}
