@@ -137,3 +137,26 @@ def test_ivf_probe_join_broadcasts(spark):
 def test_salted_agg_partials_before_shuffle(plan_of):
     plan = plan_of("salted_user_totals")
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_dup_ngram_fraction_is_shuffle_free(plan_of):
+    """The repetition score claims to be a pure map over the scan —
+    no Exchange may appear anywhere in the plan (the fan_out guard is
+    not used here; grams stay arrays, never rows)."""
+    plan = plan_of("dup_ngram_fraction")
+    assert "Exchange" not in plan, "dup_ngram_fraction must not shuffle"
+    assert "Generate" not in plan, "grams must not be exploded into rows"
+
+
+def test_first_last_touch_single_agg_pass(plan_of):
+    """Struct-min/max attribution is ONE aggregation pass: partial +
+    final aggregate around a single shuffle on user_id, and no Window.
+    (Struct-typed min/max buffers plan as SortAggregate — the sorts are
+    within-partition on the group key, not a global sort.)"""
+    plan = plan_of("first_last_touch")
+    assert plan.count("Exchange") <= 2  # shuffle + AQE read
+    assert "Window" not in plan
+    # partial + final aggregate instances (map-side combine present)
+    import re
+
+    assert len(re.findall(r"\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", plan)) >= 2
