@@ -3384,3 +3384,13 @@ CATALOG.update(_OUTLIERS_SPECS)
 from .timeseries_bi import SPECS as _TIMESERIES_BI_SPECS  # noqa: E402
 
 CATALOG.update(_TIMESERIES_BI_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Sequence & corpus-statistics pack (Markov, paths, balance, surprisal;
+# plans/sequences.py)
+# --------------------------------------------------------------------------
+
+from .sequences import SPECS as _SEQUENCES_SPECS  # noqa: E402
+
+CATALOG.update(_SEQUENCES_SPECS)

@@ -1,0 +1,217 @@
+"""Sequence & corpus-statistics pack: Markov transition matrices,
+ordered path signatures, class-balance planning, and unigram-surprisal
+document scoring.
+
+The sequence-modeling prep tier of a training-data pipeline: turning
+event logs into transition statistics and path features, and scoring
+documents against corpus-level token statistics (the poor-man's version
+of perplexity filtering à la CCNet — a unigram LM whose "model" is just
+a broadcast frequency table).
+
+Conventions as in catalog.py.  Scale notes inline; the common thread is
+that per-key sequences are assembled with sort_array over collected
+structs (deterministic, no cross-partition ordering assumptions) and
+corpus statistics travel to the data as broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import QuerySpec
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over event types
+# --------------------------------------------------------------------------
+
+def _q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: per-user
+    time-ordered lag pairs → pair counts → row-normalized
+    probabilities.  The lag window shuffles once on user_id (sequences
+    stay inside their partition); the pair aggregation reduces to
+    |types|² rows, and the row normalization windows over THAT tiny
+    frame.  event_id breaks ts ties deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wrow = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+_SQL_EVENT_TRANSITION_MATRIX = """
+WITH pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Ordered path signature per user (deterministic collect)
+# --------------------------------------------------------------------------
+
+def _q_user_path_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's first five event types in time order, serialized as
+    a path string — the session-path feature for funnel/sequence
+    models.  collect_list is partition-order nondeterministic, so the
+    collect gathers (ts, event_id, type) STRUCTS, sort_array orders
+    them exactly, and transform projects the types: deterministic on
+    any cluster, one aggregation pass."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    touch = F.struct(
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("event_type").alias("y"),
+    )
+    seq = F.sort_array(F.collect_list(touch))
+    first5 = F.slice(F.transform(seq, lambda s: s.getField("y")), 1, 5)
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(">", first5).alias("path5"),
+        F.size(seq).alias("n_events"),
+    )
+
+
+# DuckDB's list aggregate with ORDER BY gives the exact deterministic
+# sequence directly
+_SQL_USER_PATH_SIGNATURE = """
+SELECT user_id,
+       array_to_string(
+         (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path5,
+       CAST(count(*) AS INT) AS n_events
+FROM events
+WHERE user_id < 300
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Class-balance plan (per-class sampling fractions)
+# --------------------------------------------------------------------------
+
+def _q_class_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document counts with the downsampling fraction that
+    balances every class to the rarest one — the input to
+    `sampleBy(fractions)` for balanced training sets.  One aggregation;
+    the global minimum travels via a whole-frame window over the
+    |classes|-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = Window.orderBy(F.lit(1))
+    return (
+        counts.withColumn("min_n", F.min("n_docs").over(w))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("min_n") / F.col("n_docs"), 6).alias("sample_fraction"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_CLASS_BALANCE_PLAN = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+)
+SELECT lang, n_docs,
+       round(min(n_docs) OVER () / CAST(n_docs AS DOUBLE), 6) AS sample_fraction
+FROM counts
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram-surprisal document scoring (corpus-LM quality filter)
+# --------------------------------------------------------------------------
+
+def _q_doc_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token surprisal per document under the corpus unigram LM:
+    -log2(corpus_freq/total), averaged over the document's tokens —
+    the cheap analogue of perplexity filtering (high mean surprisal ⇒
+    rare-token gibberish, very low ⇒ boilerplate).  Two passes over the
+    token explode: corpus frequencies (agg), then a broadcast-join of
+    the frequency table back onto tokens.  At 100 TB the frequency
+    table is vocabulary-sized (≪ corpus), still a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = toks.count()  # scalar: vocabulary normalizer, computed once
+    scored = (
+        toks.join(F.broadcast(freqs), "tok")
+        .withColumn("surprisal", -F.log2(F.col("tf") / F.lit(float(total))))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("surprisal"), 6).alias("mean_surprisal"),
+        )
+    )
+    return scored
+
+
+_SQL_DOC_TOKEN_SURPRISAL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), nonempty AS (
+  SELECT * FROM toks WHERE length(tok) > 0
+), freqs AS (
+  SELECT tok, count(*) AS tf FROM nonempty GROUP BY 1
+), total AS (
+  SELECT CAST(count(*) AS DOUBLE) AS total FROM nonempty
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(-log2(tf / total)), 6) AS mean_surprisal
+FROM nonempty
+JOIN freqs USING (tok)
+CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "event_transition_matrix": QuerySpec(
+        _q_event_transition_matrix,
+        _SQL_EVENT_TRANSITION_MATRIX,
+        "first-order Markov transition probabilities over event types",
+    ),
+    "user_path_signature": QuerySpec(
+        _q_user_path_signature,
+        _SQL_USER_PATH_SIGNATURE,
+        "deterministic ordered path-5 signature via sort_array of structs",
+    ),
+    "class_balance_plan": QuerySpec(
+        _q_class_balance_plan,
+        _SQL_CLASS_BALANCE_PLAN,
+        "per-class balanced-sampling fractions (sampleBy input)",
+    ),
+    "doc_token_surprisal": QuerySpec(
+        _q_doc_token_surprisal,
+        _SQL_DOC_TOKEN_SURPRISAL,
+        "unigram-LM mean surprisal quality score (perplexity-filter analogue)",
+    ),
+}
