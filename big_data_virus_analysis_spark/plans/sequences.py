@@ -151,26 +151,31 @@ def _q_doc_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean token surprisal per document under the corpus unigram LM:
     -log2(corpus_freq/total), averaged over the document's tokens —
     the cheap analogue of perplexity filtering (high mean surprisal ⇒
-    rare-token gibberish, very low ⇒ boilerplate).  Two passes over the
-    token explode: corpus frequencies (agg), then a broadcast-join of
-    the frequency table back onto tokens.  At 100 TB the frequency
-    table is vocabulary-sized (≪ corpus), still a broadcast."""
+    rare-token gibberish, very low ⇒ boilerplate).  One DAG, no driver
+    actions: corpus frequencies aggregate to a vocabulary-sized frame,
+    the corpus total is a whole-frame window over THAT tiny frame (so
+    per-token surprisal is precomputed vocab-side), and the scored
+    vocabulary broadcast-joins back onto the token explode.  At 100 TB
+    the frequency table is vocabulary-sized (≪ corpus), still a
+    broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).where(F.length("tok") > 0)
-    freqs = toks.groupBy("tok").agg(F.count("*").alias("tf"))
-    total = toks.count()  # scalar: vocabulary normalizer, computed once
-    scored = (
-        toks.join(F.broadcast(freqs), "tok")
-        .withColumn("surprisal", -F.log2(F.col("tf") / F.lit(float(total))))
+    wall = Window.orderBy(F.lit(1))
+    freqs = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("surprisal", -F.log2(F.col("tf") / F.sum("tf").over(wall)))
+    )
+    return (
+        toks.join(F.broadcast(freqs.select("tok", "surprisal")), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg("surprisal"), 6).alias("mean_surprisal"),
         )
     )
-    return scored
 
 
 _SQL_DOC_TOKEN_SURPRISAL = """
