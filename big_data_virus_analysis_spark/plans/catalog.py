@@ -3394,3 +3394,13 @@ CATALOG.update(_TIMESERIES_BI_SPECS)
 from .sequences import SPECS as _SEQUENCES_SPECS  # noqa: E402
 
 CATALOG.update(_SEQUENCES_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands pack (streaks, SCD2, conversion latency;
+# plans/islands.py)
+# --------------------------------------------------------------------------
+
+from .islands import SPECS as _ISLANDS_SPECS  # noqa: E402
+
+CATALOG.update(_ISLANDS_SPECS)
