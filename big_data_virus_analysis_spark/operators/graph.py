@@ -126,3 +126,45 @@ WITH op AS (
         sql += step.format(i=i, p=i - 1)
     sql += f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
     return sql
+
+
+def undirected_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct UNDIRECTED co-purchase edges, canonicalized src < dst —
+    the half-size edge list triangle counting needs (each triangle then
+    appears exactly once as s1 < s2 < s3)."""
+    op = lineitem.select("l_orderkey", "l_partkey").dropDuplicates()
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .dropDuplicates()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over a canonical (src < dst) edge list —
+    the standard two-join plan: wedges (a→b→c with a<b<c by
+    construction) joined back against the edge list to close a→c.
+
+    Scale shape: both joins are equi-joins on single node keys, so they
+    hash-partition cleanly; the classic refinement for power-law graphs
+    (order nodes by degree so high-degree nodes sit on the wedge tips)
+    drops worst-case work and slots in here as a pre-ranking of the
+    edge list without changing the plan shape.  AQE's skew-join
+    splitting covers the moderate case.  Returns one row:
+    ``n_triangles``."""
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    closed = wedges.join(
+        e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
+    )
+    return closed.agg(F.count("*").alias("n_triangles"))

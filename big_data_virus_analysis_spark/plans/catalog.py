@@ -3326,6 +3326,31 @@ def _q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(copurchase_edges(li), iterations=5)
 
 
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count on the undirected co-purchase graph (see
+    operators/graph.py::triangle_count for the wedge-close plan and the
+    degree-ordering scale refinement)."""
+    from ..operators.graph import triangle_count, undirected_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_count(undirected_edges(li))
+
+
+_SQL_TRIANGLE_COUNT = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+)
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.dst = e2.src
+JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
+
 CATALOG.update(
     {
         "copurchase_pagerank": QuerySpec(
@@ -3334,6 +3359,11 @@ CATALOG.update(
             "iterative PageRank (5 rounds) on the co-purchase edge list; "
             "per-edge contributions cast to DECIMAL before the sum so both "
             "engines accumulate exactly; oracle is the loop unrolled as CTEs",
+        ),
+        "triangle_count": QuerySpec(
+            _q_triangle_count,
+            _SQL_TRIANGLE_COUNT,
+            "global triangle count via wedge-close joins on canonical edges",
         ),
     }
 )
