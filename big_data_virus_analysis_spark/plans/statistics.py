@@ -256,6 +256,70 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC)
 """
 
 
+# --------------------------------------------------------------------------
+# Per-dimension embedding standardization (feature scaling)
+# --------------------------------------------------------------------------
+
+def _q_standardize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score standardization of every embedding dimension — the
+    feature-scaling step before distance-based ML.  posexplode →
+    per-dimension moment sums (cast to DECIMAL before summing, so both
+    engines accumulate exactly and the derived mean/std are
+    bit-identical) → broadcast the dim-sized stats back onto the grid.
+    Output is the exploded (vec_id, pos, z) grid: cardinality rows×dim
+    regardless of corpus size, stats frame is dim-sized regardless of
+    corpus size — both bounded at 100 TB.  (For serving, the same
+    stats frame zips back array-natively via zip_with with no
+    re-grouping shuffle.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("xd", F.col("x").cast("double"))
+    dec = "decimal(28,12)"
+    stats = grid.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("xd").cast(dec)).alias("s1"),
+        F.sum((F.col("xd") * F.col("xd")).cast(dec)).alias("s2"),
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") - F.col("n") * m * m) / (F.col("n") - 1)
+    dimstats = stats.select("pos", m.alias("m"), F.sqrt(var).alias("s"))
+    return (
+        grid.join(F.broadcast(dimstats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            # + 0.0 folds IEEE −0.0 (a possible round() output) to +0.0
+            # so both engines serialize identically
+            (F.round((F.col("xd") - F.col("m")) / F.col("s"), 4) + F.lit(0.0)).alias(
+                "z"
+            ),
+        )
+    )
+
+
+_SQL_STANDARDIZE_EMBEDDINGS = """
+WITH grid AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS xd
+  FROM embeddings, UNNEST(range(0, len(embedding))) t(i)
+), stats AS (
+  SELECT pos,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(xd AS DECIMAL(28,12))) AS s1,
+         sum(CAST(xd * xd AS DECIMAL(28,12))) AS s2
+  FROM grid GROUP BY pos
+), dimstats AS (
+  SELECT pos,
+         CAST(s1 AS DOUBLE) / n AS m,
+         sqrt((CAST(s2 AS DOUBLE) - n * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n)) / (n - 1)) AS s
+  FROM stats
+)
+SELECT vec_id, pos, round((xd - m) / s, 4) + 0.0 AS z
+FROM grid JOIN dimstats USING (pos)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "exact_price_quartiles": QuerySpec(
         _q_exact_price_quartiles,
@@ -286,5 +350,10 @@ SPECS: dict[str, QuerySpec] = {
         _q_mode_event_type,
         _SQL_MODE_EVENT_TYPE,
         "deterministic per-group mode (count + ordered row_number)",
+    ),
+    "standardize_embeddings": QuerySpec(
+        _q_standardize_embeddings,
+        _SQL_STANDARDIZE_EMBEDDINGS,
+        "per-dimension z-score scaling via exact decimal moments + broadcast stats",
     ),
 }
