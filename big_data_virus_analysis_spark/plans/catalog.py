@@ -3434,3 +3434,13 @@ CATALOG.update(_SEQUENCES_SPECS)
 from .islands import SPECS as _ISLANDS_SPECS  # noqa: E402
 
 CATALOG.update(_ISLANDS_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Window-function completeness pack (cume_dist, nth_value;
+# plans/window_funcs.py)
+# --------------------------------------------------------------------------
+
+from .window_funcs import SPECS as _WINDOW_FUNCS_SPECS  # noqa: E402
+
+CATALOG.update(_WINDOW_FUNCS_SPECS)
