@@ -3444,3 +3444,13 @@ CATALOG.update(_ISLANDS_SPECS)
 from .window_funcs import SPECS as _WINDOW_FUNCS_SPECS  # noqa: E402
 
 CATALOG.update(_WINDOW_FUNCS_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Integrity & incremental-maintenance pack (checksums, rollup merge;
+# plans/integrity.py)
+# --------------------------------------------------------------------------
+
+from .integrity import SPECS as _INTEGRITY_SPECS  # noqa: E402
+
+CATALOG.update(_INTEGRITY_SPECS)
