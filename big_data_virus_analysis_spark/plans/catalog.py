@@ -3454,3 +3454,13 @@ CATALOG.update(_WINDOW_FUNCS_SPECS)
 from .integrity import SPECS as _INTEGRITY_SPECS  # noqa: E402
 
 CATALOG.update(_INTEGRITY_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Profiling extensions (systematic sample, equi-depth histogram, skew
+# profile; plans/profiling_ext.py)
+# --------------------------------------------------------------------------
+
+from .profiling_ext import SPECS as _PROFILING_EXT_SPECS  # noqa: E402
+
+CATALOG.update(_PROFILING_EXT_SPECS)

@@ -1,0 +1,160 @@
+"""Profiling extensions: deterministic systematic sampling, equi-depth
+histograms, and key-skew profiling.
+
+Complements the existing profiling tier (`column_profile_orders`,
+`price_histogram` equal-width, `stratified_sample` seeded-random) with
+the three remaining screens a pipeline planner wants:
+
+* **systematic sampling** — every k-th row in key order: exactly
+  reproducible across engines (unlike PRNG sampling, which is
+  rows-only-checkable), and statistically fine when the key order is
+  uncorrelated with the measure.
+* **equi-depth histogram** — ntile buckets with value boundaries: the
+  histogram the optimizer actually wants for selectivity (equal mass,
+  not equal width).
+* **skew profile** — per-key frequency dispersion (max/mean share,
+  top-1 share): the diagnostic that decides between a plain shuffle,
+  AQE skew handling, or explicit salting (operators/skew.py).
+
+Conventions as in catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import QuerySpec
+
+
+# --------------------------------------------------------------------------
+# Systematic sampling (every k-th in key order)
+# --------------------------------------------------------------------------
+
+def _q_systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 100th order in key order — deterministic systematic
+    sampling with an EXACT oracle (seeded-PRNG sampling can only be
+    rows-only checked; this variant is bit-reproducible anywhere).
+    The global row_number is the one total-order stage; at 100 TB the
+    same semantics come shuffle-free from a monotonic surrogate
+    (`o_orderkey % 100 = 1` when keys are dense) — both forms shown."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") % 100) == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+    )
+
+
+_SQL_SYSTEMATIC_SAMPLE_ORDERS = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn % 100 = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (ntile buckets with boundaries)
+# --------------------------------------------------------------------------
+
+def _q_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-depth histogram of part retail price: ntile
+    assigns equal-mass buckets (deterministic with the p_partkey
+    tiebreak), then per-bucket min/max/count are the boundaries.
+    Equal-width twin: `price_histogram`.  The ordered ntile is the one
+    total-order stage; at 100 TB approx_percentile supplies the
+    boundaries without a global sort (sketch twin, same output
+    shape)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.orderBy(F.col("p_retailprice"), F.col("p_partkey"))
+    return (
+        part.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.min("p_retailprice"), 4).alias("lo"),
+            F.round(F.max("p_retailprice"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_EQUIDEPTH_PRICE_HISTOGRAM = """
+SELECT bucket,
+       count(*) AS n_parts,
+       round(min(p_retailprice), 4) AS lo,
+       round(max(p_retailprice), 4) AS hi
+FROM (
+  SELECT p_retailprice,
+         CAST(ntile(10) OVER (ORDER BY p_retailprice, p_partkey) AS INT) AS bucket
+  FROM part
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Key-skew profile (shuffle-strategy diagnostic)
+# --------------------------------------------------------------------------
+
+def _q_skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-skew diagnostic for the orders→customer join key: key
+    count, mean/max per-key frequency, and the heaviest key's share of
+    all rows — one row that says whether a shuffle on this key needs
+    salting.  Two cheap aggregations (per-key counts, then moments of
+    the counts); deterministic max-key via struct-max."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    top = F.max(F.struct(F.col("n").alias("n"), F.col("o_custkey").alias("k")))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.round(F.avg("n"), 6).alias("mean_per_key"),
+        F.max("n").alias("max_per_key"),
+        top.getField("k").alias("heaviest_key"),
+        F.round(F.max("n") / F.sum("n").cast("double"), 6).alias("top1_share"),
+    )
+
+
+_SQL_SKEW_PROFILE_CUSTKEY = """
+WITH per_key AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+)
+SELECT count(*) AS n_keys,
+       sum(n) AS n_rows,
+       round(avg(n), 6) AS mean_per_key,
+       max(n) AS max_per_key,
+       (max(struct_pack(n := n, k := o_custkey))).k AS heaviest_key,
+       round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top1_share
+FROM per_key
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "systematic_sample_orders": QuerySpec(
+        _q_systematic_sample_orders,
+        _SQL_SYSTEMATIC_SAMPLE_ORDERS,
+        "deterministic every-k-th systematic sample (exact-oracle sampling)",
+    ),
+    "equidepth_price_histogram": QuerySpec(
+        _q_equidepth_price_histogram,
+        _SQL_EQUIDEPTH_PRICE_HISTOGRAM,
+        "equi-depth ntile histogram with bucket boundaries",
+    ),
+    "skew_profile_custkey": QuerySpec(
+        _q_skew_profile_custkey,
+        _SQL_SKEW_PROFILE_CUSTKEY,
+        "join-key skew diagnostic (decides plain shuffle vs salting)",
+    ),
+}
