@@ -55,3 +55,38 @@ def zorder_value(a, b, bits: int = 16):
         z = z + F.shiftleft(F.shiftright(a.cast("bigint"), i) % 2, 2 * i)
         z = z + F.shiftleft(F.shiftright(b.cast("bigint"), i) % 2, 2 * i + 1)
     return z
+
+
+def contiguous_ids(df, id_col: str = "row_id"):
+    """Contiguous 0-based unique ids without a global sort — the
+    DataFrame re-expression of RDD ``zipWithIndex``: per-partition row
+    counts (one tiny agg, |partitions| rows) become cumulative offsets
+    via a window over that tiny frame, broadcast back and added to the
+    within-partition row_number.  No stage sees more than its own
+    partition; assignment order within a partition is arbitrary (as
+    with zipWithIndex), but ids are guaranteed unique and contiguous.
+
+    The driver-free contrast: ``monotonically_increasing_id`` is a pure
+    map but leaves gaps; a single-partition ``row_number`` window is
+    contiguous but serial.  This is both.
+    """
+    from pyspark.sql import Window
+
+    with_pid = df.withColumn("_pid", F.spark_partition_id())
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        with_pid.groupBy("_pid")
+        .count()
+        .withColumn("_offset", F.coalesce(F.sum("count").over(woff), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+    win = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            id_col, (F.col("_offset") + F.row_number().over(win) - 1).cast("long")
+        )
+        .drop("_pid", "_offset")
+    )

@@ -78,3 +78,44 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_dynamic_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Partitioned overwrite that replaces ONLY the partitions present
+    in ``df`` (``partitionOverwriteMode=dynamic``) — the idempotent
+    daily-reprocess sink: rerunning one day's batch rewrites that day's
+    directory and leaves history untouched."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_small_files(
+    spark, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(rows / target_rows_per_file)`` files.  Streaming sinks and
+    per-batch appends accumulate kilobyte files whose open/footer cost
+    dominates scans; periodic compaction is standard table maintenance.
+    Round-robin ``repartition(n)`` (not coalesce) so output files are
+    uniform.  Returns the file count written.
+
+    The rewrite stages into ``path + '.compact'`` then swaps, because
+    overwriting a directory while reading it races."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = max(1, math.ceil(df.count() / target_rows_per_file))
+    staging = path.rstrip("/") + ".compact"
+    df.repartition(n).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return n

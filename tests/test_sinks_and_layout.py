@@ -277,3 +277,57 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruningexpression" in plan
     got = {r["ship_month"] for r in q.collect()}
     assert got and all(m[5:7] == "03" for m in got)
+
+
+def test_dynamic_partition_overwrite_preserves_others(spark, tmp_path):
+    from big_data_virus_analysis_spark.sources.sinks import write_dynamic_partitions
+
+    path = str(tmp_path / "dyn")
+    ev = load_table(spark, SMOKE_SF_DIR, "events").withColumn(
+        "etype", F.col("event_type")
+    )
+    write_dynamic_partitions(ev, path, ["etype"])
+    before = spark.read.parquet(path).count()
+    # reprocess ONE partition with a reduced subset; others must survive
+    one = ev.where(F.col("etype") == "click").limit(10)
+    write_dynamic_partitions(one, path, ["etype"])
+    after = spark.read.parquet(path)
+    n_click = after.where(F.col("etype") == "click").count()
+    n_rest = after.where(F.col("etype") != "click").count()
+    n_click_orig = ev.where(F.col("etype") == "click").count()
+    assert n_click == 10
+    assert n_rest == before - n_click_orig
+
+
+def test_compact_small_files_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from big_data_virus_analysis_spark.sources.sinks import compact_small_files
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    n_rows = ev.count()
+    ev.repartition(40).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 40
+    n_files = compact_small_files(spark, path, target_rows_per_file=n_rows)
+    assert n_files == 1
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == n_rows
+
+
+def test_contiguous_ids_unique_and_dense(spark):
+    from big_data_virus_analysis_spark.functions.vectors import contiguous_ids
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events").repartition(7)
+    n = ev.count()
+    ids = contiguous_ids(ev).select("row_id")
+    stats = ids.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("row_id").alias("nd"),
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+    ).collect()[0]
+    assert stats.n == n and stats.nd == n
+    assert stats.lo == 0 and stats.hi == n - 1
+    # original columns survive
+    assert set(contiguous_ids(ev).columns) == set(ev.columns) | {"row_id"}
