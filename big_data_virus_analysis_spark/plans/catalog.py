@@ -3464,3 +3464,12 @@ CATALOG.update(_INTEGRITY_SPECS)
 from .profiling_ext import SPECS as _PROFILING_EXT_SPECS  # noqa: E402
 
 CATALOG.update(_PROFILING_EXT_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Corpus-curation funnel (plans/curation.py)
+# --------------------------------------------------------------------------
+
+from .curation import SPECS as _CURATION_SPECS  # noqa: E402
+
+CATALOG.update(_CURATION_SPECS)
