@@ -3473,3 +3473,12 @@ CATALOG.update(_PROFILING_EXT_SPECS)
 from .curation import SPECS as _CURATION_SPECS  # noqa: E402
 
 CATALOG.update(_CURATION_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Drift & statistical-testing pack (chi-square, PSI, KS; plans/drift.py)
+# --------------------------------------------------------------------------
+
+from .drift import SPECS as _DRIFT_SPECS  # noqa: E402
+
+CATALOG.update(_DRIFT_SPECS)
