@@ -168,3 +168,59 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
     )
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_hops(edges: DataFrame, source: int, max_hops: int = 3) -> DataFrame:
+    """Breadth-first hop distance from ``source`` over a DIRECTED edge
+    list (pass both directions for undirected semantics) — the frontier-
+    expansion iterative pattern (vs PageRank's fixed-point iteration):
+    each round extends known distances one hop through the edge list
+    and keeps the minimum per node.
+
+    Scale shape: per round, one shuffle join (frontier ⋈ edges on the
+    frontier node) and one min-aggregate; the frontier is a node-keyed
+    frame ≤ |V|.  Like PageRank, deep traversals checkpoint every few
+    rounds to cut lineage.  Returns (node, hops) for reached nodes,
+    hops ≤ max_hops."""
+    dist = (
+        edges.sparkSession.createDataFrame([(source, 0)], "node long, hops int")
+    )
+    for _ in range(max_hops):
+        expanded = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist
+
+
+def bfs_oracle_sql(source: int, max_hops: int = 3) -> str:
+    """DuckDB oracle: the same frontier expansion unrolled as CTEs over
+    the symmetric co-purchase edge list."""
+    base = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+), d0 AS (
+  SELECT CAST({source} AS BIGINT) AS node, 0 AS hops
+)"""
+    step = """, d{i} AS (
+  SELECT node, min(hops) AS hops FROM (
+    SELECT node, hops FROM d{p}
+    UNION ALL
+    SELECT e.dst AS node, d.hops + 1 AS hops
+    FROM d{p} d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+)"""
+    sql = base
+    for i in range(1, max_hops + 1):
+        sql += step.format(i=i, p=i - 1)
+    sql += f"\nSELECT node, CAST(hops AS INT) AS hops FROM d{max_hops}"
+    return sql

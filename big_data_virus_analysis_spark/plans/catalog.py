@@ -3313,7 +3313,12 @@ CATALOG.update(
 )
 
 
-from ..operators.graph import copurchase_edges, pagerank, pagerank_oracle_sql  # noqa: E402
+from ..operators.graph import (  # noqa: E402
+    bfs_oracle_sql,
+    copurchase_edges,
+    pagerank,
+    pagerank_oracle_sql,
+)
 
 
 def _q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3324,6 +3329,16 @@ def _q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, exact-oracle-checked via 5 unrolled CTE iterations."""
     li = load_table(spark, sf_dir, "lineitem")
     return pagerank(copurchase_edges(li), iterations=5)
+
+
+def _q_bfs_hops_part0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from part 0 over the symmetric co-purchase
+    graph (see operators/graph.py::bfs_hops for the frontier-expansion
+    shape)."""
+    from ..operators.graph import bfs_hops, bfs_oracle_sql  # noqa: F401
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return bfs_hops(copurchase_edges(li), source=0, max_hops=3)
 
 
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3364,6 +3379,12 @@ CATALOG.update(
             _q_triangle_count,
             _SQL_TRIANGLE_COUNT,
             "global triangle count via wedge-close joins on canonical edges",
+        ),
+        "bfs_hops_part0": QuerySpec(
+            _q_bfs_hops_part0,
+            bfs_oracle_sql(0, 3),
+            "BFS hop distances (3 rounds) from part 0 on the co-purchase "
+            "graph; frontier-expansion iterations, unrolled-CTE oracle",
         ),
     }
 )
