@@ -362,3 +362,83 @@ def dedup_survivors(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     clusters = dedup_clusters(pairs)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return documents.join(F.broadcast(losers), "doc_id", "left_anti").select("doc_id")
+
+
+def jaccard_prefix_filtered(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Same output as :func:`ngram_jaccard_pairs` via PREFIX FILTERING
+    (the SSJoin/PPJoin principle: under any global token order, two
+    sets with Jaccard ≥ t must share a token within their first
+    ``s − ceil(t·s) + 1`` tokens — rarest-first order makes those
+    prefixes maximally selective).  Candidates come from a prefix-only
+    inverted index, so the quadratic blow-up of hot shingles is capped
+    at the ~20% prefix mass instead of the full index; exact Jaccard
+    verification then runs only on candidate pairs.
+
+    Plan: gram doc-frequencies (one agg) → per-doc (df, gram)-ordered
+    prefix via a doc-partitioned window → prefix-prefix self-join →
+    per-candidate exact intersection counts against the full gram sets
+    → threshold filter.  Every stage keys on gram or doc_id; the
+    prefix index is ~t-fraction smaller than the full inverted index
+    that `ngram_jaccard_pairs` self-joins.
+
+    Output: ``(doc_a, doc_b, jaccard)``, doc_a < doc_b, rounded to 6 —
+    byte-identical to the unfiltered operator (asserted in
+    tests/test_operators.py)."""
+    dg = word_ngrams(documents, n)
+    gram_df = dg.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = dg.join(gram_df, "gram")
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "gram")
+    wsz = Window.partitionBy("doc_id")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(wdoc))
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+        .where(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc_id", "gram")
+    )
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    candidates = (
+        pa.join(
+            pb,
+            (F.col("pa.gram") == F.col("pb.gram"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+    ga = dg.alias("ga")
+    gb = dg.alias("gb")
+    inter = (
+        candidates.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(
+            gb,
+            (F.col("doc_b") == F.col("gb.doc_id"))
+            & (F.col("ga.gram") == F.col("gb.gram")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = dg.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -561,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
 
 from ..operators.dedup import (  # noqa: E402
     exact_dedup,
+    jaccard_prefix_filtered,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_docs,
@@ -581,6 +582,12 @@ GROUP BY md5(text)
 
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+def _q_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_prefix_filtered(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
 
 
 _SQL_DEDUP_NGRAM_JACCARD = """
@@ -690,6 +697,13 @@ CATALOG.update(
             _q_dedup_ngram_jaccard,
             _SQL_DEDUP_NGRAM_JACCARD,
             "near-dup pairs via 3-gram Jaccard inverted-index join",
+        ),
+        "jaccard_prefix_filtered": QuerySpec(
+            _q_jaccard_prefix_filtered,
+            _SQL_DEDUP_NGRAM_JACCARD,
+            "same pairs via PPJoin prefix filtering: candidates from the "
+            "rarest-first ~20% prefix index, exact verify on candidates only; "
+            "oracle shared with the unfiltered twin",
         ),
         "minhash_lsh_pairs": QuerySpec(
             _q_minhash_lsh_pairs,

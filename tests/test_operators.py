@@ -422,3 +422,22 @@ def test_pagerank_uniform_on_regular_graph(spark):
     )
     rows = pagerank(edges, iterations=4).collect()
     assert {r["rank"] for r in rows} == {1.0}
+
+
+def test_prefix_filtered_jaccard_equals_unfiltered(spark):
+    """PPJoin prefix filtering is an OPTIMIZATION, not an
+    approximation: its output must be byte-identical to the full
+    inverted-index operator at the same threshold."""
+    from big_data_virus_analysis_spark.operators.dedup import (
+        jaccard_prefix_filtered,
+        ngram_jaccard_pairs,
+    )
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    from conftest import SMOKE_SF_DIR
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    full = sorted(map(tuple, ngram_jaccard_pairs(docs, 3, 0.8).collect()))
+    pref = sorted(map(tuple, jaccard_prefix_filtered(docs, 3, 0.8).collect()))
+    assert pref == full
+    assert len(full) > 0  # non-degenerate fixture
