@@ -141,6 +141,64 @@ FROM per_key
 """
 
 
+# --------------------------------------------------------------------------
+# Hash-based deterministic sampling (consistent across systems)
+# --------------------------------------------------------------------------
+
+def _q_hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1% sample selected by key hash (md5(o_orderkey) bucket 0 of
+    100) — the production sampling idiom: any system hashing the same
+    keys draws the SAME sample (stable across runs, engines, and
+    re-partitioning, and extendable to consistent joins of samples
+    across tables sharing the key).  Pure map over the scan, exact
+    oracle — seeded-PRNG sampling can't give either property."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return orders.where(bucket == 0).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+_SQL_HASH_SAMPLE_ORDERS = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 = 0
+"""
+
+
+def _q_hash_reservoir_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (5 customers per market segment)
+    drawn by ranking on the key hash — the deterministic reservoir:
+    same members on every engine, one window pass, no PRNG state.
+    md5's uniformity makes the hash order an unbiased shuffle of each
+    group."""
+    cust = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    w = Window.partitionBy("c_mktsegment").orderBy(h.alias("h"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", F.col("rn").alias("sample_rank"))
+    )
+
+
+_SQL_HASH_RESERVOIR_PER_SEGMENT = """
+SELECT c_mktsegment, c_custkey, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT c_mktsegment, c_custkey,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY md5(CAST(c_custkey AS VARCHAR))) AS rn
+  FROM customer
+)
+WHERE rn <= 5
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "systematic_sample_orders": QuerySpec(
         _q_systematic_sample_orders,
@@ -156,5 +214,15 @@ SPECS: dict[str, QuerySpec] = {
         _q_skew_profile_custkey,
         _SQL_SKEW_PROFILE_CUSTKEY,
         "join-key skew diagnostic (decides plain shuffle vs salting)",
+    ),
+    "hash_sample_orders": QuerySpec(
+        _q_hash_sample_orders,
+        _SQL_HASH_SAMPLE_ORDERS,
+        "deterministic key-hash sampling (consistent across systems/runs)",
+    ),
+    "hash_reservoir_per_segment": QuerySpec(
+        _q_hash_reservoir_per_segment,
+        _SQL_HASH_RESERVOIR_PER_SEGMENT,
+        "fixed-size per-group sample via hash-order ranking",
     ),
 }
