@@ -27,7 +27,7 @@ Scale notes (100 TB / continuous ingest):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -257,3 +257,73 @@ def clicks_after_views(
         .cast("bigint")
         .alias("gap_s"),
     )
+
+
+def value_bucket_shares(
+    events: DataFrame, n_buckets: int = 10, width: float = 10.0
+) -> DataFrame:
+    """Fixed-width bucket shares of ``value`` — the distribution
+    snapshot both sides of the drift monitor use (fixed edges, so the
+    reference never needs re-sorting; see plans/drift.py for the same
+    design choice).  0.5 Laplace smoothing keeps empty buckets finite.
+    Output: (bucket, share) for every bucket 0..n_buckets-1."""
+    spark = events.sparkSession
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / width), F.lit(0)), F.lit(n_buckets - 1)
+    ).cast("int")
+    counts = events.select(bucket.alias("bucket")).groupBy("bucket").count()
+    all_buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    w = Window.orderBy(F.lit(1))
+    return (
+        all_buckets.join(counts, "bucket", "left")
+        .select(
+            "bucket", (F.coalesce(F.col("count"), F.lit(0)) + F.lit(0.5)).alias("n")
+        )
+        .select("bucket", (F.col("n") / F.sum("n").over(w)).alias("share"))
+    )
+
+
+def monitor_value_drift(
+    stream_events: DataFrame,
+    ref_shares: DataFrame,
+    sink_path: str,
+    n_buckets: int = 10,
+    width: float = 10.0,
+):
+    """Streaming drift monitor: every micro-batch computes its value-
+    distribution shares and the PSI against the (broadcast) reference
+    shares, appending one (batch_id, n_rows, psi) row to a parquet
+    audit log — the serving-side twin of plans/drift.py::psi_price_drift.
+
+    State story: the monitor keeps NO streaming state at all — each
+    batch is scored independently against the static reference, so the
+    operator runs forever at constant memory.  foreachBatch is the
+    right hook because PSI needs a whole-batch aggregate joined against
+    a static frame, which plain append-mode streaming aggregation
+    cannot express.  Returns the un-started writer."""
+    ref = ref_shares.withColumnRenamed("share", "ref_share")
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        n_rows = batch_df.count()
+        shares = value_bucket_shares(batch_df, n_buckets, width)
+        psi_row = (
+            shares.join(F.broadcast(ref), "bucket")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("share") - F.col("ref_share"))
+                        * F.log(F.col("share") / F.col("ref_share"))
+                    ),
+                    9,
+                ).alias("psi")
+            )
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                F.lit(n_rows).alias("n_rows"),
+                "psi",
+            )
+        )
+        psi_row.write.mode("append").parquet(sink_path)
+
+    return stream_events.writeStream.foreachBatch(_score)

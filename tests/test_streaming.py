@@ -278,3 +278,46 @@ def test_stream_stream_join_matches_batch(spark, events_stream_dir, tmp_path):
     want = clicks_after_views(batch)
     keys = ["user_id", "view_id", "click_id", "gap_s"]
     assert _canon(got, keys) == _canon(want, keys)
+
+
+def test_drift_monitor_zero_psi_on_reference_data(spark, events_stream_dir, tmp_path):
+    """One batch containing exactly the reference distribution must
+    score PSI == 0; multi-batch runs emit one independent row per
+    batch, each finite and non-negative."""
+    from big_data_virus_analysis_spark.streaming.streams import (
+        monitor_value_drift,
+        value_bucket_shares,
+    )
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    ref = value_bucket_shares(batch)
+
+    # single batch == reference data → PSI exactly 0
+    stream = read_events_stream(spark, events_stream_dir)
+    sink1 = str(tmp_path / "psi_one")
+    q = (
+        monitor_value_drift(stream, ref, sink1)
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(sink1).collect()
+    assert len(rows) == 1
+    assert rows[0].psi == 0.0
+    assert rows[0].n_rows == batch.count()
+
+    # per-file batches → one row per batch, all finite and >= 0
+    stream2 = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    sink2 = str(tmp_path / "psi_many")
+    q2 = (
+        monitor_value_drift(stream2, ref, sink2)
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    many = spark.read.parquet(sink2).collect()
+    assert len(many) >= 2
+    assert all(r.psi >= 0.0 for r in many)
+    assert sum(r.n_rows for r in many) == batch.count()
