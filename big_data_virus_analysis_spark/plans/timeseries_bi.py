@@ -182,6 +182,72 @@ WHERE (cum_rev - rev) < 0.8 * total
 """
 
 
+# --------------------------------------------------------------------------
+# Hierarchical share-of-parent (nation within region within world)
+# --------------------------------------------------------------------------
+
+def _q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of each nation within its region and of each
+    region within the whole — the drill-down report's share-of-parent
+    measure, from ONE nation-level aggregate plus two windows over the
+    25-row result (region partition, whole frame).  The fact table
+    shuffles once, on the 25-value nation key; dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"),
+        F.col("n_name").alias("nation"),
+        F.col("n_regionkey").alias("rk"),
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rk2"), F.col("r_name").alias("region")
+    )
+    per_nation = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("nk"))
+        .join(F.broadcast(region), F.col("rk") == F.col("rk2"))
+        .groupBy("region", "nation")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    wreg = Window.partitionBy("region")
+    wall = Window.orderBy(F.lit(1))
+    return (
+        per_nation.select(
+            "region",
+            "nation",
+            F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+            F.round(
+                (F.col("rev") / F.sum("rev").over(wreg)).cast("double"), 6
+            ).alias("share_of_region"),
+            F.round(
+                (F.sum("rev").over(wreg) / F.sum("rev").over(wall)).cast("double"), 6
+            ).alias("region_share_of_world"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+_SQL_SHARE_OF_PARENT = """
+WITH per_nation AS (
+  SELECT r_name AS region, n_name AS nation,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       round(CAST(rev AS DOUBLE), 4) AS revenue,
+       round(CAST(rev / sum(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+         AS share_of_region,
+       round(CAST(sum(rev) OVER (PARTITION BY region) / sum(rev) OVER ()
+                  AS DOUBLE), 6) AS region_share_of_world
+FROM per_nation
+ORDER BY region, nation
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "weekly_active_users": QuerySpec(
         _q_weekly_active_users,
@@ -197,5 +263,10 @@ SPECS: dict[str, QuerySpec] = {
         _q_pareto_customers,
         _SQL_PARETO_CUSTOMERS,
         "Pareto 80% revenue concentration via ordered running share",
+    ),
+    "share_of_parent": QuerySpec(
+        _q_share_of_parent,
+        _SQL_SHARE_OF_PARENT,
+        "hierarchical share-of-parent (nation→region→world) from one aggregate",
     ),
 }
