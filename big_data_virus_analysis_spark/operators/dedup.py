@@ -386,7 +386,10 @@ def jaccard_prefix_filtered(
     Output: ``(doc_a, doc_b, jaccard)``, doc_a < doc_b, rounded to 6 —
     byte-identical to the unfiltered operator (asserted in
     tests/test_operators.py)."""
-    dg = word_ngrams(documents, n)
+    # the shingle frame feeds five branches (df counts, prefix, both
+    # verify sides, sizes) — cache it so the explode+dedup shuffle runs
+    # once, exactly like PageRank caches its edge list
+    dg = word_ngrams(documents, n).cache()
     gram_df = dg.groupBy("gram").agg(F.count("*").alias("df"))
     ranked = dg.join(gram_df, "gram")
     wdoc = Window.partitionBy("doc_id").orderBy("df", "gram")
