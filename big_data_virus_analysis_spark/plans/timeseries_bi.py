@@ -183,6 +183,57 @@ WHERE (cum_rev - rev) < 0.8 * total
 
 
 # --------------------------------------------------------------------------
+# Growth accounting (new / retained / resurrected per day)
+# --------------------------------------------------------------------------
+
+def _q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users decomposed into NEW (first-ever day),
+    RETAINED (also active the previous day), and RESURRECTED (returning
+    after a gap) — the standard growth-accounting ledger.  One lag
+    window over the deduped (user, day) grid classifies every active
+    day; the daily rollup is a small hash agg.  One shuffle on user_id,
+    one on day."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / _DAY_US).cast("long").alias("day_num"),
+    )
+    grid = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    classified = grid.withColumn("prev_day", F.lag("day_num").over(w)).withColumn(
+        "status",
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.col("prev_day") == F.col("day_num") - 1, "retained")
+        .otherwise("resurrected"),
+    )
+    return (
+        classified.groupBy("day_num", "status")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("day_num", "status")
+    )
+
+
+_SQL_GROWTH_ACCOUNTING = """
+WITH grid AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_num FROM events
+), classified AS (
+  SELECT day_num,
+         CASE
+           WHEN lag(day_num) OVER (PARTITION BY user_id ORDER BY day_num) IS NULL
+             THEN 'new'
+           WHEN lag(day_num) OVER (PARTITION BY user_id ORDER BY day_num)
+                = day_num - 1 THEN 'retained'
+           ELSE 'resurrected'
+         END AS status
+  FROM grid
+)
+SELECT day_num, status, count(*) AS n_users
+FROM classified
+GROUP BY day_num, status
+ORDER BY day_num, status
+"""
+
+
+# --------------------------------------------------------------------------
 # Hierarchical share-of-parent (nation within region within world)
 # --------------------------------------------------------------------------
 
@@ -268,5 +319,10 @@ SPECS: dict[str, QuerySpec] = {
         _q_share_of_parent,
         _SQL_SHARE_OF_PARENT,
         "hierarchical share-of-parent (nation→region→world) from one aggregate",
+    ),
+    "growth_accounting": QuerySpec(
+        _q_growth_accounting,
+        _SQL_GROWTH_ACCOUNTING,
+        "daily new/retained/resurrected user ledger via one lag window",
     ),
 }
