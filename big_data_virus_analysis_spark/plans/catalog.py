@@ -3355,6 +3355,80 @@ def _q_bfs_hops_part0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(copurchase_edges(li), source=0, max_hops=3)
 
 
+def _q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts:
+    support ≥ 3 pairs with confidence both ways and lift.  Pair counts
+    come from the (order, part)-deduped self-join (the inverted-index
+    shape shared with the graph ops); per-part basket counts broadcast
+    back; the total basket count N is the catalog's documented
+    single-row broadcast cross join (same as the info-gain totals).
+    min-support prunes BEFORE the enrichment joins — at 100 TB the
+    support threshold is what keeps the rule set bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_co"))
+        .where(F.col("n_co") >= 3)
+    )
+    cnts = op.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    n_orders = op.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    ca = cnts.select(F.col("l_partkey").alias("ka"), F.col("cnt").alias("cnt_a"))
+    cb = cnts.select(F.col("l_partkey").alias("kb"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), F.col("part_a") == F.col("ka"))
+        .join(F.broadcast(cb), F.col("part_b") == F.col("kb"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            F.round(F.col("n_co") / F.col("cnt_a").cast("double"), 6).alias(
+                "conf_a_b"
+            ),
+            F.round(F.col("n_co") / F.col("cnt_b").cast("double"), 6).alias(
+                "conf_b_a"
+            ),
+            F.round(
+                F.col("n_co")
+                * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_SQL_ASSOCIATION_RULES_PARTS = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_co
+  FROM op a JOIN op b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), cnts AS (
+  SELECT l_partkey, count(*) AS cnt FROM op GROUP BY 1
+), tot AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM op
+)
+SELECT part_a, part_b, n_co,
+       round(n_co / CAST(ca.cnt AS DOUBLE), 6) AS conf_a_b,
+       round(n_co / CAST(cb.cnt AS DOUBLE), 6) AS conf_b_a,
+       round(n_co * n_orders / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN cnts ca ON part_a = ca.l_partkey
+JOIN cnts cb ON part_b = cb.l_partkey
+CROSS JOIN tot
+"""
+
+
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count on the undirected co-purchase graph (see
     operators/graph.py::triangle_count for the wedge-close plan and the
@@ -3399,6 +3473,12 @@ CATALOG.update(
             bfs_oracle_sql(0, 3),
             "BFS hop distances (3 rounds) from part 0 on the co-purchase "
             "graph; frontier-expansion iterations, unrolled-CTE oracle",
+        ),
+        "association_rules_parts": QuerySpec(
+            _q_association_rules_parts,
+            _SQL_ASSOCIATION_RULES_PARTS,
+            "market-basket rules: support/confidence/lift with min-support "
+            "pruning before enrichment",
         ),
     }
 )

@@ -54,6 +54,8 @@ BNLJ_ALLOWED = {
     # the aggregate, TPC-H Q20/Q22 shapes)
     "heavy_shipment_suppliers",
     "idle_customer_balance",
+    # single-row basket-total broadcast (like info_gain_topk)
+    "association_rules_parts",
     # 5x5 dimension-scaffold cross join, both sides broadcastable
     "region_pair_matrix",
 }
