@@ -25,7 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, register_views
 from ..operators.features import document_tokens, info_gain_ranking
 from ..operators.entropy_score import weighted_average_entropy
 from ..operators.sessions import sessionize, tumbling_window_agg
@@ -3355,6 +3355,37 @@ def _q_bfs_hops_part0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(copurchase_edges(li), source=0, max_hops=3)
 
 
+#: the engine's SQL-text surface: this exact ANSI string runs through
+#: ``spark.sql`` over ``register_views`` — users who prefer SQL to the
+#: DataFrame API get the same Catalyst plans (and DuckDB runs the very
+#: same text as its own oracle, modulo nothing: it is one string).
+_SQL_TEXT_TOP_PRIORITIES = """
+WITH yearly AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority AS priority,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, priority, round(CAST(rev AS DOUBLE), 4) AS revenue, rnk
+FROM (
+  SELECT yr, priority, rev,
+         CAST(row_number() OVER (PARTITION BY yr ORDER BY rev DESC, priority)
+              AS INT) AS rnk
+  FROM yearly
+)
+WHERE rnk <= 2
+ORDER BY yr, rnk
+"""
+
+
+def _q_sql_text_top_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text interface demonstration: the SAME ANSI string is
+    submitted to ``spark.sql`` (over temp views of the star schema) and
+    to DuckDB as the oracle — proving the engine's plain-SQL surface
+    end-to-end with zero dialect divergence for this query class."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TEXT_TOP_PRIORITIES)
+
+
 def _q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over co-purchased parts:
     support ≥ 3 pairs with confidence both ways and lift.  Pair counts
@@ -3479,6 +3510,12 @@ CATALOG.update(
             _SQL_ASSOCIATION_RULES_PARTS,
             "market-basket rules: support/confidence/lift with min-support "
             "pruning before enrichment",
+        ),
+        "sql_text_top_priorities": QuerySpec(
+            _q_sql_text_top_priorities,
+            _SQL_TEXT_TOP_PRIORITIES,
+            "SQL-text surface: one ANSI string runs as both the Spark query "
+            "(spark.sql over registered views) and the DuckDB oracle",
         ),
     }
 )
