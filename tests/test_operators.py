@@ -441,3 +441,37 @@ def test_prefix_filtered_jaccard_equals_unfiltered(spark):
     pref = sorted(map(tuple, jaccard_prefix_filtered(docs, 3, 0.8).collect()))
     assert pref == full
     assert len(full) > 0  # non-degenerate fixture
+
+
+def test_count_min_sketch_guarantees(spark):
+    """CMS estimates are never under the true count and stay within
+    eps*N above it for the heavy keys."""
+    from big_data_virus_analysis_spark.functions.sketches import column_count_min
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    from conftest import SMOKE_SF_DIR
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    n = ev.count()
+    truth = {r.event_type: r.cnt for r in
+             ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    cms = column_count_min(ev, "event_type", eps=0.01, confidence=0.99)
+    for k, true_cnt in truth.items():
+        est = cms.estimateCount(k)
+        assert est >= true_cnt
+        assert est <= true_cnt + 0.01 * n
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    from big_data_virus_analysis_spark.functions.sketches import column_bloom
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    from conftest import SMOKE_SF_DIR
+
+    cust = load_table(spark, SMOKE_SF_DIR, "customer")
+    keys = [r.c_custkey for r in cust.select("c_custkey").collect()]
+    bloom = column_bloom(cust, "c_custkey", expected_items=len(keys), fpp=0.01)
+    assert all(bloom.mightContain(k) for k in keys)  # no false negatives
+    # false positives bounded well away from 100% on a disjoint range
+    fp = sum(bloom.mightContain(k) for k in range(10_000_000, 10_001_000))
+    assert fp < 100
