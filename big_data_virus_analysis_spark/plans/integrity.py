@@ -146,6 +146,91 @@ ORDER BY day_num
 """
 
 
+# --------------------------------------------------------------------------
+# Row-level table diff (the drill-down after a checksum mismatch)
+# --------------------------------------------------------------------------
+
+def _q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between the orders table and a deterministically
+    perturbed copy (every 97th key re-priced, every 89th dropped —
+    standing in for yesterday's snapshot): full-outer join on the key,
+    canonical row strings compared, one row per difference with status
+    only_left / only_right / changed.  This is the drill-down a
+    checksum-bucket mismatch (``checksum_orders_buckets``) localizes
+    to; the join shuffles both sides once on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.select(
+        "o_orderkey",
+        F.concat_ws(
+            "|",
+            F.col("o_custkey"),
+            # integer-scaled price: engine-neutral canonical form (float
+            # FORMATTING differs between engines; scaled integers don't)
+            F.round(F.col("o_totalprice") * 10000).cast("bigint"),
+        ).alias("row_l"),
+    )
+    perturbed = (
+        orders.where(F.col("o_orderkey") % 89 != 0)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey"),
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+    )
+    right = perturbed.select(
+        F.col("o_orderkey").alias("rk"),
+        F.concat_ws(
+            "|",
+            F.col("o_custkey"),
+            F.round(F.col("o_totalprice") * 10000).cast("bigint"),
+        ).alias("row_r"),
+    )
+    joined = left.join(right, left["o_orderkey"] == right["rk"], "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("o_orderkey"), F.col("rk")).alias("key"),
+            F.when(F.col("rk").isNull(), "only_left")
+            .when(F.col("o_orderkey").isNull(), "only_right")
+            .when(F.col("row_l") != F.col("row_r"), "changed")
+            .otherwise("same")
+            .alias("status"),
+        )
+        .where(F.col("status") != "same")
+        .orderBy("key")
+    )
+
+
+_SQL_TABLE_DIFF_ORDERS = """
+WITH l AS (
+  SELECT o_orderkey,
+         concat_ws('|', o_custkey,
+                   CAST(round(o_totalprice * 10000) AS BIGINT)) AS row_l
+  FROM orders
+), r AS (
+  SELECT o_orderkey AS rk,
+         concat_ws('|', o_custkey,
+                   CAST(round((CASE WHEN o_orderkey % 97 = 0
+                                    THEN o_totalprice + 1.0
+                                    ELSE o_totalprice END) * 10000) AS BIGINT))
+           AS row_r
+  FROM orders WHERE o_orderkey % 89 <> 0
+)
+SELECT coalesce(o_orderkey, rk) AS key,
+       CASE WHEN rk IS NULL THEN 'only_left'
+            WHEN o_orderkey IS NULL THEN 'only_right'
+            WHEN row_l <> row_r THEN 'changed'
+            ELSE 'same' END AS status
+FROM l FULL OUTER JOIN r ON o_orderkey = rk
+WHERE (CASE WHEN rk IS NULL THEN 'only_left'
+            WHEN o_orderkey IS NULL THEN 'only_right'
+            WHEN row_l <> row_r THEN 'changed'
+            ELSE 'same' END) <> 'same'
+ORDER BY key
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "checksum_orders_buckets": QuerySpec(
         _q_checksum_orders_buckets,
@@ -156,5 +241,10 @@ SPECS: dict[str, QuerySpec] = {
         _q_incremental_daily_rollup,
         _SQL_INCREMENTAL_DAILY_ROLLUP,
         "incremental view maintenance: base ⊕ delta equals full recompute",
+    ),
+    "table_diff_orders": QuerySpec(
+        _q_table_diff_orders,
+        _SQL_TABLE_DIFF_ORDERS,
+        "row-level snapshot diff (only_left/only_right/changed) via full outer join",
     ),
 }
