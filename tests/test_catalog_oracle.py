@@ -36,3 +36,15 @@ def test_entry_smoke(spark):
 def test_every_query_has_catalog_doc():
     for name, spec in CATALOG.items():
         assert spec.doc, f"{name} missing provenance doc"
+
+
+def test_catalog_md_is_current():
+    """CATALOG.md is generated; regenerate (scripts/gen_catalog_md.py)
+    whenever a query is added."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CATALOG.md")
+    with open(path) as f:
+        content = f.read()
+    missing = [n for n in CATALOG if f"`{n}`" not in content]
+    assert not missing, f"regenerate CATALOG.md; missing {missing}"
