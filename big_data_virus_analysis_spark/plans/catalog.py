@@ -3355,6 +3355,45 @@ def _q_bfs_hops_part0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(copurchase_edges(li), source=0, max_hops=3)
 
 
+def _q_embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance-matrix aggregation for PCA (see
+    ml/pca.py — the RowMatrix recipe: d² cells aggregated distributed,
+    eigensolve on the driver).  DECIMAL-exact sums make the cells
+    engine-identical."""
+    from ..ml.pca import covariance_cells
+
+    return covariance_cells(load_table(spark, sf_dir, "embeddings"))
+
+
+_SQL_EMBEDDING_COVARIANCE_CELLS = """
+WITH pairs AS (
+  SELECT i, j,
+         CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[j + 1] AS DOUBLE) AS xy
+  FROM embeddings,
+       UNNEST(range(0, len(embedding))) t(i),
+       UNNEST(range(0, len(embedding))) u(j)
+  WHERE j >= i
+), cells AS (
+  SELECT i, j,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(xy AS DECIMAL(28,12))) AS sxy
+  FROM pairs GROUP BY 1, 2
+), grid AS (
+  SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS xd
+  FROM embeddings, UNNEST(range(0, len(embedding))) t(i)
+), means AS (
+  SELECT pos,
+         CAST(sum(CAST(xd AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+  FROM grid GROUP BY pos
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       round(CAST(sxy AS DOUBLE) / n - mi.m * mj.m, 6) + 0.0 AS cov
+FROM cells
+JOIN means mi ON i = mi.pos
+JOIN means mj ON j = mj.pos
+"""
+
+
 #: the engine's SQL-text surface: this exact ANSI string runs through
 #: ``spark.sql`` over ``register_views`` — users who prefer SQL to the
 #: DataFrame API get the same Catalyst plans (and DuckDB runs the very
@@ -3516,6 +3555,12 @@ CATALOG.update(
             _SQL_TEXT_TOP_PRIORITIES,
             "SQL-text surface: one ANSI string runs as both the Spark query "
             "(spark.sql over registered views) and the DuckDB oracle",
+        ),
+        "embedding_covariance_cells": QuerySpec(
+            _q_embedding_covariance_cells,
+            _SQL_EMBEDDING_COVARIANCE_CELLS,
+            "distributed d×d covariance aggregation (the PCA gram pass), "
+            "DECIMAL-exact cells",
         ),
     }
 )

