@@ -31,14 +31,16 @@ def covariance_cells(embeddings: DataFrame) -> DataFrame:
     d(d+1)/2 regardless of corpus size."""
     emb = embeddings.select(F.col("embedding"))
     d = F.size("embedding")
+    # (i, j) packed into one int key (i*d + j) so the exploded rows are
+    # a slim (int, double) pair instead of a 3-field struct — ~2× less
+    # explode traffic for the d²/2-per-row expansion
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), d - 1),
             lambda i: F.transform(
                 F.sequence(i, d - 1),
                 lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
+                    (i * d + j).cast("int").alias("k"),
                     (
                         F.element_at("embedding", i + 1).cast("double")
                         * F.element_at("embedding", j + 1).cast("double")
@@ -48,12 +50,19 @@ def covariance_cells(embeddings: DataFrame) -> DataFrame:
         )
     )
     cells = (
-        emb.select(F.explode(pairs).alias("p"))
-        .select("p.i", "p.j", "p.xy")
-        .groupBy("i", "j")
+        emb.select(F.explode(pairs).alias("p"), d.alias("d"))
+        .select("p.k", "p.xy", "d")
+        .groupBy("k")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
             F.sum(F.col("xy").cast(_DEC)).alias("sxy"),
+            F.first("d").alias("d"),
+        )
+        .select(
+            (F.col("k") / F.col("d")).cast("int").alias("i"),
+            (F.col("k") % F.col("d")).alias("j"),
+            "n",
+            "sxy",
         )
     )
     grid = embeddings.select(
