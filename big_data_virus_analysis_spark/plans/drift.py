@@ -212,6 +212,72 @@ FROM cdfs
 """
 
 
+# --------------------------------------------------------------------------
+# Exact AUC via rank statistics (Mann–Whitney with midranks)
+# --------------------------------------------------------------------------
+
+def _q_auc_rank_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC computed distributed from rank statistics — the
+    Mann–Whitney identity: AUC = (Σ midranks of positives − n₊(n₊+1)/2)
+    / (n₊·n₋).  Scorer: embedding squared-L2 norm (per-row array fold);
+    task: label < 5.  Midranks (average rank over score ties) make the
+    result independent of tie-break order, so both engines agree
+    exactly.  One global rank window (the deliberate total-order
+    stage; the streaming-scale twin bins scores first) + one
+    aggregate.  This is what `BinaryClassificationEvaluator` computes,
+    as a transparent relational plan with an exact oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = "CAST(x AS DOUBLE)"
+    score = F.round(
+        F.expr(f"aggregate(embedding, 0D, (acc, x) -> acc + {xd} * {xd})"), 6
+    )
+    scored = emb.select(
+        "vec_id",
+        score.alias("score"),
+        (F.col("label") < 5).cast("int").alias("pos"),
+    )
+    w = Window.orderBy("score", "vec_id")
+    wt = Window.partitionBy("score")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "midrank", F.avg("rn").over(wt)
+    )
+    return ranked.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("pos") * F.col("midrank"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2.0
+            )
+            / (F.sum("pos") * F.sum(1 - F.col("pos"))).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+_SQL_AUC_RANK_BASED = """
+WITH scored AS (
+  SELECT vec_id,
+         round(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+), ranked AS (
+  SELECT pos,
+         avg(rn) OVER (PARTITION BY score) AS midrank
+  FROM (
+    SELECT pos, score, row_number() OVER (ORDER BY score, vec_id) AS rn
+    FROM scored
+  )
+)
+SELECT sum(pos) AS n_pos,
+       sum(1 - pos) AS n_neg,
+       round((sum(pos * midrank) - sum(pos) * (sum(pos) + 1) / 2.0)
+             / CAST(sum(pos) * sum(1 - pos) AS DOUBLE), 6) AS auc
+FROM ranked
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "chisq_priority_segment": QuerySpec(
         _q_chisq_priority_segment,
@@ -227,5 +293,10 @@ SPECS: dict[str, QuerySpec] = {
         _q_ks_price_periods,
         _SQL_KS_PRICE_PERIODS,
         "exact two-sample KS statistic via pooled running CDFs",
+    ),
+    "auc_rank_based": QuerySpec(
+        _q_auc_rank_based,
+        _SQL_AUC_RANK_BASED,
+        "exact distributed ROC-AUC via Mann–Whitney midranks",
     ),
 }
