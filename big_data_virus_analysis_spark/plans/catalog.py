@@ -3679,3 +3679,12 @@ CATALOG.update(_CURATION_SPECS)
 from .drift import SPECS as _DRIFT_SPECS  # noqa: E402
 
 CATALOG.update(_DRIFT_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Survival-analysis pack (Kaplan–Meier; plans/survival.py)
+# --------------------------------------------------------------------------
+
+from .survival import SPECS as _SURVIVAL_SPECS  # noqa: E402
+
+CATALOG.update(_SURVIVAL_SPECS)

@@ -278,6 +278,81 @@ FROM ranked
 """
 
 
+# --------------------------------------------------------------------------
+# Gains / lift table (model-eval companion to AUC)
+# --------------------------------------------------------------------------
+
+def _q_gains_by_score_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains table: rank by score descending, cut into deciles, report
+    each decile's positive count, cumulative capture rate (share of all
+    positives found so far) and lift vs the base rate — how model
+    scores are actually consumed by targeting campaigns.  Same scorer
+    and task as `auc_rank_based`; ntile is deterministic with the
+    vec_id tiebreak; cumulative/global stats are windows over the
+    10-row decile aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = "CAST(x AS DOUBLE)"
+    score = F.round(
+        F.expr(f"aggregate(embedding, 0D, (acc, x) -> acc + {xd} * {xd})"), 6
+    )
+    scored = emb.select(
+        "vec_id",
+        score.alias("score"),
+        (F.col("label") < 5).cast("int").alias("pos"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "vec_id")
+    deciles = (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.sum("pos").alias("n_pos"))
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.lit(1))
+    return (
+        deciles.select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                F.sum("n_pos").over(wcum) / F.sum("n_pos").over(wall).cast("double"),
+                6,
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("n_pos") / F.col("n").cast("double"))
+                / (
+                    F.sum("n_pos").over(wall) / F.sum("n").over(wall).cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+_SQL_GAINS_BY_SCORE_DECILE = """
+WITH scored AS (
+  SELECT vec_id,
+         round(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+), deciles AS (
+  SELECT decile, count(*) AS n, sum(pos) AS n_pos
+  FROM (
+    SELECT pos, ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile
+    FROM scored
+  ) GROUP BY decile
+)
+SELECT CAST(decile AS INT) AS decile, n, n_pos,
+       round(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             / CAST(sum(n_pos) OVER () AS DOUBLE), 6) AS cum_capture,
+       round((n_pos / CAST(n AS DOUBLE))
+             / (sum(n_pos) OVER () / CAST(sum(n) OVER () AS DOUBLE)), 6) AS lift
+FROM deciles
+ORDER BY decile
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "chisq_priority_segment": QuerySpec(
         _q_chisq_priority_segment,
@@ -298,5 +373,10 @@ SPECS: dict[str, QuerySpec] = {
         _q_auc_rank_based,
         _SQL_AUC_RANK_BASED,
         "exact distributed ROC-AUC via Mann–Whitney midranks",
+    ),
+    "gains_by_score_decile": QuerySpec(
+        _q_gains_by_score_decile,
+        _SQL_GAINS_BY_SCORE_DECILE,
+        "gains/lift table: cumulative capture rate per score decile",
     ),
 }
