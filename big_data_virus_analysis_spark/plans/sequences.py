@@ -198,6 +198,134 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence-pattern counts (MATCH_RECOGNIZE via path-string encoding)
+# --------------------------------------------------------------------------
+
+def _q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching without MATCH_RECOGNIZE: each user's
+    time-ordered events encode to a one-char-per-event path string
+    (c/e/p/s/v initials are distinct), and pattern occurrences become
+    regexp counts — view→purchase adjacencies (`vp`) and view runs of
+    ≥3 (`vvv+`).  The encode is one deterministic ordered collect per
+    user; the matching is a per-row regexp, embarrassingly parallel.
+    This string-encoding trick is the standard distributed stand-in
+    for SQL row-pattern matching."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    touch = F.struct(
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.col("event_id").alias("e"),
+        F.substring("event_type", 1, 1).alias("y"),
+    )
+    seq = F.sort_array(F.collect_list(touch))
+    path = F.concat_ws("", F.transform(seq, lambda s: s.getField("y")))
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .select(
+            "user_id",
+            F.length("path").alias("n_events"),
+            F.size(F.expr(r"regexp_extract_all(path, 'vp', 0)")).alias(
+                "n_view_then_buy"
+            ),
+            F.size(F.expr(r"regexp_extract_all(path, 'vvv+', 0)")).alias(
+                "n_view_runs3"
+            ),
+        )
+    )
+
+
+_SQL_SEQUENCE_PATTERN_COUNTS = """
+WITH paths AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+  FROM events
+  WHERE user_id < 300
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(path) AS INT) AS n_events,
+       CAST(len(regexp_extract_all(path, 'vp')) AS INT) AS n_view_then_buy,
+       CAST(len(regexp_extract_all(path, 'vvv+')) AS INT) AS n_view_runs3
+FROM paths
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test (A/B conversion comparison)
+# --------------------------------------------------------------------------
+
+def _q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test comparing purchase-conversion between an
+    'exposed' cohort (even user_id — standing in for a treatment
+    assignment) and control: pooled-variance z statistic in one
+    aggregation pass.  The outcome is SCALE-FREE by construction —
+    "user's first event is a view" holds ~1/5 of users at every scale
+    factor (an any-purchase outcome saturates to 100% as history grows,
+    degenerating the test to 0/0).  The whole test is two numbers per
+    arm — the canonical experiment readout at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    first = F.min(
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("t"),
+            F.col("event_id").alias("e"),
+            F.col("event_type").alias("y"),
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        (first.getField("y") == "view").cast("int").alias("converted")
+    )
+    arms = per_user.select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("exposed"), "converted"
+    ).groupBy("exposed").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.sum(F.when(F.col("exposed") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("exposed") == 1, F.col("conv"))).alias("c1"),
+        F.sum(F.when(F.col("exposed") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("exposed") == 0, F.col("conv"))).alias("c0"),
+    )
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    pp = (F.col("c1") + F.col("c0")) / (F.col("n1") + F.col("n0")).cast("double")
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0")))
+    return wide.select(
+        "n1",
+        "c1",
+        "n0",
+        "c0",
+        F.round(p1, 6).alias("rate_exposed"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round((p1 - p0) / se, 6).alias("z_stat"),
+    )
+
+
+_SQL_AB_CONVERSION_ZTEST = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN (min(struct_pack(t := epoch_us(ts), e := event_id,
+                                    y := event_type))).y = 'view'
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+), wide AS (
+  SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n1,
+         sum(CASE WHEN user_id % 2 = 0 THEN converted END) AS c1,
+         sum(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n0,
+         sum(CASE WHEN user_id % 2 <> 0 THEN converted END) AS c0
+  FROM per_user
+)
+SELECT n1, c1, n0, c0,
+       round(c1 / CAST(n1 AS DOUBLE), 6) AS rate_exposed,
+       round(c0 / CAST(n0 AS DOUBLE), 6) AS rate_control,
+       round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+             / sqrt((c1 + c0) / CAST(n1 + n0 AS DOUBLE)
+                    * (1.0 - (c1 + c0) / CAST(n1 + n0 AS DOUBLE))
+                    * (1.0 / n1 + 1.0 / n0)), 6) AS z_stat
+FROM wide
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "event_transition_matrix": QuerySpec(
         _q_event_transition_matrix,
@@ -218,5 +346,15 @@ SPECS: dict[str, QuerySpec] = {
         _q_doc_token_surprisal,
         _SQL_DOC_TOKEN_SURPRISAL,
         "unigram-LM mean surprisal quality score (perplexity-filter analogue)",
+    ),
+    "sequence_pattern_counts": QuerySpec(
+        _q_sequence_pattern_counts,
+        _SQL_SEQUENCE_PATTERN_COUNTS,
+        "MATCH_RECOGNIZE-style row-pattern counts via path-string regexp",
+    ),
+    "ab_conversion_ztest": QuerySpec(
+        _q_ab_conversion_ztest,
+        _SQL_AB_CONVERSION_ZTEST,
+        "two-proportion z-test experiment readout in one aggregation",
     ),
 }
