@@ -73,3 +73,75 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(
         batch_user_totals, schema=OUTPUT_SCHEMA
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def session_emitter(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Streaming gap-based sessionization with EVENT-TIME TIMEOUTS —
+    the second custom stateful operator: sessions close (and emit,
+    append-mode) either when a later in-batch event exceeds the gap, or
+    when the WATERMARK passes session_end + gap and the state timeout
+    fires for a dormant user.  State per user is one (start, last, n)
+    triple; the timeout is what bounds state for users who simply stop
+    — the piece `running_user_totals` deliberately omits.
+
+    Requires a watermark on ``ts`` (the caller sets it; tests use the
+    batch twin ``operators/sessions.py::sessionize`` for parity on
+    closed sessions).  Emits CLOSED sessions only — open sessions
+    remain in state until their timeout.
+    """
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1_000
+
+    def update_sessions(key, batches, state):
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append((start_us, last_us, n))
+            state.remove()
+        else:
+            ts_list: list[int] = []
+            for pdf in batches:
+                ts_list.extend(int(v) for v in pdf["ts_us"])
+            ts_list.sort()
+            cur = state.get if state.exists else None
+            for t in ts_list:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] <= gap_us:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                else:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+            if cur is not None:
+                state.update(cur)
+                # fire once the watermark passes last event + gap
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start_us": [c[0] for c in closed],
+                "session_end_us": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    with_us = events.withColumn("ts_us", F.unix_micros("ts"))
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        update_sessions,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -321,3 +321,42 @@ def test_drift_monitor_zero_psi_on_reference_data(spark, events_stream_dir, tmp_
     assert len(many) >= 2
     assert all(r.psi >= 0.0 for r in many)
     assert sum(r.n_rows for r in many) == batch.count()
+
+
+def test_stateful_session_emitter_matches_batch_closed_sessions(
+    spark, events_stream_dir, tmp_path
+):
+    """Every emitted session must be a session the batch sessionizer
+    also finds, and all batch sessions closed well before the final
+    watermark must have been emitted (within-batch closures + event-
+    time timeouts together)."""
+    from big_data_virus_analysis_spark.operators.sessions import sessionize
+    from big_data_virus_analysis_spark.streaming.stateful import session_emitter
+
+    GAP = 1800
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got_df = _run_stream(
+        spark,
+        session_emitter(stream.withWatermark("ts", "10 minutes"), gap_seconds=GAP),
+        "append",
+        tmp_path,
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in got_df.collect()
+    }
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    expected_all = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize(batch, gap_seconds=GAP).collect()
+    }
+    assert got <= expected_all, "emitted a session batch never saw"
+
+    max_us = batch.agg(F.max(F.unix_micros("ts"))).first()[0]
+    wm_us = max_us - 10 * 60 * 1_000_000
+    surely_closed = {
+        s for s in expected_all if s[2] + GAP * 1_000_000 < wm_us - 1_000_000
+    }
+    assert surely_closed <= got, "a long-closed session was never emitted"
+    assert len(got) > 0
