@@ -183,6 +183,62 @@ WHERE (cum_rev - rev) < 0.8 * total
 
 
 # --------------------------------------------------------------------------
+# EWMA smoothing (recursive series via deterministic array fold)
+# --------------------------------------------------------------------------
+
+def _q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's daily value
+    total (α=0.3) — a RECURSIVE series that window functions cannot
+    express, computed as a deterministic left fold over the user's
+    time-ordered daily array: aggregate once per (user, day), collect
+    the bounded per-user series, fold JVM-side with `aggregate`.  Both
+    engines execute the identical fold order on identical (rounded)
+    inputs, so the oracle is exact.  Per-user state is the day-series
+    array — bounded by the observation span, not the event count."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    daily = (
+        ev.select(
+            "user_id",
+            (F.unix_micros(F.col("ts")) / _DAY_US).cast("long").alias("day"),
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    series = F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("day"), F.col("v")))),
+        lambda s: s.getField("v"),
+    )
+    per_user = daily.groupBy("user_id").agg(series.alias("vals"))
+    ewma = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),"
+        " (acc, x) -> acc * 0.7D + x * 0.3D)"
+    )
+    return per_user.select(
+        "user_id",
+        F.size("vals").alias("n_days"),
+        F.round(ewma, 4).alias("ewma_value"),
+    )
+
+
+_SQL_EWMA_DAILY_VALUE = """
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         round(sum(value), 6) AS v
+  FROM events WHERE user_id < 200
+  GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, list(v ORDER BY day) AS vals
+  FROM daily GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS INT) AS n_days,
+       round(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3), 4) AS ewma_value
+FROM per_user
+"""
+
+
+# --------------------------------------------------------------------------
 # Growth accounting (new / retained / resurrected per day)
 # --------------------------------------------------------------------------
 
@@ -324,5 +380,10 @@ SPECS: dict[str, QuerySpec] = {
         _q_growth_accounting,
         _SQL_GROWTH_ACCOUNTING,
         "daily new/retained/resurrected user ledger via one lag window",
+    ),
+    "ewma_daily_value": QuerySpec(
+        _q_ewma_daily_value,
+        _SQL_EWMA_DAILY_VALUE,
+        "recursive EWMA via deterministic array fold (window-inexpressible)",
     ),
 }
