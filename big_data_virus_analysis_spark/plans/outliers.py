@@ -108,6 +108,56 @@ ORDER BY part.p_brand
 
 
 # --------------------------------------------------------------------------
+# Winsorized mean (robust location, complements MAD's robust spread)
+# --------------------------------------------------------------------------
+
+def _q_winsorized_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand winsorized mean retail price: values clipped to the
+    brand's [p05, p95] before averaging — the robust-location twin of
+    `mad_price_by_brand`'s robust spread.  One exact-percentile pass,
+    broadcast of the 25-row bounds, then a clipped mean; the decimal
+    cast makes the clipped sum order-independent."""
+    part = load_table(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    bounds = part.groupBy("p_brand").agg(
+        F.expr("percentile(p_retailprice, 0.05)").alias("lo"),
+        F.expr("percentile(p_retailprice, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("p_retailprice"), F.col("lo")), F.col("hi"))
+    return (
+        part.join(F.broadcast(bounds), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double") / F.count("*"),
+                4,
+            ).alias("winsorized_mean"),
+            F.round(F.avg("p_retailprice"), 4).alias("plain_mean"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SQL_WINSORIZED_MEAN_PRICES = """
+WITH bounds AS (
+  SELECT p_brand,
+         quantile_cont(p_retailprice, 0.05) AS lo,
+         quantile_cont(p_retailprice, 0.95) AS hi
+  FROM part GROUP BY p_brand
+)
+SELECT part.p_brand,
+       count(*) AS n_parts,
+       round(CAST(sum(CAST(least(greatest(p_retailprice, lo), hi)
+                           AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+         AS winsorized_mean,
+       round(avg(p_retailprice), 4) AS plain_mean
+FROM part JOIN bounds ON part.p_brand = bounds.p_brand
+GROUP BY part.p_brand
+ORDER BY part.p_brand
+"""
+
+
+# --------------------------------------------------------------------------
 # Duplicate-n-gram repetition score (LLM-corpus boilerplate filter)
 # --------------------------------------------------------------------------
 
@@ -217,5 +267,10 @@ SPECS: dict[str, QuerySpec] = {
         _q_first_last_touch,
         _SQL_FIRST_LAST_TOUCH,
         "first/last-touch attribution via single-pass struct min/max",
+    ),
+    "winsorized_mean_prices": QuerySpec(
+        _q_winsorized_mean_prices,
+        _SQL_WINSORIZED_MEAN_PRICES,
+        "winsorized (clipped-tail) robust mean per group",
     ),
 }
