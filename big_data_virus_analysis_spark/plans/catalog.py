@@ -3688,3 +3688,12 @@ CATALOG.update(_DRIFT_SPECS)
 from .survival import SPECS as _SURVIVAL_SPECS  # noqa: E402
 
 CATALOG.update(_SURVIVAL_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Retrieval pack (BM25; plans/retrieval.py)
+# --------------------------------------------------------------------------
+
+from .retrieval import SPECS as _RETRIEVAL_SPECS  # noqa: E402
+
+CATALOG.update(_RETRIEVAL_SPECS)

@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
     "idle_customer_balance",
     # single-row basket-total broadcast (like info_gain_topk)
     "association_rules_parts",
+    # single-row corpus-scalars broadcast (N, avgdl)
+    "bm25_search",
     # 5x5 dimension-scaffold cross join, both sides broadcastable
     "region_pair_matrix",
 }
