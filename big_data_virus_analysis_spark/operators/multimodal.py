@@ -152,3 +152,52 @@ def decode_features(documents: DataFrame, batch_hint: int = 256) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         decode, schema="doc_id bigint, n_bytes bigint, mean_byte double, checksum bigint"
     )
+
+
+def resize_payloads(documents: DataFrame, stride: int = 2) -> DataFrame:
+    """Nearest-neighbor "resize" of each payload treated as a byte grid
+    (rows of FRAME_BYTES): keep every ``stride``-th byte of every
+    ``stride``-th full row — the real downsample kernel shape
+    (strided slicing over an ndarray in Arrow-batched ``mapInPandas``),
+    with byte grids standing in for pixel planes since the container
+    ships no codecs.  The tail partial row is dropped (floor to full
+    rows), making output sizes a closed-form function of n_bytes:
+    ``ceil(floor(n/64)/stride) * ceil(64/stride)`` — which is what the
+    catalog oracle checks (`resize_payload_sizes`).
+
+    Output: (doc_id, src_bytes, dst_bytes, dst_checksum).
+    """
+    with_payload = attach_binary_payload(documents)
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_rows = arr.size // FRAME_BYTES
+                grid = arr[: n_rows * FRAME_BYTES].reshape(n_rows, FRAME_BYTES)
+                small = grid[::stride, ::stride]
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(arr.size),
+                        int(small.size),
+                        int(
+                            (
+                                small.astype(np.int64).ravel()
+                                * (np.arange(small.size) % 251 + 1)
+                            ).sum()
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_bytes", "dst_bytes", "dst_checksum"]
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        kernel,
+        schema="doc_id bigint, src_bytes bigint, dst_bytes bigint, dst_checksum bigint",
+    )

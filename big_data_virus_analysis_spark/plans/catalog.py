@@ -3697,3 +3697,39 @@ CATALOG.update(_SURVIVAL_SPECS)
 from .retrieval import SPECS as _RETRIEVAL_SPECS  # noqa: E402
 
 CATALOG.update(_RETRIEVAL_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Multimodal resize plumbing (operators/multimodal.py::resize_payloads)
+# --------------------------------------------------------------------------
+
+def _q_resize_payload_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-kernel plumbing check: the mapInPandas stride-downsample's
+    output sizes follow the closed form ceil(floor(n/64)/2)·32, which
+    the oracle recomputes from the text length — verifying the Arrow
+    batch boundary end-to-end (the checksum column, not SQL-expressible,
+    is covered by tests/test_multimodal.py)."""
+    from ..operators.multimodal import resize_payloads
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_payloads(docs, stride=2).select("doc_id", "src_bytes", "dst_bytes")
+
+
+_SQL_RESIZE_PAYLOAD_SIZES = """
+SELECT doc_id,
+       octet_length(encode(text)) AS src_bytes,
+       CAST(ceil((octet_length(encode(text)) // 64) / 2.0) * 32 AS BIGINT)
+         AS dst_bytes
+FROM documents
+"""
+
+CATALOG.update(
+    {
+        "resize_payload_sizes": QuerySpec(
+            _q_resize_payload_sizes,
+            _SQL_RESIZE_PAYLOAD_SIZES,
+            "multimodal resize plumbing: mapInPandas stride kernel, size "
+            "closed-form oracle",
+        ),
+    }
+)

@@ -59,3 +59,25 @@ def test_metadata_plan_prunes_payload(docs):
         payload_metadata_stats(docs)._jdf.queryExecution(), "formatted"
     )
     assert "payload" not in plan
+
+
+def test_resize_payloads_sizes_and_determinism(spark):
+    import math
+
+    from big_data_virus_analysis_spark.operators.multimodal import (
+        FRAME_BYTES,
+        resize_payloads,
+    )
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    from conftest import SMOKE_SF_DIR
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    out = resize_payloads(docs, stride=2).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        n_rows = r.src_bytes // FRAME_BYTES
+        expect = math.ceil(n_rows / 2) * math.ceil(FRAME_BYTES / 2)
+        assert r.dst_bytes == expect
+    again = {r.doc_id: r.dst_checksum for r in resize_payloads(docs, stride=2).collect()}
+    assert again == {r.doc_id: r.dst_checksum for r in out}
