@@ -80,3 +80,42 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so Spark SQL text queries work."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+EXPECTED_SCHEMAS = {
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
+        "o_orderpriority": "string",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",  # nanos→micros conversion yields session-tz timestamp
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+}
+
+
+def validate_schema(df: DataFrame, expected: dict[str, str]) -> list[str]:
+    """Schema-contract check: returns a list of human-readable
+    violations (missing column, wrong type, unexpected column) —
+    empty means the frame honors the contract.  The ingest-gate
+    companion to the FK audit (`fk_violation_counts`): structure here,
+    referential integrity there.  Pure metadata — no job runs."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for col, typ in expected.items():
+        if col not in actual:
+            problems.append(f"missing column {col}")
+        elif actual[col] != typ:
+            problems.append(f"{col}: expected {typ}, got {actual[col]}")
+    for col in actual:
+        if col not in expected:
+            problems.append(f"unexpected column {col}")
+    return problems

@@ -475,3 +475,24 @@ def test_bloom_filter_no_false_negatives(spark):
     # false positives bounded well away from 100% on a disjoint range
     fp = sum(bloom.mightContain(k) for k in range(10_000_000, 10_001_000))
     assert fp < 100
+
+
+def test_schema_contract_validation(spark):
+    from big_data_virus_analysis_spark.sources.tables import (
+        EXPECTED_SCHEMAS,
+        load_table,
+        validate_schema,
+    )
+
+    from conftest import SMOKE_SF_DIR
+
+    for name, expected in EXPECTED_SCHEMAS.items():
+        df = load_table(spark, SMOKE_SF_DIR, name)
+        assert validate_schema(df, expected) == [], name
+    # violations are reported, not swallowed
+    broken = load_table(spark, SMOKE_SF_DIR, "orders").drop("o_custkey").withColumn(
+        "extra", F.lit(1)
+    )
+    probs = validate_schema(broken, EXPECTED_SCHEMAS["orders"])
+    assert any("missing column o_custkey" in p for p in probs)
+    assert any("unexpected column extra" in p for p in probs)
