@@ -14,7 +14,11 @@ order-insensitive value-hash comparison deterministic:
   both engines — double summation order would otherwise diverge);
 * timestamps are exported as epoch microseconds (``unix_micros`` /
   ``epoch_us``);
-* window ranks always carry a full deterministic ORDER BY tiebreak.
+* window ranks always carry a full deterministic ORDER BY tiebreak;
+* columns whose rounded value can land on zero from the negative side
+  add ``+ 0.0`` after the round on BOTH sides — IEEE −0.0 and +0.0
+  hash-serialize differently, and engines may disagree on which one a
+  near-zero rounds to (see `standardize_embeddings`, covariance cells).
 """
 
 from __future__ import annotations
