@@ -205,6 +205,57 @@ FROM grams
 
 
 # --------------------------------------------------------------------------
+# Skyline / Pareto frontier (multi-objective non-dominated set)
+# --------------------------------------------------------------------------
+
+def _q_skyline_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand skyline: parts not DOMINATED on (price ↓, size ↑) —
+    another part is at least as cheap AND at least as big, strictly
+    better in one.  The dominance anti-join runs WITHIN brand blocks
+    (the standard distributed skyline: partition, local frontier), so
+    the quadratic candidate space is (brand size)², never (table)².
+    Multi-objective top-k that no single ORDER BY can express."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    a, b = part.alias("a"), part.alias("b")
+    dominated = (
+        (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+        & (F.col("b.p_size") >= F.col("a.p_size"))
+        & (
+            (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+            | (F.col("b.p_size") > F.col("a.p_size"))
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand")) & dominated,
+            "left_anti",
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 4).alias("p_retailprice"),
+            "p_size",
+        )
+    )
+
+
+_SQL_SKYLINE_PARTS_PER_BRAND = """
+SELECT p_brand, p_partkey, round(p_retailprice, 4) AS p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_brand = a.p_brand
+    AND b.p_retailprice <= a.p_retailprice
+    AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # First/last-touch attribution (single-pass struct min/max)
 # --------------------------------------------------------------------------
 
@@ -272,5 +323,10 @@ SPECS: dict[str, QuerySpec] = {
         _q_winsorized_mean_prices,
         _SQL_WINSORIZED_MEAN_PRICES,
         "winsorized (clipped-tail) robust mean per group",
+    ),
+    "skyline_parts_per_brand": QuerySpec(
+        _q_skyline_parts_per_brand,
+        _SQL_SKYLINE_PARTS_PER_BRAND,
+        "blocked Pareto-frontier skyline (non-dominated multi-objective set)",
     ),
 }
