@@ -38,18 +38,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
-        # parquet reader rejects; read nanos as long and convert (the
-        # generator wrote whole-microsecond values, so this is lossless
-        # and matches DuckDB's micro-truncating read).  Set here, not in
-        # the session factory, so it also holds under a driver-owned
-        # SparkSession.
+        # The generator has written `ts` three ways across testdata
+        # versions: TIMESTAMP(NANOS) (vectorized reader rejects it →
+        # read nanos as long and convert), TIMESTAMP_NTZ, and plain
+        # TIMESTAMP.  Normalize all of them to a session-tz TIMESTAMP so
+        # downstream `unix_micros` works; the session tz is pinned UTC,
+        # so the NTZ cast keeps wall-clock values and matches DuckDB's
+        # `epoch_us` read of the same column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             # integer `div`, not `/`: double division loses precision at
             # epoch-nanos magnitude (~1.7e18 > 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
