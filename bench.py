@@ -32,8 +32,11 @@ HEADLINE = [
     # training-data-pipeline extensions
     "dedup_exact",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_fast",
     "token_stats",
     "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "embedding_near_dup",
     "payload_metadata_stats",
     "sliding_window_events",
     "tfidf_top_terms",

@@ -122,16 +122,29 @@ def ngram_jaccard_pairs(
     )
 
 
-def shingle_ids(dg: DataFrame) -> DataFrame:
-    """Hash-encode shingles: ``(doc_id, tid)``.
+def shingle_ids(dg: DataFrame, hash_method: str = "md5") -> DataFrame:
+    """Hash-encode shingles: ``(doc_id, tid)``, tid ∈ [0, 2^60).
 
-    tid = first 15 hex chars of md5(gram) as a BIGINT (< 2^60) — a pure
+    ``"md5"``: first 15 hex chars of md5(gram) as a BIGINT — a pure
     per-row expression that DuckDB reproduces bit-for-bit
     (``CAST('0x'||substr(md5(g),1,15) AS BIGINT)``), so the oracle holds
     with NO dictionary: no distinct, no vocabulary-sized global window,
-    no join-back.  This is the scale path and the oracle path at once.
+    no join-back.
+
+    ``"xxhash64"``: Spark's native 64-bit hash masked to the same
+    [0, 2^60) range — one JVM intrinsic per gram instead of a
+    cryptographic digest + hex-string decode, ~4× cheaper in the
+    gram-explosion hot loop.  Not reproducible in DuckDB, so it is the
+    BENCH/scale path; correctness of the minhash pipeline is proven on
+    the md5 family and the two share every line downstream of this
+    function.
     """
-    tid = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+    if hash_method == "xxhash64":
+        tid = F.expr(f"xxhash64(gram) & {(1 << 60) - 1}")
+    elif hash_method == "md5":
+        tid = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+    else:
+        raise ValueError("hash_method must be 'md5' or 'xxhash64'")
     return dg.select("doc_id", tid.alias("tid"))
 
 
@@ -140,7 +153,9 @@ def _scramble(tid):
     return ((tid % _M31) * _SCRAMBLE) % _M31
 
 
-def _minhash_mins(documents: DataFrame, n: int, k: int) -> DataFrame:
+def _minhash_mins(
+    documents: DataFrame, n: int, k: int, hash_method: str = "md5"
+) -> DataFrame:
     """Wide MinHash row per doc: ``(doc_id, _h1 … _hk)``.
 
     Hash family h_i(t) = (a_i·s + b_i) mod (2^31−1) with s the scrambled
@@ -165,7 +180,7 @@ def _minhash_mins(documents: DataFrame, n: int, k: int) -> DataFrame:
         .where(F.size(tokens) >= n)
         .select("doc_id", F.explode(grams).alias("gram"))
     )
-    ids = shingle_ids(raw).withColumn("s", _scramble(F.col("tid")))
+    ids = shingle_ids(raw, hash_method).withColumn("s", _scramble(F.col("tid")))
     return ids.groupBy("doc_id").agg(
         *[
             F.min((F.lit(2 * i + 1).cast("bigint") * F.col("s") + 7919 * i) % _P31).alias(
@@ -187,7 +202,11 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFra
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, n: int = 3, k: int = 32, bands: int = 8
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    hash_method: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 identical signature band.
 
@@ -204,7 +223,7 @@ def minhash_lsh_pairs(
     # only product was string glue.  concat_ws over the already-adjacent
     # columns is a per-row projection; posexplode of `bands` small
     # strings replaces the aggregation entirely.
-    mins = _minhash_mins(documents, n, k)
+    mins = _minhash_mins(documents, n, k, hash_method)
     band_keys = mins.select(
         "doc_id",
         F.posexplode(
@@ -270,20 +289,71 @@ def simhash_docs(documents: DataFrame, n: int = 3, bits: int = 31) -> DataFrame:
     )
 
 
-def simhash_pairs(documents: DataFrame, n: int = 3, max_hamming: int = 6) -> DataFrame:
+def simhash_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    max_hamming: int = 6,
+    bits: int = 31,
+    banded: bool = True,
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    All-pairs comparison on the *per-doc* table (documents-sized, tiny
-    next to the corpus); the LSH-banded variant of the same signature is
-    the 100 TB path (band by bit-slices exactly like MinHash bands).
+    ``banded=True`` (the 100 TB path, default): bit-slice LSH exactly
+    like MinHash bands.  The ``bits``-wide signature is cut into
+    ``max_hamming + 1`` contiguous slices; by pigeonhole, two signatures
+    within Hamming distance ``max_hamming`` differ in at most
+    ``max_hamming`` slices, so they agree EXACTLY on at least one —
+    candidate generation is an equi-join on ``(slice_idx, slice_value)``
+    with zero false negatives, and the Hamming verify runs on candidates
+    only.  Output is identical to the all-pairs form (asserted in
+    tests/test_dedup.py), but the join is bucketed instead of O(n²).
+
+    ``banded=False`` keeps the brute-force all-pairs comparison as the
+    correctness oracle for small fixtures.
 
     Output: ``(doc_a, doc_b, hamming)``.
     """
-    sim = simhash_docs(documents, n)
-    a = sim.alias("a")
-    b = sim.alias("b")
+    sim = simhash_docs(documents, n, bits)
+    if not banded:
+        a = sim.alias("a")
+        b = sim.alias("b")
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn("hamming", F.expr("bit_count(a.simhash ^ b.simhash)"))
+            .where(F.col("hamming") <= max_hamming)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("hamming"),
+            )
+        )
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    slices = []
+    off = 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        slices.append(
+            F.struct(
+                F.lit(i).alias("slice_idx"),
+                F.expr(f"shiftright(simhash, {off}) & {(1 << w) - 1}").alias(
+                    "slice_val"
+                ),
+            )
+        )
+        off += w
+    bands = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*slices)).alias("s")
+    ).select("doc_id", "simhash", "s.slice_idx", "s.slice_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.slice_idx") == F.col("b.slice_idx"))
+            & (F.col("a.slice_val") == F.col("b.slice_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .withColumn("hamming", F.expr("bit_count(a.simhash ^ b.simhash)"))
         .where(F.col("hamming") <= max_hamming)
         .select(
@@ -291,30 +361,46 @@ def simhash_pairs(documents: DataFrame, n: int = 3, max_hamming: int = 6) -> Dat
             F.col("b.doc_id").alias("doc_b"),
             F.col("hamming"),
         )
+        # a close pair can collide in several slices — dedupe candidates
+        .distinct()
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 25, method: str = "propagation"
+) -> DataFrame:
     """Resolve near-dup pairs into clusters: connected components with
     cluster id = min doc_id in the component (the canonical survivor).
 
-    Min-label propagation to a fixpoint: every node starts labeled with
-    itself; each round a node takes the min of its own and its
-    neighbors' labels.  Rounds needed = graph diameter, and near-dup
-    graphs are unions of small dense cliques (band-collision clusters),
-    so convergence is a handful of rounds.  ``localCheckpoint`` after
-    each round truncates the join lineage — without it the plan doubles
-    per iteration.  At 100 TB the same loop runs with the
-    large-star/small-star optimization (alternately hooking high-degree
-    nodes) to bound the per-round shuffle; plain propagation is the
-    diameter-bounded form.
+    ``method="propagation"``: min-label propagation to a fixpoint —
+    every node starts labeled with itself; each round a node takes the
+    min of its own and its neighbors' labels.  Rounds needed = graph
+    diameter; near-dup graphs are unions of small dense cliques
+    (band-collision clusters), so convergence is a handful of rounds.
+    ``localCheckpoint`` after each round truncates the join lineage —
+    without it the plan doubles per iteration.
 
-    Convergence test is ``sum(label)``: labels only ever decrease, so
-    the sum is strictly monotone until the fixpoint — one cheap
-    aggregate per round instead of a change-count join.
+    ``method="two_phase"``: the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public): alternately hook every node's neighbors to its
+    neighborhood minimum (large-star moves strictly-larger neighbors,
+    small-star the rest), converging in O(log² n) rounds INDEPENDENT of
+    graph diameter and shrinking the edge set toward stars as it goes —
+    the 100 TB path when components can be long chains rather than
+    cliques.  Property-tested equivalent to propagation in
+    tests/test_operators.py.
+
+    Convergence test for propagation is ``sum(label)``: labels only
+    ever decrease, so the sum is strictly monotone until the fixpoint —
+    one cheap aggregate per round instead of a change-count join; the
+    star rounds compare (count, sum-of-endpoints) of the edge set.
 
     Output: ``(doc_id, cluster_id)`` for every doc in >=1 pair.
     """
+    if method == "two_phase":
+        return _dedup_clusters_two_phase(pairs, max_iter)
+    if method != "propagation":
+        raise ValueError("method must be 'propagation' or 'two_phase'")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -347,6 +433,76 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _large_star(directed: DataFrame) -> DataFrame:
+    """One large-star round: for every node u, connect each strictly
+    LARGER neighbor to m = min(N(u) ∪ {u}).  Input/output: canonical
+    directed edges (u > v)."""
+    both = directed.select("u", "v").unionByName(
+        directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    return (
+        both.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .where(F.col("u") > F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """One small-star round: every node u (with all its neighbors v < u
+    in canonical form) re-points them — and itself — at its minimum
+    neighbor.  Input/output: canonical directed edges (u > v)."""
+    mins = directed.groupBy("u").agg(F.min("v").alias("mn"))
+    with_m = directed.join(mins, "u")
+    repointed = with_m.where(F.col("v") != F.col("mn")).select(
+        F.col("v").alias("u"), F.col("mn").alias("v")
+    )
+    self_edge = mins.select("u", F.col("mn").alias("v"))
+    return repointed.unionByName(self_edge).where(F.col("u") > F.col("v")).distinct()
+
+
+def _dedup_clusters_two_phase(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (see dedup_clusters)."""
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sig = tuple(
+            edges.agg(
+                F.count("*"), F.coalesce(F.sum("u"), F.lit(0)),
+                F.coalesce(F.sum("v"), F.lit(0)),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint is a star forest: u → component root; roots label themselves
+    return (
+        nodes.join(edges, nodes.node == edges.u, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("v"), F.col("node")).alias("cluster_id"),
+        )
+    )
 
 
 def dedup_survivors(documents: DataFrame, pairs: DataFrame) -> DataFrame:

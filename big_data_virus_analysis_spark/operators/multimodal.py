@@ -77,7 +77,9 @@ def payload_metadata_stats(documents: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+            # exact integer sum / count as one IEEE division — identical
+            # on any engine; round(avg(double)) is impl-divergent
+            (F.sum("n_bytes").cast("double") / F.count("*")).alias("avg_bytes"),
         )
     )
 

@@ -194,9 +194,54 @@ def ivf_topk(
     )
 
 
-def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+def _verify_pairs_exact(
+    embeddings: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Recompute the canonical rounded cosine on candidate id pairs and
+    apply the threshold — the single source of truth for pair output, so
+    every candidate generator yields byte-identical results."""
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        candidates.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim", F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6))
+        .where(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    method: str = "blocked",
+    n_blocks: int = 8,
+) -> DataFrame:
     """Embedding near-dup pairs: ``(vec_a, vec_b, sim)`` at/above the
-    rounded-cosine threshold, vec_a < vec_b."""
+    rounded-cosine threshold, vec_a < vec_b.
+
+    ``method="blocked"`` (default, exact, the 100 TB path): triangle
+    block partitioning + per-task BLAS matmul candidate generation
+    (``similarity_pandas.blocked_near_dup_candidates``), then a JVM
+    exact verify that recomputes the canonical rounded cosine — output
+    is byte-identical to the all-pairs form (asserted in tests), but
+    the n² work is spread over B(B+1)/2 even, bounded-memory tasks
+    instead of one quadratic nested-loop join.
+
+    ``method="allpairs"``: the brute-force thresholded join, kept as the
+    correctness oracle for small fixtures.
+
+    For HIGH thresholds (≥ ~0.8) where sign-LSH has real pruning power,
+    see :func:`cosine_near_dup_lsh`; at low thresholds like 0.4 no LSH
+    parameterization gives both recall and pruning (bit agreement at
+    sim 0.4 is ~0.63/plane), so the exact blocked plan is the honest
+    scale path.
+    """
+    if method == "blocked":
+        from .similarity_pandas import blocked_near_dup_candidates
+
+        cands = blocked_near_dup_candidates(embeddings, threshold, n_blocks)
+        return _verify_pairs_exact(embeddings, cands, threshold)
     a = fan_out(embeddings).select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
@@ -209,14 +254,103 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> Data
     )
 
 
-def knn_label_vote(embeddings: DataFrame, n_queries: int = 50, k: int = 5) -> DataFrame:
+def cosine_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes_per_table: int = 8,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Sign-LSH-prefiltered near-dup pairs for HIGH thresholds.
+
+    Multi-table prefilter: table t hashes every vector with planes
+    ``[t·p, (t+1)·p)`` (same deterministic LCG family as
+    :func:`lsh_bucket`); candidates are pairs colliding in ≥1 table,
+    then the JVM verify recomputes the exact rounded cosine.
+
+    Recall math (miss probability for a pair at similarity s):
+    per-plane agreement a = 1 − acos(s)/π; per-table collision a^p;
+    miss = (1 − a^p)^T.  At s=0.9, p=8, T=8: a≈0.856, a^p≈0.29,
+    miss≈6% — and pairs ABOVE the threshold are exponentially safer
+    (s=0.95 → miss≈1.4%).  Random pairs collide at ~2^-p per table, so
+    candidate volume is ~T·n²/2^p — real pruning.  This is a recall<1
+    prefilter by construction; use :func:`cosine_near_dup_pairs`
+    (blocked, exact) when exactness is required or the threshold is low.
+
+    Output: ``(vec_a, vec_b, sim)``, vec_a < vec_b.
+    """
+    base = fan_out(embeddings).select("vec_id", "embedding")
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _table_bucket(F.col("embedding"), t, planes_per_table).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    hashed = base.select("vec_id", F.explode(tables).alias("h")).select(
+        "vec_id", "h.table", "h.bucket"
+    )
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    return _verify_pairs_exact(embeddings, cands, threshold)
+
+
+def _table_bucket(emb, table: int, planes_per_table: int):
+    """Bucket id for one LSH table: planes [table·p, (table+1)·p) of the
+    deterministic LCG hyperplane family."""
+    bucket = F.lit(0).cast("bigint")
+    for j in range(planes_per_table):
+        plane_idx = table * planes_per_table + j
+        plane = F.array(*[F.lit(_plane_weight(plane_idx, d, DIM)) for d in range(DIM)])
+        dot_j = F.aggregate(
+            F.zip_with(emb, plane, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot_j > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    n_queries: int = 50,
+    k: int = 5,
+    candidates: str = "exact",
+) -> DataFrame:
     """k-NN majority-vote classification: ``(query_id, pred_label, votes)``.
 
     Joins the top-k neighbor set back to the label column and takes the
     modal label (count desc, label asc tiebreak) — a fully relational
     "ML" op with an exact SQL oracle.
+
+    ``candidates`` selects the neighbor generator: ``"exact"`` (brute
+    force — the oracle-checkable baseline), ``"lsh"``
+    (:func:`ann_lsh_topk`) or ``"ivf"`` (:func:`ivf_topk`) — the scale
+    paths; the vote layer is identical, so swapping the generator
+    changes only candidate recall (tested against brute force in
+    tests/test_operators.py).
     """
-    topk = cosine_topk(embeddings, n_queries=n_queries, k=k)
+    gens = {"exact": cosine_topk, "lsh": ann_lsh_topk, "ivf": ivf_topk}
+    if candidates not in gens:
+        raise ValueError(f"candidates must be one of {sorted(gens)}")
+    topk = gens[candidates](embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "cand_id", "sim", "rank"
+    )
     labels = embeddings.select(F.col("vec_id").alias("cand_id"), "label")
     votes = (
         topk.join(labels, "cand_id")

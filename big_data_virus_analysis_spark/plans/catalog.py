@@ -167,17 +167,25 @@ def _q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped hash aggregate (map-side partial agg for free).
 
     Reference analog: count-by-key doc-frequency (FeatureSelectionCloud
-    .scala:376-390).  Money sums accumulate in DECIMAL(18,2) so Spark
-    and DuckDB agree exactly regardless of summation order.
+    .scala:376-390).  Money sums accumulate in DECIMAL(18,2) — exact and
+    order-independent — then the FINAL schema casts to DOUBLE: the exact
+    decimal maps to one concrete double on both engines, and no harness
+    can diverge on Decimal-vs-float rendering.  avg_disc is the exact
+    decimal sum divided as a double (one deterministic IEEE op), not
+    round(avg(double)) which is summation-order- and rounding-impl-
+    sensitive across engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -185,9 +193,9 @@ def _q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_AGG_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -206,7 +214,7 @@ def _q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("revenue"),
         )
     )
@@ -215,7 +223,7 @@ def _q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_JOIN_ORDERS_CUSTOMER = """
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -234,7 +242,7 @@ def _q_broadcast_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_acctbal"),
         )
     )
@@ -243,7 +251,7 @@ def _q_broadcast_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BROADCAST_DIM_ROLLUP = """
 SELECT r_name,
        count(*) AS n_customers,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -310,7 +318,7 @@ def _q_semi_join_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_lines"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_qty"),
         )
     )
@@ -319,7 +327,7 @@ def _q_semi_join_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SEMI_JOIN_VOCAB = """
 SELECT l_partkey,
        count(*) AS n_lines,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 WHERE l_partkey IN (
   SELECT p_partkey FROM part
@@ -342,7 +350,7 @@ def _q_label_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_LABEL_ENCODE_ORDERS = """
 SELECT o_orderstatus,
-       CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label,
+       CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
        count(*) AS n
 FROM orders
 GROUP BY o_orderstatus
@@ -659,6 +667,18 @@ GROUP BY doc_a, doc_b
 """
 
 
+def _q_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same banded MinHash plan with the xxhash64 gram family — the
+    bench/scale path (one JVM intrinsic per gram vs md5 digest +
+    hex-decode).  No DuckDB oracle (xxhash64 isn't reproducible there);
+    rows-only check + the planted-duplicate collision test in
+    tests/test_operators.py."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, k=32, bands=8,
+        hash_method="xxhash64",
+    )
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_docs(load_table(spark, sf_dir, "documents"), n=3, bits=31)
 
@@ -713,6 +733,11 @@ CATALOG.update(
             _q_minhash_lsh_pairs,
             _SQL_MINHASH_LSH_PAIRS,
             "MinHash(k=32) + LSH(8 bands) candidate pairs",
+        ),
+        "minhash_lsh_pairs_fast": QuerySpec(
+            _q_minhash_lsh_pairs_fast,
+            None,
+            "same plan, xxhash64 gram family — the bench/scale path",
         ),
         "simhash_docs": QuerySpec(
             _q_simhash_docs, _SQL_SIMHASH_DOCS, "per-doc 31-bit SimHash signatures"
@@ -1059,8 +1084,8 @@ WITH m AS (
 )
 SELECT width, height,
        count(*) AS n_docs,
-       sum(n_bytes) AS total_bytes,
-       round(avg(n_bytes), 4) AS avg_bytes
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(n_bytes) AS DOUBLE) / count(*) AS avg_bytes
 FROM m GROUP BY width, height
 """
 
@@ -1236,7 +1261,7 @@ def _q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SALTED_USER_TOTALS = """
 SELECT user_id,
        count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM events
 GROUP BY user_id
 """
@@ -1353,7 +1378,7 @@ def _q_vectorize_doc_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_VECTORIZE_DOC_INDICES = _SQL_IG_RANKED_VOCAB + """
 SELECT d.doc,
-       CASE WHEN d.cls = 'pos' THEN 1.0 ELSE 0.0 END AS label,
+       CAST(CASE WHEN d.cls = 'pos' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
        v.rank AS idx
 FROM dedup d JOIN vocab v USING (token)
 """
@@ -1538,7 +1563,7 @@ def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
-            F.sum(dec).cast("decimal(18,2)").alias("sum_price"),
+            F.sum(dec).cast("double").alias("sum_price"),
             F.count("*").alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_price", "n")
@@ -1549,7 +1574,7 @@ _SQL_ROLLUP_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
        CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1564,7 +1589,7 @@ def _q_cube_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_prio"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_total"),
             F.count("*").alias("n"),
         )
@@ -1578,7 +1603,7 @@ _SQL_CUBE_ORDER_PRIORITIES = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
        count(*) AS n
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -2501,7 +2526,7 @@ WITH parsed AS (
          CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INT) AS k
   FROM events
 )
-SELECT event_type, count(k) AS n_with_k, sum(CAST(k AS BIGINT)) AS sum_k,
+SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k, max(k) AS max_k
 FROM parsed GROUP BY event_type
 """
@@ -2617,7 +2642,7 @@ def _q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_PRICE_HISTOGRAM = """
-SELECT bucket, bucket * 1000.0 AS bucket_lo, count(*) AS n
+SELECT bucket, CAST(bucket * 1000.0 AS DOUBLE) AS bucket_lo, count(*) AS n
 FROM (SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket FROM lineitem)
 GROUP BY bucket
 """

@@ -87,7 +87,7 @@ WITH cells AS (
 SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
        (count(DISTINCT o_orderpriority) - 1)
          * (count(DISTINCT c_mktsegment) - 1) AS dof,
-       sum(o) AS n_obs
+       CAST(sum(o) AS BIGINT) AS n_obs
 FROM with_e
 """
 
@@ -270,8 +270,8 @@ WITH scored AS (
     FROM scored
   )
 )
-SELECT sum(pos) AS n_pos,
-       sum(1 - pos) AS n_neg,
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(1 - pos) AS BIGINT) AS n_neg,
        round((sum(pos * midrank) - sum(pos) * (sum(pos) + 1) / 2.0)
              / CAST(sum(pos) * sum(1 - pos) AS DOUBLE), 6) AS auc
 FROM ranked
@@ -337,7 +337,7 @@ WITH scored AS (
          CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
   FROM embeddings
 ), deciles AS (
-  SELECT decile, count(*) AS n, sum(pos) AS n_pos
+  SELECT decile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
   FROM (
     SELECT pos, ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile
     FROM scored

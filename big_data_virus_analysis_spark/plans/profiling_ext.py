@@ -132,7 +132,7 @@ WITH per_key AS (
   SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
 )
 SELECT count(*) AS n_keys,
-       sum(n) AS n_rows,
+       CAST(sum(n) AS BIGINT) AS n_rows,
        round(avg(n), 6) AS mean_per_key,
        max(n) AS max_per_key,
        (max(struct_pack(n := n, k := o_custkey))).k AS heaviest_key,

@@ -309,10 +309,10 @@ WITH per_user AS (
               THEN 1 ELSE 0 END AS converted
   FROM events GROUP BY user_id
 ), wide AS (
-  SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n1,
-         sum(CASE WHEN user_id % 2 = 0 THEN converted END) AS c1,
-         sum(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n0,
-         sum(CASE WHEN user_id % 2 <> 0 THEN converted END) AS c0
+  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN converted END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN converted END) AS BIGINT) AS c0
   FROM per_user
 )
 SELECT n1, c1, n0, c0,

@@ -111,7 +111,7 @@ WITH ev AS (
          sum(c) OVER (ORDER BY duration DESC ROWS UNBOUNDED PRECEDING) AS n_risk
   FROM times
 )
-SELECT duration, d, n_risk,
+SELECT duration, CAST(d AS BIGINT) AS d, CAST(n_risk AS BIGINT) AS n_risk,
        round(exp(sum(ln(1.0 - d / CAST(n_risk AS DOUBLE)))
                  OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 6) AS surv
 FROM with_risk

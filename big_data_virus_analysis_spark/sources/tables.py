@@ -46,6 +46,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # so the NTZ cast keeps wall-clock values and matches DuckDB's
         # `epoch_us` read of the same column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→TIMESTAMP cast below is session-timezone-dependent.
+        # Our session factory pins UTC, but this loader must also work
+        # under driver-owned SparkSessions (hence the local conf sets),
+        # so pin it here too — otherwise a non-UTC session shifts epochs
+        # and every unix_micros(ts) result diverges from the oracle.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):

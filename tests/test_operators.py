@@ -112,6 +112,86 @@ def test_ivf_recall_vs_bruteforce(spark):
         assert abs(bf[key] - ivf[key]) < 1e-9
 
 
+def test_blocked_near_dup_equals_all_pairs(spark):
+    """Triangle-blocked matmul candidates + JVM verify is an
+    OPTIMIZATION of the thresholded all-pairs join, not an
+    approximation: outputs must be byte-identical."""
+    from big_data_virus_analysis_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    full = sorted(
+        map(tuple, cosine_near_dup_pairs(emb, 0.4, method="allpairs").collect())
+    )
+    blocked = sorted(
+        map(tuple, cosine_near_dup_pairs(emb, 0.4, method="blocked").collect())
+    )
+    assert blocked == full
+    assert len(full) > 0  # non-degenerate fixture
+
+
+def test_lsh_near_dup_finds_planted_pairs(spark):
+    """In the regime sign-LSH is FOR (high threshold), the multi-table
+    prefilter must recover planted near-duplicates: vectors + tiny noise
+    sit at sim ≥ 0.99 where the per-pair miss probability is ~1e-6."""
+    import numpy as np
+
+    from big_data_virus_analysis_spark.operators.similarity import (
+        cosine_near_dup_lsh,
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # plant a near-dup of every 4th vector
+        if i % 4 == 0:
+            noisy = v + rng.normal(scale=0.01, size=64)
+            rows.append((1000 + i, [float(x) for x in noisy]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = sorted(
+        map(tuple, cosine_near_dup_pairs(emb, 0.95, method="allpairs").collect())
+    )
+    lsh = sorted(map(tuple, cosine_near_dup_lsh(emb, 0.95).collect()))
+    assert len(exact) == 10  # the planted pairs, nothing else
+    assert lsh == exact
+
+
+def test_knn_candidate_sources_agree(spark):
+    """The vote layer is generator-independent.  On data with real
+    cluster structure (3 well-separated centers, label = cluster id)
+    both the exact and the LSH-sourced generators must classify every
+    query into its own cluster — the invariant that matters, unlike
+    agreement on near-random fixture embeddings where "neighbors" at
+    sim≈0.2 are noise."""
+    import numpy as np
+
+    from big_data_virus_analysis_spark.operators.similarity import knn_label_vote
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(3, 64)) * 10
+    rows = []
+    for i in range(120):
+        c = i % 3
+        v = centers[c] + rng.normal(scale=0.5, size=64)
+        rows.append((i, [float(x) for x in v], c))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {r.query_id: r.pred_label for r in knn_label_vote(emb, 15, 5).collect()}
+    lsh = {
+        r.query_id: r.pred_label
+        for r in knn_label_vote(emb, 15, 5, candidates="lsh").collect()
+    }
+    assert exact == {q: q % 3 for q in range(15)}
+    # a query alone in its bucket gets no prediction — inherent to LSH,
+    # but with clustered data buckets align with clusters
+    assert set(lsh) <= set(exact)
+    assert len(lsh) >= 12, f"LSH lost too many queries: {len(lsh)}"
+    assert all(lsh[q] == q % 3 for q in lsh)
+
+
 def test_numpy_topk_matches_expression_topk(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     expr_pairs = {(r.query_id, r.cand_id) for r in cosine_topk(emb, 10, 5).collect()}
@@ -440,6 +520,81 @@ def test_prefix_filtered_jaccard_equals_unfiltered(spark):
     full = sorted(map(tuple, ngram_jaccard_pairs(docs, 3, 0.8).collect()))
     pref = sorted(map(tuple, jaccard_prefix_filtered(docs, 3, 0.8).collect()))
     assert pref == full
+    assert len(full) > 0  # non-degenerate fixture
+
+
+def test_two_phase_cc_equals_propagation(spark):
+    """Large-star/small-star must produce the exact same (node →
+    component-min) labeling as plain min-label propagation, across
+    graph shapes that stress both: long chains (diameter = n, the case
+    two-phase exists for), dense cliques, rings, and seeded random
+    edge soups with singleton pairs."""
+    import random
+
+    from big_data_virus_analysis_spark.operators.dedup import dedup_clusters
+
+    def graphs():
+        yield [(i, i + 1) for i in range(0, 40)]  # one long chain
+        yield [(i, j) for i in range(10) for j in range(i + 1, 10)]  # clique
+        yield [(i, (i + 1) % 12) for i in range(12)]  # ring
+        rng = random.Random(3)
+        for seed in range(3):
+            n = 60
+            yield [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(n)
+            ]
+
+    for g in graphs():
+        edges = [(a, b) for a, b in g if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        # propagation needs diameter rounds — 40 on the chain, which is
+        # precisely the case two-phase (O(log²n) rounds) exists for;
+        # give the baseline enough iterations to be a valid oracle
+        prop = dict(
+            dedup_clusters(pairs, method="propagation", max_iter=60).collect()
+        )
+        two = dict(dedup_clusters(pairs, method="two_phase").collect())
+        assert two == prop
+
+
+def test_minhash_xxhash64_family_finds_planted_dups(spark):
+    """The xxhash64 gram family (bench/scale path) shares every line of
+    the minhash pipeline downstream of shingle hashing; exact duplicates
+    have identical signatures under ANY family, so planted dups must
+    collide in all 8 bands, and near-identical docs in ≥1."""
+    from big_data_virus_analysis_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + "with one extra tail phrase appended here"),
+        (4, "an entirely different document about spark partitioning " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in minhash_lsh_pairs(docs, hash_method="xxhash64").collect()
+    }
+    assert pairs[(1, 2)] == 8  # identical signatures
+    assert (1, 3) in pairs and (2, 3) in pairs  # near-dup collides somewhere
+    assert not any(4 in p for p in pairs)  # unrelated doc stays clean
+
+
+def test_banded_simhash_equals_all_pairs(spark):
+    """Bit-slice LSH banding is an OPTIMIZATION, not an approximation:
+    with max_hamming+1 slices, pigeonhole guarantees every pair within
+    the radius shares at least one exact slice, so the banded candidate
+    join must reproduce the all-pairs output byte-identically."""
+    from big_data_virus_analysis_spark.operators.dedup import simhash_pairs
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    from conftest import SMOKE_SF_DIR
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    full = sorted(map(tuple, simhash_pairs(docs, 3, banded=False).collect()))
+    band = sorted(map(tuple, simhash_pairs(docs, 3, banded=True).collect()))
+    assert band == full
     assert len(full) > 0  # non-degenerate fixture
 
 

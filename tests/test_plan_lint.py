@@ -43,9 +43,7 @@ BNLJ_ALLOWED = {
     # single-row bigram-total broadcast crossed onto vocabulary-sized counts
     "bigram_pmi_top",
     # brute-force baselines (the LSH/IVF variants are the scale path)
-    "simhash_pairs",
     "cosine_topk_bruteforce",
-    "embedding_near_dup",
     "knn_label_vote",
     "quantized_cosine_topk",
     # single-row corpus-total broadcast (like info_gain_topk)

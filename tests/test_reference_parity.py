@@ -174,3 +174,97 @@ def test_byte_mode_tokenizer(spark, raw_logs):
         .first()
     )
     assert got["token"] == first_window
+
+
+def test_d3_tree_structural_parity_with_golden(spark):
+    """The engine's d3_export_tree must reproduce the golden
+    `www/html/data.json` STRUCTURE (exportJSON.php:12-45): a 5-layer
+    Main Container → "Cluster #i" → {Clean, Virus} → Sample → leaf
+    {name, size} tree, 10 clusters, class children in {Clean, Virus}
+    order (exportJSON.php:22,31), leaf sizes positive ints.  Values
+    differ (different corpus/clustering); the layer grammar must not.
+    """
+    import json
+
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+    from conftest import SMOKE_SF_DIR
+
+    golden = json.load(open(f"{REF}/www/html/data.json"))
+
+    def check_tree(tree, n_clusters):
+        assert tree["name"] == "Main Container"
+        assert len(tree["children"]) == n_clusters
+        for cl in tree["children"]:
+            assert re.match(r"Cluster #\d+$", cl["name"])
+            class_names = [c["name"] for c in cl["children"]]
+            # {Clean, Virus} in that order; a class absent from a
+            # cluster may be omitted, but never reordered or renamed
+            assert class_names == [
+                n for n in ("Clean", "Virus") if n in class_names
+            ] and class_names, class_names
+            for cls in cl["children"]:
+                for sample in cls["children"]:
+                    assert sample["name"].startswith("Sample")
+                    for leaf in sample["children"]:
+                        assert set(leaf) == {"name", "size"}
+                        assert isinstance(leaf["name"], str) and leaf["name"]
+                        assert isinstance(leaf["size"], int) and leaf["size"] > 0
+
+    check_tree(golden, 10)
+    row = CATALOG["d3_export_tree"].spark(spark, SMOKE_SF_DIR).collect()
+    assert len(row) == 1
+    engine = json.loads(row[0]["tree_json"])
+    # engine runs k=10 KMeans like the reference; empty clusters may
+    # drop out of the tree on the tiny smoke corpus
+    n_engine = len(engine["children"])
+    assert 1 <= n_engine <= 10
+    check_tree(engine, n_engine)
+
+
+def test_output_txt_golden_invariants():
+    """Invariants of the committed reference report golden
+    (KmeansVirus.scala:123-136 → output.txt), asserted against the FILE
+    so the grammar test can't drift from the artifact: 162 rows, 10
+    clusters (ids 0..9), labels ⊆ {0.0, 1.0}, and every JSON payload a
+    rank-descending {name,size} list."""
+    import json
+
+    lines = open(f"{REF}/output.txt").read().splitlines()
+    lines = [ln for ln in lines if ln.strip()]
+    assert len(lines) == 162
+    clusters, labels = set(), set()
+    for ln in lines:
+        cluster, label, payload = ln.split(";", 2)
+        clusters.add(int(cluster))
+        labels.add(label)
+        # the golden holds RAW windows paths ("C:\ProgramFiles") — the
+        # reference string-built its JSON without escaping; tolerate it
+        apis = json.loads(payload.replace("\\", "\\\\"))
+        assert apis, "empty API list"
+        sizes = [a["size"] for a in apis]
+        assert sizes == sorted(sizes, reverse=True), "sizes not rank-descending"
+        assert all(isinstance(a["name"], str) and a["name"] for a in apis)
+    assert clusters == set(range(10))
+    assert labels == {"0.0", "1.0"}
+
+
+def test_report_lines_grammar_matches_golden_grammar(spark):
+    """The engine's report_lines output must parse under the SAME
+    grammar as the golden output.txt rows: cluster;label;json with
+    rank-descending sizes."""
+    import json
+
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+    from conftest import SMOKE_SF_DIR
+
+    rows = CATALOG["cluster_report_lines"].spark(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        cluster, label, payload = r["line"].split(";", 2)
+        assert 0 <= int(cluster) <= 9
+        assert label in {"0.0", "1.0"}
+        apis = json.loads(payload)
+        sizes = [a["size"] for a in apis]
+        assert sizes == sorted(sizes, reverse=True)
