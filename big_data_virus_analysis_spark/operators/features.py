@@ -114,8 +114,15 @@ def info_gain_ranking(
         .drop("p", "t")
     )
 
-    w = Window.orderBy(F.col("info_gain").desc(), F.col("token").asc())
+    # top-k FIRST (TakeOrderedAndProject: per-partition partial top-k,
+    # k-row merge on one reducer), THEN rank the k survivors — the
+    # global row_number window only ever sees k rows, so the plan keeps
+    # its distributed shape even if the vocabulary surprises you; a
+    # global window over all survivors would funnel the whole table
+    # through one partition.
+    order = [F.col("info_gain").desc(), F.col("token").asc()]
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
     )

@@ -2074,6 +2074,17 @@ FROM reach GROUP BY src
 )
 
 
+def _q_dedup_cluster_assign_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components via large-star/small-star (Kiveris et al.) —
+    O(log²n) rounds independent of diameter, the 100 TB path for
+    chain-shaped components; same recursive-CTE oracle because the
+    labeling is identical (property-tested in tests/test_operators.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(
+        minhash_lsh_pairs(docs, n=3, k=32, bands=8), method="two_phase"
+    )
+
+
 def _q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_cosine_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
@@ -2127,6 +2138,12 @@ CATALOG.update(
             _SQL_DEDUP_CLUSTER_ASSIGN,
             "connected components over MinHash-LSH pairs: min-label propagation "
             "to fixpoint; cluster id = canonical (min) doc",
+        ),
+        "dedup_cluster_assign_two_phase": QuerySpec(
+            _q_dedup_cluster_assign_two_phase,
+            _SQL_DEDUP_CLUSTER_ASSIGN,
+            "same components via large-star/small-star — O(log²n) rounds "
+            "independent of diameter; oracle shared with the propagation twin",
         ),
         "quantized_cosine_topk": QuerySpec(
             _q_quantized_cosine_topk,

@@ -5,11 +5,13 @@ SQL, then compares row count, column names, and an order-insensitive
 value hash.  Exit code 1 if any oracle-checked query mismatches.
 
 Usage: python scripts/check_correctness.py [name ...]
+       python scripts/check_correctness.py --json OUT.json [name ...]
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
@@ -62,7 +64,13 @@ def main() -> None:
     from big_data_virus_analysis_spark.plans.catalog import CATALOG, oracle_sql
     from big_data_virus_analysis_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    only = set(args)
+    results: dict[str, dict] = {}
     spark = get_spark("t2-check")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -83,9 +91,11 @@ def main() -> None:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
+            results[name] = {"status": "spark_error", "err": str(e)[:300]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in osql:
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             print(f"rows-only {name}: {len(srows)} rows")
             continue
         try:
@@ -94,26 +104,37 @@ def main() -> None:
             orows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
+            results[name] = {"status": "duckdb_error", "err": str(e)[:300]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok = True
+        why = None
         if sorted(scols) != sorted(ocols):
-            failures.append((name, f"schema: spark={sorted(scols)} oracle={sorted(ocols)}"))
-            ok = False
+            why = f"schema: spark={sorted(scols)} oracle={sorted(ocols)}"
         elif len(srows) != len(orows):
-            failures.append((name, f"rows: spark={len(srows)} oracle={len(orows)}"))
-            ok = False
+            why = f"rows: spark={len(srows)} oracle={len(orows)}"
         else:
             sidx = [scols.index(c) for c in sorted(scols)]
             oidx = [ocols.index(c) for c in sorted(ocols)]
             sh, oh = _hash(srows, sidx), _hash(orows, oidx)
             if sh != oh:
-                failures.append((name, "value-hash mismatch"))
-                ok = False
+                why = "value-hash mismatch"
+        if why is not None:
+            failures.append((name, why))
+            ok = False
+        results[name] = {
+            "status": "pass" if ok else "fail",
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            **({"why": why} if why else {}),
+        }
         print(("PASS " if ok else "FAIL ") + f"{name}: {len(srows)} rows")
     print(f"\n{len(failures)} failures")
     for n, why in failures:
         print(f"  {n}: {why}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     sys.exit(1 if failures else 0)
 
 
