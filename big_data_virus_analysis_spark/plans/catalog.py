@@ -3746,6 +3746,16 @@ CATALOG.update(_RETRIEVAL_SPECS)
 
 
 # --------------------------------------------------------------------------
+# Training-data hygiene pack (decontamination + boilerplate;
+# plans/contamination.py)
+# --------------------------------------------------------------------------
+
+from .contamination import SPECS as _CONTAMINATION_SPECS  # noqa: E402
+
+CATALOG.update(_CONTAMINATION_SPECS)
+
+
+# --------------------------------------------------------------------------
 # Multimodal resize plumbing (operators/multimodal.py::resize_payloads)
 # --------------------------------------------------------------------------
 

@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
     "association_rules_parts",
     # single-row corpus-scalars broadcast (N, avgdl)
     "bm25_search",
+    # single-row corpus-count broadcast (relative df threshold)
+    "boilerplate_ngrams",
     # 5x5 dimension-scaffold cross join, both sides broadcastable
     "region_pair_matrix",
 }
