@@ -3756,6 +3756,16 @@ CATALOG.update(_CONTAMINATION_SPECS)
 
 
 # --------------------------------------------------------------------------
+# Batch-assembly pack (sequence packing via distributed prefix sum,
+# weighted sampling, leakage-safe splits; plans/packing.py)
+# --------------------------------------------------------------------------
+
+from .packing import SPECS as _PACKING_SPECS  # noqa: E402
+
+CATALOG.update(_PACKING_SPECS)
+
+
+# --------------------------------------------------------------------------
 # Multimodal resize plumbing (operators/multimodal.py::resize_payloads)
 # --------------------------------------------------------------------------
 

@@ -651,3 +651,44 @@ def test_schema_contract_validation(spark):
     probs = validate_schema(broken, EXPECTED_SCHEMAS["orders"])
     assert any("missing column o_custkey" in p for p in probs)
     assert any("unexpected column extra" in p for p in probs)
+
+
+def test_global_prefix_sum_equals_naive_window(spark):
+    """The two-phase distributed scan must equal the single-partition
+    global window bit-for-bit (integer addition is associative), across
+    bucket counts that do and don't divide the row count."""
+    from pyspark.sql import Window
+
+    from big_data_virus_analysis_spark.operators.prefix_sum import global_prefix_sum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(977)]  # non-uniform values
+    df = spark.createDataFrame(rows, "k long, v long")
+    naive = {
+        r.k: r.cum
+        for r in df.withColumn(
+            "cum", F.sum("v").over(Window.orderBy("k"))
+        ).collect()
+    }
+    for n_buckets in (1, 7, 32):
+        two_phase = {
+            r.k: r.cum
+            for r in global_prefix_sum(df, "k", "v", n_buckets=n_buckets).collect()
+        }
+        assert two_phase == naive, f"n_buckets={n_buckets}"
+
+
+def test_leakage_safe_split_keeps_dups_together(spark):
+    """Exact-duplicate texts must always land on the same side of the
+    split — the whole point of keying on content hash."""
+    from big_data_virus_analysis_spark.plans.packing import leakage_safe_split
+
+    rows = [(i, f"doc body {i % 20}") for i in range(200)]  # 10x dup groups
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs).collect()
+    sides = {}
+    by_text = {r[0]: r[1] for r in rows}
+    for r in out:
+        t = by_text[r.doc_id]
+        sides.setdefault(t, set()).add(r.split)
+    assert all(len(s) == 1 for s in sides.values())
+    assert {s.pop() for s in sides.values()} == {"train", "eval"}  # both sides used
