@@ -11,6 +11,7 @@ hot paths stay inside whole-stage codegen.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_virus_analysis_spark.plans.catalog import CATALOG
 
@@ -160,3 +161,51 @@ def test_first_last_touch_single_agg_pass(plan_of):
     import re
 
     assert len(re.findall(r"\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", plan)) >= 2
+
+
+def test_join_shapes_are_bloom_filter_eligible(spark):
+    """At cluster scale (shuffle join, TB-sized fact side) Catalyst
+    injects a runtime Bloom filter from a filtered dim side into the
+    fact scan — IF the join shape allows it.  The engine's plain
+    equi-join shapes must stay eligible: with the size thresholds set
+    to cluster-like ratios, the optimized plan must carry a
+    bloom_filter aggregate + might_contain probe.  (At test scale the
+    dim side broadcasts and no bloom is needed — that path is covered
+    by the broadcast assertions above.)"""
+    import io
+    from contextlib import redirect_stdout
+
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain(True)
+        plan = buf.getvalue()
+        assert "might_contain" in plan, "join shape lost bloom-filter eligibility"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
