@@ -46,3 +46,44 @@ def hypertable_rollup(events: DataFrame) -> DataFrame:
         )
 
     return shape("hour", hour).unionByName(shape("day", day))
+
+
+def hll_distinct_rollup(events: DataFrame) -> DataFrame:
+    """Re-aggregable distinct-user counts via DataSketches HLL.
+
+    Day-grain sketches are built ONCE from the raw scan; the total grain
+    MERGES the day sketches (``hll_union_agg``) — never re-reading raw
+    data.  This is the 100 TB pattern for distinct counts over rolling
+    grains: an exact ``count(DISTINCT)`` per grain re-shuffles the raw
+    table once PER GRAIN, while sketches make every coarser grain a
+    union over the finest grain's tiny state (the same
+    sketch-once/roll-up-anywhere shape as hypertable_rollup's sums —
+    but sums are trivially re-aggregable and distinct counts are not,
+    which is what the sketch buys).
+
+    Estimates carry HLL error (~1.6% at the default lgConfigK=12) — no
+    exact SQL oracle; the error-bound test against exact distincts is
+    tests/test_operators.py::test_hll_rollup_within_error_bounds.
+
+    Output: ``(grain, bucket_us, event_type, n_users_est)``.
+    """
+    day_sketch = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    day = day_sketch.select(
+        F.lit("day").alias("grain"),
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "event_type",
+        F.round(F.hll_sketch_estimate("sk")).cast("bigint").alias("n_users_est"),
+    )
+    total = (
+        day_sketch.groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("total").alias("grain"),
+            F.lit(None).cast("bigint").alias("bucket_us"),
+            "event_type",
+            F.round(F.hll_sketch_estimate("sk")).cast("bigint").alias("n_users_est"),
+        )
+    )
+    return day.unionByName(total)

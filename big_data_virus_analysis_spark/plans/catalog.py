@@ -2025,6 +2025,12 @@ def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hypertable_rollup(load_table(spark, sf_dir, "events"))
 
 
+def _q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import hll_distinct_rollup
+
+    return hll_distinct_rollup(load_table(spark, sf_dir, "events"))
+
+
 _SQL_HYPERTABLE_ROLLUP = """
 WITH hour AS (
   SELECT date_trunc('hour', ts) AS bucket, event_type,
@@ -2132,6 +2138,12 @@ CATALOG.update(
             _SQL_HYPERTABLE_ROLLUP,
             "hierarchical hour→day time-bucket rollup; day grain re-aggregated "
             "from the hour aggregate, not the raw scan",
+        ),
+        "hll_distinct_rollup": QuerySpec(
+            _q_hll_distinct_rollup,
+            None,
+            "re-aggregable distinct-user counts: day-grain HLL sketches, total "
+            "grain = sketch union (no raw re-scan); error-bound test vs exact",
         ),
         "dedup_cluster_assign": QuerySpec(
             _q_dedup_cluster_assign,

