@@ -64,7 +64,9 @@ def test_salted_agg_matches_plain(spark):
     salted = salted_count_sum(ev, "user_id", "value", n_salts=8)
     plain = ev.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total"),
+        # same exact-decimal-accumulate → single-double-cast contract as
+        # the operator (no Decimal in final schemas, see audit script)
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
     a = sorted(map(tuple, salted.collect()))
     b = sorted(map(tuple, plain.collect()))
