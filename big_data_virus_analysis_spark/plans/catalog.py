@@ -1179,17 +1179,90 @@ def _q_api_log_byte_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("token", "pos_df", "neg_df", "info_gain", "rank")
 
 
+# DuckDB reads the SAME raw text corpus via read_text(), replicating the
+# class-from-path, basename-doc-id, per-line cleanup, and per-file
+# distinct semantics — the reference flagship gets a full value-hash
+# oracle, not just the committed-golden structural checks.
+_SQL_API_LOG_BASE = """
+WITH files AS (
+  SELECT filename, content
+  FROM read_text('/root/reference/api_logs/*_LOGS_CONVERTED/*.txt')
+), lines AS (
+  SELECT CASE WHEN filename LIKE '%virus_LOGS_CONVERTED%'
+              THEN 'virus' ELSE 'clean' END AS class,
+         string_split(filename, '/')[-1] AS file,
+         unnest(string_split(content, chr(10))) AS raw_line
+  FROM files
+), docs AS (
+  SELECT class || '/' || file AS doc,
+         CASE WHEN class = 'virus' THEN 'pos' ELSE 'neg' END AS cls,
+         raw_line
+  FROM lines
+)
+"""
+
+def _sql_api_log_ig(tok_cte: str, k: int) -> str:
+    return _SQL_API_LOG_BASE + f"""
+{tok_cte}
+, dedup AS (
+  SELECT DISTINCT doc, cls, token FROM tok_ne
+), freq AS (
+  SELECT token,
+         count(*) FILTER (WHERE cls = 'pos') AS pos_df,
+         count(*) FILTER (WHERE cls = 'neg') AS neg_df
+  FROM dedup GROUP BY token
+), totals AS (
+  SELECT count(DISTINCT doc) FILTER (WHERE cls = 'pos') AS p,
+         count(DISTINCT doc) AS t
+  FROM docs
+), scored AS (
+  SELECT token, pos_df, neg_df,
+         round({_nan_to_zero_sql("ig_raw")}, 6) AS info_gain
+  FROM (
+    SELECT token, pos_df, neg_df,
+           {_IG_EXPR} AS ig_raw
+    FROM freq CROSS JOIN totals
+    WHERE pos_df > 0 AND neg_df > 0
+  )
+)
+SELECT token, pos_df, neg_df, info_gain,
+       CAST(row_number() OVER (ORDER BY info_gain DESC, token ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+_SQL_API_LOG_INFO_GAIN = _sql_api_log_ig(
+    """, tok AS (
+  SELECT doc, cls, regexp_replace(raw_line, '[ +\\-\\r]', '', 'g') AS token FROM docs
+), tok_ne AS (
+  SELECT * FROM tok WHERE length(token) > 0
+)""",
+    k=2000,
+)
+
+_SQL_API_LOG_BYTE_INFO_GAIN = _sql_api_log_ig(
+    """, tok AS (
+  SELECT doc, cls, upper(substr(raw_line, CAST(i AS INT), 14)) AS token
+  FROM docs, unnest(generate_series(1, length(raw_line) - 13)) AS t(i)
+), tok_ne AS (
+  SELECT * FROM tok WHERE length(token) = 14
+)""",
+    k=100,
+)
+
+
 CATALOG.update(
     {
         "api_log_info_gain": QuerySpec(
             _q_api_log_info_gain,
-            None,
+            _SQL_API_LOG_INFO_GAIN,
             "info-gain ranking over the real api_logs corpus (84 survivors; "
-            "golden-checked in tests/test_reference_parity.py)",
+            "also golden-checked in tests/test_reference_parity.py)",
         ),
         "api_log_byte_info_gain": QuerySpec(
             _q_api_log_byte_info_gain,
-            None,
+            _SQL_API_LOG_BYTE_INFO_GAIN,
             "byte-mode (14-char shingle) tokenizer through the IG ranking "
             "(createByteFeatures, FeatureSelectionCloud.scala:257-321)",
         ),
