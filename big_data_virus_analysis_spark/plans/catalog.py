@@ -2552,25 +2552,46 @@ CATALOG.update(
 
 def _q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile segmentation of users by total event value: ntile +
-    percent_rank over the per-user aggregate.
-
-    The global sort is over the USER-sized aggregate, not the raw event
-    table — the only stage that is inherently single-ordered, and it is
-    |users| rows, thousandths of the fact table.  Tiebreak on user_id
-    makes both rank functions engine-deterministic.
+    percent_rank semantics over the per-user aggregate, computed from
+    the two-phase distributed rank (operators/prefix_sum.py::
+    global_row_number) — NO single-partition window even over the
+    aggregate: percent_rank = (rn-1)/(n-1); SQL ntile(k) gives the
+    first n%k buckets n//k+1 rows, both plain expressions once the
+    one-row count broadcasts.  Tiebreak on user_id makes the rank
+    engine-deterministic.
     """
+    from ..operators.prefix_sum import global_row_number
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
             "total_value"
         )
     )
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-    return per_user.select(
-        "user_id",
-        "total_value",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ranked = global_row_number(
+        per_user, [F.col("total_value").desc(), F.col("user_id").asc()]
+    )
+    n_row = per_user.agg(F.count("*").alias("n"))
+    k = 10
+    big = (F.col("n") % k) * (F.floor(F.col("n") / k) + 1)  # rows in big buckets
+    ntile = F.when(
+        F.col("rn") <= big,
+        ((F.col("rn") - 1) / (F.floor(F.col("n") / k) + 1)).cast("bigint") + 1,
+    ).otherwise(
+        F.col("n") % k
+        + ((F.col("rn") - big - 1) / F.floor(F.col("n") / k)).cast("bigint")
+        + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            "user_id",
+            "total_value",
+            ntile.cast("int").alias("decile"),
+            F.round(
+                (F.col("rn") - 1).cast("double") / (F.col("n") - 1), 6
+            ).alias("pct_rank"),
+        )
     )
 
 

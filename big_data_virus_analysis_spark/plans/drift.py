@@ -222,10 +222,13 @@ def _q_auc_rank_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     / (n₊·n₋).  Scorer: embedding squared-L2 norm (per-row array fold);
     task: label < 5.  Midranks (average rank over score ties) make the
     result independent of tie-break order, so both engines agree
-    exactly.  One global rank window (the deliberate total-order
-    stage; the streaming-scale twin bins scores first) + one
-    aggregate.  This is what `BinaryClassificationEvaluator` computes,
-    as a transparent relational plan with an exact oracle."""
+    exactly.  Global ranks come from the two-phase distributed scan
+    (operators/prefix_sum.py::global_row_number — no single-partition
+    window); midranks are a per-score window over the ranked rows.
+    This is what `BinaryClassificationEvaluator` computes, as a
+    transparent relational plan with an exact oracle."""
+    from ..operators.prefix_sum import global_row_number
+
     emb = load_table(spark, sf_dir, "embeddings")
     xd = "CAST(x AS DOUBLE)"
     score = F.round(
@@ -236,11 +239,10 @@ def _q_auc_rank_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (F.col("label") < 5).cast("int").alias("pos"),
     )
-    w = Window.orderBy("score", "vec_id")
     wt = Window.partitionBy("score")
-    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
-        "midrank", F.avg("rn").over(wt)
-    )
+    ranked = global_row_number(
+        scored, [F.col("score"), F.col("vec_id")]
+    ).withColumn("midrank", F.avg("rn").over(wt))
     return ranked.agg(
         F.sum("pos").alias("n_pos"),
         F.sum(1 - F.col("pos")).alias("n_neg"),

@@ -36,13 +36,16 @@ def _q_systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every 100th order in key order — deterministic systematic
     sampling with an EXACT oracle (seeded-PRNG sampling can only be
     rows-only checked; this variant is bit-reproducible anywhere).
-    The global row_number is the one total-order stage; at 100 TB the
-    same semantics come shuffle-free from a monotonic surrogate
-    (`o_orderkey % 100 = 1` when keys are dense) — both forms shown."""
+    The global numbering runs as the two-phase distributed scan
+    (operators/prefix_sum.py::global_row_number) — no single-partition
+    window anywhere; at 100 TB the same semantics also come
+    shuffle-free from a monotonic surrogate (`o_orderkey % 100 = 1`
+    when keys are dense)."""
+    from ..operators.prefix_sum import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        global_row_number(orders, [F.col("o_orderkey")])
         .where((F.col("rn") % 100) == 1)
         .select(
             "o_orderkey",

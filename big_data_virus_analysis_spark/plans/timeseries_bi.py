@@ -143,15 +143,21 @@ def _q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     row survives while the share BEFORE it is < 0.80, so the customer
     crossing the threshold is included.  See module docstring for the
     100 TB prefix-sum note."""
+    from ..operators.prefix_sum import global_prefix_sum
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    wall = Window.orderBy(F.lit(1))
+    # running share via the two-phase distributed scan (no global
+    # window); the grand total rides in as a one-row broadcast
+    total = per_cust.agg(F.sum("rev").alias("total"))
     return (
-        per_cust.withColumn("cum_rev", F.sum("rev").over(w))
-        .withColumn("total", F.sum("rev").over(wall))
+        global_prefix_sum(
+            per_cust, "o_custkey", "rev", out_col="cum_rev",
+            order_exprs=[F.col("rev").desc(), F.col("o_custkey")],
+        )
+        .crossJoin(F.broadcast(total))
         .where((F.col("cum_rev") - F.col("rev")) < F.lit(0.8) * F.col("total"))
         .select(
             "o_custkey",
