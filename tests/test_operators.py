@@ -725,3 +725,50 @@ def test_hll_rollup_within_error_bounds(spark):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
+
+
+def test_global_row_number_and_derived_ntile(spark):
+    """global_row_number must equal the naive global window, and the
+    (rn, n)-derived ntile/percent_rank must match Spark's own window
+    functions — including row counts NOT divisible by the tile count
+    (uneven buckets: first n%k buckets get one extra row)."""
+    from pyspark.sql import Window
+
+    from big_data_virus_analysis_spark.operators.prefix_sum import global_row_number
+
+    for n in (23, 40, 101):
+        df = spark.createDataFrame(
+            [(i, (i * 13) % 37) for i in range(n)], "id long, v long"
+        )
+        order = [F.col("v").desc(), F.col("id").asc()]
+        w = Window.orderBy(*order)
+        naive = {
+            r.id: (r.rn, r.tile, r.pr)
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.ntile(10).over(w).alias("tile"),
+                F.round(F.percent_rank().over(w), 6).alias("pr"),
+            ).collect()
+        }
+        ranked = global_row_number(df, order, n_buckets=7)
+        k = 10
+        big = (F.lit(n) % k) * (F.floor(F.lit(n) / k) + 1)
+        tile = F.when(
+            F.col("rn") <= big,
+            ((F.col("rn") - 1) / (F.floor(F.lit(n) / k) + 1)).cast("bigint") + 1,
+        ).otherwise(
+            F.lit(n) % k
+            + ((F.col("rn") - big - 1) / F.floor(F.lit(n) / k)).cast("bigint")
+            + 1
+        )
+        two = {
+            r.id: (r.rn, r.tile, r.pr)
+            for r in ranked.select(
+                "id",
+                "rn",
+                tile.cast("int").alias("tile"),
+                F.round((F.col("rn") - 1).cast("double") / (n - 1), 6).alias("pr"),
+            ).collect()
+        }
+        assert two == naive, f"n={n}"
