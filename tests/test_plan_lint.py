@@ -58,6 +58,10 @@ BNLJ_ALLOWED = {
     "bm25_search",
     # single-row corpus-count broadcast (relative df threshold)
     "boilerplate_ngrams",
+    # single-row count/grand-total broadcast feeding rank-derived
+    # ntile/percent_rank and running shares (two-phase scan rewrites)
+    "user_value_deciles",
+    "pareto_customers",
     # 5x5 dimension-scaffold cross join, both sides broadcastable
     "region_pair_matrix",
 }
