@@ -412,6 +412,7 @@ def dedup_clusters(
         "node", F.col("node").alias("label")
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
@@ -430,8 +431,16 @@ def dedup_clusters(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters(propagation) did not reach a fixpoint in "
+            f"{max_iter} rounds — labels are still decreasing, so cluster "
+            f"ids would be non-minimal; raise max_iter (rounds needed = "
+            f"graph diameter)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -484,6 +493,7 @@ def _dedup_clusters_two_phase(pairs: DataFrame, max_iter: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         sig = tuple(
@@ -493,8 +503,18 @@ def _dedup_clusters_two_phase(pairs: DataFrame, max_iter: int) -> DataFrame:
             ).collect()[0]
         )
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # a non-converged edge set can leave a node with multiple
+        # outgoing edges; the final left join would then fan out and emit
+        # duplicate doc_id rows with wrong cluster ids — never return that
+        raise RuntimeError(
+            f"dedup_clusters(two_phase) did not reach the star-forest "
+            f"fixpoint in {max_iter} rounds; raise max_iter "
+            f"(O(log^2 n) rounds suffice for any graph)"
+        )
     # fixpoint is a star forest: u → component root; roots label themselves
     return (
         nodes.join(edges, nodes.node == edges.u, "left")

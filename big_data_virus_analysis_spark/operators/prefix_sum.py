@@ -19,35 +19,50 @@ addition is associative; for doubles use a decimal value column first.
 
 No reference counterpart (the reference never needed a global scan);
 this is engine-infrastructure for order-defined operators — sequence
-packing (plans/packing.py), exact quantile assignment, pagination.
+packing (plans/packing.py), exact quantile assignment, pagination,
+decile/ntile segmentation (ntile_from_rank / percent_rank_from_rank
+below), and running-CDF statistics (plans/drift.py KS).
 """
 
 from __future__ import annotations
 
 from decimal import Decimal
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def global_prefix_sum(
     df: DataFrame,
     order_col: str,
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
     n_buckets: int | None = None,
     order_exprs=None,
 ) -> DataFrame:
     """Add ``out_col`` = cumulative sum of ``value_col`` over the GLOBAL
     ``order_col`` order (inclusive prefix sum), without a global window.
 
-    ``order_col`` must be unique (it defines the scan order).  The range
-    bucketing uses ``ntile``-free percent_rank-less binning: buckets come
-    from ``pmod(dense-rank-free range split)`` — here simply
-    ``repartitionByRange`` + ``spark_partition_id`` materialized BEFORE
-    the window so the per-bucket window is hash-clustered on a plain
-    column.
+    ``value_col``/``out_col`` may be lists (same length) to compute
+    several prefix sums in ONE pass — one range shuffle, one local
+    window, one P-row driver exchange, however many scans ride along.
+
+    PRECONDITION (documented, not just implied): the order defined by
+    ``order_exprs`` (default: ``order_col`` ascending) must be TOTAL —
+    no two rows may compare equal — otherwise ties can split across
+    range-partition boundaries and the bit-identical-to-naive-window
+    guarantee is void.  Callers pass a unique key (or append a unique
+    tiebreaker expression) exactly as they would for a deterministic
+    ORDER BY.
+
+    Buckets whose values are entirely NULL contribute an offset of
+    zero (``SUM`` over all-NULL is NULL; the driver loop coalesces),
+    matching what the naive global window would produce.
     """
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col must have the same length")
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
@@ -60,27 +75,37 @@ def global_prefix_sum(
         .localCheckpoint(eager=True)  # pin bucket assignment for reuse below
     )
     local_w = Window.partitionBy("_bucket").orderBy(*order_exprs)
-    with_local = bucketed.withColumn("_local_cum", F.sum(value_col).over(local_w))
+    with_local = bucketed
+    for vc, oc in zip(value_cols, out_cols):
+        with_local = with_local.withColumn(f"_local_{oc}", F.sum(vc).over(local_w))
     # P tiny rows -> driver prefix sum -> broadcast offsets
     totals = (
         bucketed.groupBy("_bucket")
-        .agg(F.sum(value_col).alias("_total"))
+        .agg(*[F.sum(vc).alias(f"_total_{oc}") for vc, oc in zip(value_cols, out_cols)])
         .collect()
     )
-    cum_type = dict(with_local.dtypes)["_local_cum"]  # sum()'s widened type
-    zero = Decimal(0) if cum_type.startswith("decimal") else 0
-    offsets, running = {}, zero
+    dtypes = dict(with_local.dtypes)
+    schema_parts = ["_bucket int"]
+    zeros = {}
+    for oc in out_cols:
+        cum_type = dtypes[f"_local_{oc}"]  # sum()'s widened type
+        zeros[oc] = Decimal(0) if cum_type.startswith("decimal") else 0
+        schema_parts.append(f"_offset_{oc} {cum_type}")
+    running = {oc: zeros[oc] for oc in out_cols}
+    offset_rows = []
     for row in sorted(totals, key=lambda r: r["_bucket"]):
-        offsets[row["_bucket"]] = running
-        running += row["_total"]
-    offset_df = spark.createDataFrame(
-        [(b, o) for b, o in offsets.items()], f"_bucket int, _offset {cum_type}"
-    )
-    return (
-        with_local.join(F.broadcast(offset_df), "_bucket")
-        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
-        .drop("_bucket", "_local_cum", "_offset")
-    )
+        offset_rows.append((row["_bucket"], *[running[oc] for oc in out_cols]))
+        for oc in out_cols:
+            t = row[f"_total_{oc}"]
+            if t is not None:  # all-NULL bucket sums to NULL -> offset 0
+                running[oc] += t
+    offset_df = spark.createDataFrame(offset_rows, ", ".join(schema_parts))
+    out = with_local.join(F.broadcast(offset_df), "_bucket")
+    for oc in out_cols:
+        out = out.withColumn(oc, F.col(f"_local_{oc}") + F.col(f"_offset_{oc}")).drop(
+            f"_local_{oc}", f"_offset_{oc}"
+        )
+    return out.drop("_bucket")
 
 
 def global_row_number(
@@ -96,10 +121,11 @@ def global_row_number(
 
     The order must be total (include a unique tiebreaker) so bucket
     boundaries cannot split ties; output is then bit-identical to the
-    naive global window.  percent_rank and ntile derive from (rn, n):
-    ``percent_rank = (rn-1)/(n-1)``; SQL ntile(k) assigns the first
-    ``n % k`` buckets ``n//k + 1`` rows — both plain expressions once a
-    one-row count broadcasts.
+    naive global window.  The rank stays BIGINT — this primitive's
+    whole purpose is >2^31-row tables, so callers cast down only at
+    oracle-matching query edges that need INT.  percent_rank and ntile
+    derive from (rn, n) via :func:`percent_rank_from_rank` /
+    :func:`ntile_from_rank` once a one-row count broadcasts.
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -121,6 +147,46 @@ def global_row_number(
     )
     return (
         with_local.join(F.broadcast(offset_df), "_bucket")
-        .withColumn(out_col, (F.col("_local_rn") + F.col("_offset")).cast("int"))
+        .withColumn(out_col, F.col("_local_rn") + F.col("_offset"))
         .drop("_bucket", "_local_rn", "_offset")
     )
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` as a plain expression over (global row number,
+    total row count): the first ``n % k`` buckets get ``n//k + 1`` rows,
+    the rest ``n//k`` — exactly the uneven-bucket rule every SQL engine
+    implements.  Property-tested against Spark's own ``F.ntile`` in
+    tests/test_operators.py (non-divisible row counts included)."""
+    big = (n % k) * (F.floor(n / k) + 1)  # rows living in the big buckets
+    return F.when(
+        rn <= big,
+        ((rn - 1) / (F.floor(n / k) + 1)).cast("bigint") + 1,
+    ).otherwise(
+        n % k + ((rn - big - 1) / F.floor(n / k)).cast("bigint") + 1
+    )
+
+
+def percent_rank_from_rank(rn: Column, n: Column) -> Column:
+    """SQL ``percent_rank`` = (rn-1)/(n-1) over (global row number,
+    total count), with the single-row case pinned to 0.0 — SQL defines
+    percent_rank of a lone row as 0, where the raw expression would be
+    0/0 (NULL, or an ANSI error)."""
+    return F.when(n > 1, (rn - 1).cast("double") / (n - 1)).otherwise(F.lit(0.0))
+
+
+def with_global_rank_and_count(
+    df: DataFrame,
+    order_exprs,
+    rn_col: str = "rn",
+    n_col: str = "_n",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Convenience composition for derived ntile / percent_rank: the
+    two-phase global row number plus the broadcast one-row total count —
+    the two inputs :func:`ntile_from_rank` / :func:`percent_rank_from_rank`
+    need.  The one-row cross join is a broadcast nested-loop by
+    construction (allowlisted in tests/test_plan_lint.py)."""
+    ranked = global_row_number(df, order_exprs, out_col=rn_col, n_buckets=n_buckets)
+    n_row = df.agg(F.count("*").alias(n_col))
+    return ranked.crossJoin(F.broadcast(n_row))

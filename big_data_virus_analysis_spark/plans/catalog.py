@@ -1194,9 +1194,14 @@ WITH files AS (
          unnest(string_split(content, chr(10))) AS raw_line
   FROM files
 ), docs AS (
+  -- the corpus is CRLF: string_split on chr(10) leaves a trailing
+  -- carriage return on every line, which Spark's text reader
+  -- (LineRecordReader handles CRLF) never sees — strip it so both
+  -- tokenizers get identical lines by construction, not by luck of
+  -- the top-k cutoff
   SELECT class || '/' || file AS doc,
          CASE WHEN class = 'virus' THEN 'pos' ELSE 'neg' END AS cls,
-         raw_line
+         rtrim(raw_line, chr(13)) AS raw_line
   FROM lines
 )
 """
@@ -2560,7 +2565,11 @@ def _q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row count broadcasts.  Tiebreak on user_id makes the rank
     engine-deterministic.
     """
-    from ..operators.prefix_sum import global_row_number
+    from ..operators.prefix_sum import (
+        ntile_from_rank,
+        percent_rank_from_rank,
+        with_global_rank_and_count,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -2568,30 +2577,15 @@ def _q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         )
     )
-    ranked = global_row_number(
-        per_user, [F.col("total_value").desc(), F.col("user_id").asc()]
+    ranked = with_global_rank_and_count(
+        per_user, [F.col("total_value").desc(), F.col("user_id").asc()], n_col="n"
     )
-    n_row = per_user.agg(F.count("*").alias("n"))
-    k = 10
-    big = (F.col("n") % k) * (F.floor(F.col("n") / k) + 1)  # rows in big buckets
-    ntile = F.when(
-        F.col("rn") <= big,
-        ((F.col("rn") - 1) / (F.floor(F.col("n") / k) + 1)).cast("bigint") + 1,
-    ).otherwise(
-        F.col("n") % k
-        + ((F.col("rn") - big - 1) / F.floor(F.col("n") / k)).cast("bigint")
-        + 1
-    )
-    return (
-        ranked.crossJoin(F.broadcast(n_row))
-        .select(
-            "user_id",
-            "total_value",
-            ntile.cast("int").alias("decile"),
-            F.round(
-                (F.col("rn") - 1).cast("double") / (F.col("n") - 1), 6
-            ).alias("pct_rank"),
-        )
+    rn, n = F.col("rn"), F.col("n")
+    return ranked.select(
+        "user_id",
+        "total_value",
+        ntile_from_rank(rn, n, 10).cast("int").alias("decile"),
+        F.round(percent_rank_from_rank(rn, n), 6).alias("pct_rank"),
     )
 
 

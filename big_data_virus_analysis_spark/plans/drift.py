@@ -169,8 +169,14 @@ def _q_ks_price_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts over the value order give both empirical CDFs at every
     support point, the answer is the max |difference| — EVALUATED AT
     upper step edges (ties grouped by value so both engines see
-    identical step functions).  The pooled sort is the one total-order
-    stage; the 100 TB twin compares t-digest sketches instead."""
+    identical step functions).  Both running counts ride ONE two-phase
+    distributed scan (operators/prefix_sum.py::global_prefix_sum with
+    two value columns — one range shuffle, no single-task window even
+    over the distinct-value frame, which is O(rows) at scale); the
+    denominators are a broadcast one-row aggregate.  Fixed-grid scale
+    twin: `ks_price_periods_grid`."""
+    from ..operators.prefix_sum import global_prefix_sum
+
     orders = load_table(spark, sf_dir, "orders")
     sample = orders.select(
         F.round("o_totalprice", 4).alias("v"),
@@ -179,12 +185,15 @@ def _q_ks_price_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_value = sample.groupBy("v").agg(
         F.sum("is_ref").alias("nr"), F.sum(1 - F.col("is_ref")).alias("nc")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy(F.lit(1))
-    cdfs = per_value.select(
-        "v",
-        (F.sum("nr").over(w) / F.sum("nr").over(wall).cast("double")).alias("cdf_ref"),
-        (F.sum("nc").over(w) / F.sum("nc").over(wall).cast("double")).alias("cdf_cur"),
+    cum = global_prefix_sum(
+        per_value, "v", ["nr", "nc"], out_col=["cum_nr", "cum_nc"]
+    )
+    totals = per_value.agg(
+        F.sum("nr").alias("tot_nr"), F.sum("nc").alias("tot_nc")
+    )
+    cdfs = cum.crossJoin(F.broadcast(totals)).select(
+        (F.col("cum_nr") / F.col("tot_nr").cast("double")).alias("cdf_ref"),
+        (F.col("cum_nc") / F.col("tot_nc").cast("double")).alias("cdf_cur"),
     )
     return cdfs.agg(
         F.round(F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))), 6).alias("ks_stat")
@@ -208,6 +217,60 @@ WITH per_value AS (
   FROM per_value
 )
 SELECT round(max(abs(cdf_ref - cdf_cur)), 6) AS ks_stat
+FROM cdfs
+"""
+
+
+def _q_ks_price_periods_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid KS — the 100 TB twin of `ks_price_periods`: evaluate
+    both empirical CDFs only at 1024 fixed bucket edges (600-wide, the
+    same fixed-edge philosophy that keeps PSI a pure aggregation), so
+    the whole statistic is ONE hash aggregation over the fact table
+    plus a window over the <=1024-row bucket frame — no ordered stage
+    touches data rows at all, and the aggregation is streaming-able.
+    Grid KS is a lower bound on the exact KS (the grid evaluates a
+    subset of the step points), within one bucket's pooled probability
+    mass; bound-tested against the exact query in
+    tests/test_operators.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 600).cast("int"), F.lit(1023))
+    is_ref = F.when(F.col("o_orderdate") < "1998-01-01", 1).otherwise(0)
+    per_bucket = (
+        orders.select(bucket.alias("bucket"), is_ref.alias("is_ref"))
+        .groupBy("bucket")
+        .agg(F.sum("is_ref").alias("nr"), F.sum(1 - F.col("is_ref")).alias("nc"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.lit(1))
+    cdfs = per_bucket.select(
+        (F.sum("nr").over(w) / F.sum("nr").over(wall).cast("double")).alias("cdf_ref"),
+        (F.sum("nc").over(w) / F.sum("nc").over(wall).cast("double")).alias("cdf_cur"),
+    )
+    return cdfs.agg(
+        F.round(F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))), 6).alias(
+            "ks_stat_grid"
+        ),
+        F.count("*").alias("n_buckets"),
+    )
+
+
+_SQL_KS_PRICE_PERIODS_GRID = """
+WITH per_bucket AS (
+  SELECT least(CAST(floor(o_totalprice / 600) AS INT), 1023) AS bucket,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END)
+           AS nr,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END)
+           AS nc
+  FROM orders GROUP BY 1
+), cdfs AS (
+  SELECT sum(nr) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+           / CAST(sum(nr) OVER () AS DOUBLE) AS cdf_ref,
+         sum(nc) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+           / CAST(sum(nc) OVER () AS DOUBLE) AS cdf_cur
+  FROM per_bucket
+)
+SELECT round(max(abs(cdf_ref - cdf_cur)), 6) AS ks_stat_grid,
+       count(*) AS n_buckets
 FROM cdfs
 """
 
@@ -289,9 +352,13 @@ def _q_gains_by_score_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     each decile's positive count, cumulative capture rate (share of all
     positives found so far) and lift vs the base rate — how model
     scores are actually consumed by targeting campaigns.  Same scorer
-    and task as `auc_rank_based`; ntile is deterministic with the
-    vec_id tiebreak; cumulative/global stats are windows over the
-    10-row decile aggregate."""
+    and task as `auc_rank_based`; the decile cut is deterministic with
+    the vec_id tiebreak and runs as the rank-derived ntile over the
+    two-phase distributed scan (operators/prefix_sum.py) — no
+    single-partition window over the scored table; cumulative/global
+    stats are windows over the 10-row decile aggregate."""
+    from ..operators.prefix_sum import ntile_from_rank, with_global_rank_and_count
+
     emb = load_table(spark, sf_dir, "embeddings")
     xd = "CAST(x AS DOUBLE)"
     score = F.round(
@@ -302,9 +369,13 @@ def _q_gains_by_score_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (F.col("label") < 5).cast("int").alias("pos"),
     )
-    w = Window.orderBy(F.col("score").desc(), "vec_id")
+    ranked = with_global_rank_and_count(
+        scored, [F.col("score").desc(), F.col("vec_id").asc()]
+    )
     deciles = (
-        scored.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("rn"), F.col("_n"), 10).cast("int")
+        )
         .groupBy("decile")
         .agg(F.count("*").alias("n"), F.sum("pos").alias("n_pos"))
     )
@@ -369,7 +440,13 @@ SPECS: dict[str, QuerySpec] = {
     "ks_price_periods": QuerySpec(
         _q_ks_price_periods,
         _SQL_KS_PRICE_PERIODS,
-        "exact two-sample KS statistic via pooled running CDFs",
+        "exact two-sample KS statistic via pooled running CDFs "
+        "(two-phase distributed scan, no single-task window)",
+    ),
+    "ks_price_periods_grid": QuerySpec(
+        _q_ks_price_periods_grid,
+        _SQL_KS_PRICE_PERIODS_GRID,
+        "fixed-grid KS scale twin: one aggregation, bucket-frame window only",
     ),
     "auc_rank_based": QuerySpec(
         _q_auc_rank_based,

@@ -71,17 +71,24 @@ WHERE rn % 100 = 1
 # --------------------------------------------------------------------------
 
 def _q_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-bucket equi-depth histogram of part retail price: ntile
-    assigns equal-mass buckets (deterministic with the p_partkey
-    tiebreak), then per-bucket min/max/count are the boundaries.
-    Equal-width twin: `price_histogram`.  The ordered ntile is the one
-    total-order stage; at 100 TB approx_percentile supplies the
-    boundaries without a global sort (sketch twin, same output
-    shape)."""
+    """10-bucket equi-depth histogram of part retail price: equal-mass
+    buckets (deterministic with the p_partkey tiebreak), then
+    per-bucket min/max/count are the boundaries.  Equal-width twin:
+    `price_histogram`.  The bucket assignment is the rank-derived ntile
+    over the two-phase distributed scan (operators/prefix_sum.py) — NO
+    single-partition window funnels the part table through one task;
+    at 100 TB approx_percentile supplies the boundaries without even
+    the range shuffle (sketch twin, same output shape)."""
+    from ..operators.prefix_sum import ntile_from_rank, with_global_rank_and_count
+
     part = load_table(spark, sf_dir, "part")
-    w = Window.orderBy(F.col("p_retailprice"), F.col("p_partkey"))
+    ranked = with_global_rank_and_count(
+        part, [F.col("p_retailprice"), F.col("p_partkey")]
+    )
     return (
-        part.withColumn("bucket", F.ntile(10).over(w))
+        ranked.withColumn(
+            "bucket", ntile_from_rank(F.col("rn"), F.col("_n"), 10).cast("int")
+        )
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_parts"),

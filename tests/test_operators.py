@@ -729,14 +729,20 @@ def test_hll_rollup_within_error_bounds(spark):
 
 def test_global_row_number_and_derived_ntile(spark):
     """global_row_number must equal the naive global window, and the
-    (rn, n)-derived ntile/percent_rank must match Spark's own window
-    functions — including row counts NOT divisible by the tile count
-    (uneven buckets: first n%k buckets get one extra row)."""
+    (rn, n)-derived ntile/percent_rank helpers must match Spark's own
+    window functions — including row counts NOT divisible by the tile
+    count (uneven buckets: first n%k buckets get one extra row) and the
+    single-row table (SQL pins percent_rank of a lone row to 0.0 where
+    the raw (rn-1)/(n-1) would be 0/0)."""
     from pyspark.sql import Window
 
-    from big_data_virus_analysis_spark.operators.prefix_sum import global_row_number
+    from big_data_virus_analysis_spark.operators.prefix_sum import (
+        ntile_from_rank,
+        percent_rank_from_rank,
+        with_global_rank_and_count,
+    )
 
-    for n in (23, 40, 101):
+    for n in (1, 23, 40, 101):
         df = spark.createDataFrame(
             [(i, (i * 13) % 37) for i in range(n)], "id long, v long"
         )
@@ -751,24 +757,63 @@ def test_global_row_number_and_derived_ntile(spark):
                 F.round(F.percent_rank().over(w), 6).alias("pr"),
             ).collect()
         }
-        ranked = global_row_number(df, order, n_buckets=7)
-        k = 10
-        big = (F.lit(n) % k) * (F.floor(F.lit(n) / k) + 1)
-        tile = F.when(
-            F.col("rn") <= big,
-            ((F.col("rn") - 1) / (F.floor(F.lit(n) / k) + 1)).cast("bigint") + 1,
-        ).otherwise(
-            F.lit(n) % k
-            + ((F.col("rn") - big - 1) / F.floor(F.lit(n) / k)).cast("bigint")
-            + 1
-        )
+        ranked = with_global_rank_and_count(df, order, n_buckets=7)
+        rn_c, n_c = F.col("rn"), F.col("_n")
         two = {
             r.id: (r.rn, r.tile, r.pr)
             for r in ranked.select(
                 "id",
                 "rn",
-                tile.cast("int").alias("tile"),
-                F.round((F.col("rn") - 1).cast("double") / (n - 1), 6).alias("pr"),
+                ntile_from_rank(rn_c, n_c, 10).cast("int").alias("tile"),
+                F.round(percent_rank_from_rank(rn_c, n_c), 6).alias("pr"),
             ).collect()
         }
         assert two == naive, f"n={n}"
+    # the rank itself must stay BIGINT — this primitive exists for
+    # >2^31-row tables (callers cast down only at oracle edges)
+    assert dict(ranked.dtypes)["rn"] == "bigint"
+
+
+def test_global_prefix_sum_multi_col_and_null_buckets(spark):
+    """The multi-column form must equal per-column naive windows in one
+    pass, and buckets whose value column is entirely NULL must
+    contribute a zero offset instead of a driver TypeError."""
+    from pyspark.sql import Window
+
+    # values NULL for an entire leading key range (k < 200 -> a is NULL)
+    rows = [
+        (i, None if i < 200 else (i * 7) % 13 + 1, (i * 3) % 5 + 1)
+        for i in range(977)
+    ]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    w = Window.orderBy("k")
+    naive = {
+        r.k: (r.ca, r.cb)
+        for r in df.select(
+            "k", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+        ).collect()
+    }
+    from big_data_virus_analysis_spark.operators.prefix_sum import global_prefix_sum
+
+    two = {
+        r.k: (r.ca, r.cb)
+        for r in global_prefix_sum(
+            df, "k", ["a", "b"], out_col=["ca", "cb"], n_buckets=7
+        ).collect()
+    }
+    assert two == naive
+
+
+def test_ks_grid_bounds_exact(spark):
+    """The fixed-grid KS twin must be a lower bound on the exact KS and
+    sit within one grid bucket's pooled probability mass of it."""
+    from big_data_virus_analysis_spark.plans.drift import SPECS
+
+    exact = SPECS["ks_price_periods"].spark(spark, SF_DIR).collect()[0]["ks_stat"]
+    grid = SPECS["ks_price_periods_grid"].spark(spark, SF_DIR).collect()[0][
+        "ks_stat_grid"
+    ]
+    assert grid <= exact + 1e-9
+    # coarsening error is bounded by the largest per-bucket mass gap;
+    # at 600-wide buckets over this distribution that is well under 0.05
+    assert exact - grid < 0.05, (exact, grid)

@@ -62,6 +62,9 @@ BNLJ_ALLOWED = {
     # ntile/percent_rank and running shares (two-phase scan rewrites)
     "user_value_deciles",
     "pareto_customers",
+    "equidepth_price_histogram",
+    "gains_by_score_decile",
+    "ks_price_periods",
     # 5x5 dimension-scaffold cross join, both sides broadcastable
     "region_pair_matrix",
 }
