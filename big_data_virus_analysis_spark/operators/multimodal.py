@@ -123,6 +123,15 @@ def decode_features(documents: DataFrame, batch_hint: int = 256) -> DataFrame:
     schema, batching, and partition shape are exactly what the real
     decoder uses.
 
+    The synthetic payload format is fully specified — UTF-8 bytes of an
+    ASCII ``text`` column — so the decode has a closed-form EXACT oracle
+    (bytes are the character codes; see `decode_features` in
+    plans/catalog.py): n_bytes = length, mean = integer-sum/size as one
+    IEEE division (byte sums are exact in float64, so numpy and any SQL
+    engine agree bit-for-bit; the mean is deliberately NOT rounded —
+    round-half tie conventions differ between engines, exact doubles
+    don't), checksum = Σ byte·((pos % 97)+1).
+
     Output: (doc_id, n_bytes, mean_byte, checksum).
     """
     with_payload = attach_binary_payload(documents).repartition("doc_id")
@@ -143,7 +152,7 @@ def decode_features(documents: DataFrame, batch_hint: int = 256) -> DataFrame:
                     (
                         int(doc_id),
                         int(arr.size),
-                        round(float(arr.mean()), 6) if arr.size else 0.0,
+                        float(arr.mean()) if arr.size else 0.0,
                         int((arr.astype(np.int64) * (np.arange(arr.size) % 97 + 1)).sum()),
                     )
                 )

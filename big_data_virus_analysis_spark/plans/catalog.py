@@ -1114,6 +1114,35 @@ def _q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(load_table(spark, sf_dir, "documents"))
 
 
+# the synthetic payload format is UTF-8 bytes of ASCII text, so the
+# decode kernel's byte stats reduce to character-code arithmetic — a
+# full value-hash oracle for the mapInPandas plumbing (mean is an exact
+# integer-sum/size IEEE division on both engines, never rounded)
+_SQL_DECODE_FEATURES = """
+WITH chars AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text))) AS i
+  FROM documents
+), bytes AS (
+  SELECT doc_id,
+         ascii(substr(text, CAST(i AS INT), 1)) AS b,
+         i - 1 AS pos
+  FROM chars
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_bytes,
+         sum(b) / CAST(count(*) AS DOUBLE) AS mean_byte,
+         CAST(sum(b * ((pos % 97) + 1)) AS BIGINT) AS checksum
+  FROM bytes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bytes, 0) AS n_bytes,
+       coalesce(a.mean_byte, 0.0) AS mean_byte,
+       coalesce(a.checksum, 0) AS checksum
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 CATALOG.update(
     {
         "payload_metadata_stats": QuerySpec(
@@ -1128,9 +1157,11 @@ CATALOG.update(
         ),
         "decode_features": QuerySpec(
             _q_decode_features,
-            None,
-            "Arrow-batched mapInPandas decode kernel (deterministic stub — "
-            "container has no codecs; checked vs local recompute in tests)",
+            _SQL_DECODE_FEATURES,
+            "Arrow-batched mapInPandas decode kernel over the fully-specified "
+            "synthetic payload format (UTF-8-of-ASCII) — exact value-hash "
+            "oracle via character-code arithmetic; a real codec would slot "
+            "into the same plumbing",
         ),
     }
 )
@@ -1562,6 +1593,82 @@ def _q_d3_export_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d3_tree(_clustered_samples(spark, sf_dir))
 
 
+def _det_clustered_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-cluster feed for the report/tree builders:
+    ``cluster = doc % 10`` replaces the K-Means assignment (whose seeds
+    are not cross-engine reproducible) so the report/tree CONSTRUCTION
+    (operators/report.py) gets a full value-hash oracle — the ML-fed
+    twins above stay as the reference-shaped rows-only entries."""
+    toks, vocab = _ranked_vocab(spark, sf_dir)
+    vec = doc_vectors(toks, vocab)
+    assigned = vec.select(
+        "doc",
+        F.pmod(F.col("doc"), F.lit(10)).cast("int").alias("cluster"),
+        "label",
+        "indices",
+    )
+    return sample_api_structs(assigned, vocab, total_features=VOCAB_K)
+
+
+def _q_cluster_report_lines_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return report_lines(_det_clustered_samples(spark, sf_dir))
+
+
+def _q_d3_export_tree_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return d3_tree(_det_clustered_samples(spark, sf_dir))
+
+
+# apis/size reproduce sample_api_structs: idx = vocab rank of a matched
+# token, size = VOCAB_K - (rank - 1); JSON strings are built to match
+# Spark to_json byte-for-byte (no spaces, struct field order, int size)
+_SQL_REPORT_MATCHED = _SQL_IG_RANKED_VOCAB + f"""
+, matched AS (
+  SELECT d.doc, d.cls, v.token, v.rank AS idx,
+         ({VOCAB_K} - (v.rank - 1)) AS size
+  FROM dedup d JOIN vocab v USING (token)
+), per_doc AS (
+  SELECT doc,
+         CAST(doc % 10 AS VARCHAR) AS cluster,
+         CASE WHEN cls = 'pos' THEN '1.0' ELSE '0.0' END AS label,
+         CASE WHEN cls = 'pos' THEN 'Virus' ELSE 'Clean' END AS class_name,
+         '[' || string_agg('{{"name":"' || token || '","size":' || size || '}}',
+                           ',' ORDER BY idx) || ']' AS apis_json
+  FROM matched
+  GROUP BY doc, cls
+)
+"""
+
+_SQL_CLUSTER_REPORT_LINES_DET = _SQL_REPORT_MATCHED + """
+SELECT doc, cluster || ';' || label || ';' || apis_json AS line
+FROM per_doc
+"""
+
+_SQL_D3_EXPORT_TREE_DET = _SQL_REPORT_MATCHED + """
+, samples AS (
+  SELECT doc % 10 AS cluster, class_name,
+         '{"name":"Sample ' || doc || '","children":' || apis_json || '}' AS sample_json,
+         'Sample ' || doc AS sample_name
+  FROM per_doc
+), classes AS (
+  SELECT cluster,
+         '{"name":"' || class_name || '","children":['
+           || string_agg(sample_json, ',' ORDER BY sample_name) || ']}' AS class_json,
+         class_name
+  FROM samples
+  GROUP BY cluster, class_name
+), clusters AS (
+  SELECT cluster,
+         '{"name":"Cluster #' || cluster || '","children":['
+           || string_agg(class_json, ',' ORDER BY class_name) || ']}' AS cluster_json
+  FROM classes
+  GROUP BY cluster
+)
+SELECT '{"name":"Main Container","children":['
+         || string_agg(cluster_json, ',' ORDER BY cluster) || ']}' AS tree_json
+FROM clusters
+"""
+
+
 CATALOG.update(
     {
         "vectorize_doc_indices": QuerySpec(
@@ -1616,6 +1723,18 @@ CATALOG.update(
         ),
         "d3_export_tree": QuerySpec(
             _q_d3_export_tree, None, "D3 circle-packing JSON tree (exportJSON.php:12-45)"
+        ),
+        "cluster_report_lines_det": QuerySpec(
+            _q_cluster_report_lines_det,
+            _SQL_CLUSTER_REPORT_LINES_DET,
+            "report-line construction under a deterministic pseudo-cluster "
+            "assignment — exact value-hash oracle for operators/report.py",
+        ),
+        "d3_export_tree_det": QuerySpec(
+            _q_d3_export_tree_det,
+            _SQL_D3_EXPORT_TREE_DET,
+            "D3 tree construction under a deterministic pseudo-cluster "
+            "assignment — exact value-hash oracle for operators/report.py",
         ),
     }
 )

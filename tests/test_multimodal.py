@@ -46,7 +46,7 @@ def test_decode_stub_matches_local_recompute(docs):
         arr = np.frombuffer(r["text"].encode("utf-8"), dtype=np.uint8)
         g = got[r["doc_id"]]
         assert g["n_bytes"] == arr.size
-        assert g["mean_byte"] == pytest.approx(round(float(arr.mean()), 6))
+        assert g["mean_byte"] == float(arr.mean())  # exact: integer sum / size
         want_ck = int((arr.astype(np.int64) * (np.arange(arr.size) % 97 + 1)).sum())
         assert g["checksum"] == want_ck
     assert len(got) == docs.count()

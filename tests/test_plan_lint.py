@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "kmeans_cluster_centers",
     "cluster_report_lines",
     "d3_export_tree",
+    "cluster_report_lines_det",
+    "d3_export_tree_det",
     # 16-row centroid table / 5-language stopword table broadcast
     "ivf_ann_topk",
     "language_id",
