@@ -3,12 +3,17 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is forced end-to-end with the noop sink (full computation of
-every output column, no write cost, no driver collect)."""
+every output column, no write cost, no driver collect).  Each query runs
+N_RUNS times; the headline number is the per-query MEDIAN (single-digit
+-second measurements are variance-dominated, so one run can't separate a
+plan change from scheduler noise), with per-query [min, max] spread
+reported alongside."""
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -16,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from big_data_virus_analysis_spark.plans.catalog import CATALOG  # noqa: E402
 from big_data_virus_analysis_spark.session import get_spark  # noqa: E402
+
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 HEADLINE = [
     # reference-parity core
@@ -42,6 +49,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "hypertable_rollup",
     "top_unshipped_revenue",
+    # iterative-components and two-phase-scan paths (timed, not just
+    # correctness-checked)
+    "dedup_cluster_assign_two_phase",
+    "sequence_packing",
 ]
 
 
@@ -64,12 +75,22 @@ def main() -> None:
             ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in CATALOG:
             continue
-        t0 = time.perf_counter()
-        CATALOG[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            CATALOG[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+            # pair generators cache their signature frames; clear so
+            # every run pays the full build (no warm-cache flattery)
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "n_runs": N_RUNS,
                 "sf": float(sf),
             }
         )

@@ -86,6 +86,12 @@ def ngram_jaccard_pairs(
     Output: ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b, jaccard
     rounded to 6.
     """
+    # the shingle frame feeds four branches (both join sides, both size
+    # lookups) and Spark plans each branch as a full recompute of the
+    # explode+dedup pipeline (AQE's broadcast conversions defeat
+    # ReusedExchange matching) — cache the inverted index so it builds
+    # ONCE, the same build-then-probe shape every at-scale set-sim join
+    # uses
     dg = word_ngrams(documents, n)
     if max_df is not None:
         hot = (
@@ -95,6 +101,7 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         dg = dg.join(hot, "gram", "left_semi")
+    dg = dg.cache()
     sizes = dg.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     a = dg.alias("a")
@@ -223,7 +230,13 @@ def minhash_lsh_pairs(
     # only product was string glue.  concat_ws over the already-adjacent
     # columns is a per-row projection; posexplode of `bands` small
     # strings replaces the aggregation entirely.
-    mins = _minhash_mins(documents, n, k, hash_method)
+    # one wide row per doc — cache it: the self-join has two branches
+    # and without materialization EACH replays the 50× gram explosion
+    # and the k-way min-agg (no ReusedExchange once AQE broadcasts one
+    # side; verified against the executed plan).  At 100 TB this is the
+    # standard materialize-signatures design: |docs| × k longs, tiny
+    # next to the corpus.
+    mins = _minhash_mins(documents, n, k, hash_method).cache()
     band_keys = mins.select(
         "doc_id",
         F.posexplode(
@@ -313,7 +326,9 @@ def simhash_pairs(
 
     Output: ``(doc_a, doc_b, hamming)``.
     """
-    sim = simhash_docs(documents, n, bits)
+    # one row per doc — cache: both self-join branches otherwise replay
+    # the whole shingle+bit-vote pipeline (see minhash_lsh_pairs note)
+    sim = simhash_docs(documents, n, bits).cache()
     if not banded:
         a = sim.alias("a")
         b = sim.alias("b")
