@@ -48,8 +48,11 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     directions.  (order, part) is deduped first so a part appearing on
     several lines of one order contributes one edge, and the pair join
     is keyed on the order — the standard inverted-index self-join (same
-    shape as dedup's shingle join, skew handled by AQE)."""
-    op = lineitem.select("l_orderkey", "l_partkey").dropDuplicates()
+    shape as dedup's shingle join, skew handled by AQE).  The deduped
+    index is cached: both join branches otherwise replay the scan +
+    dedup shuffle (no ReusedExchange once the join re-keys on the
+    order — see the dedup.py materialize-once note)."""
+    op = lineitem.select("l_orderkey", "l_partkey").dropDuplicates().cache()
     a = op.alias("a")
     b = op.alias("b")
     return (
@@ -132,7 +135,7 @@ def undirected_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct UNDIRECTED co-purchase edges, canonicalized src < dst —
     the half-size edge list triangle counting needs (each triangle then
     appears exactly once as s1 < s2 < s3)."""
-    op = lineitem.select("l_orderkey", "l_partkey").dropDuplicates()
+    op = lineitem.select("l_orderkey", "l_partkey").dropDuplicates().cache()
     a = op.alias("a")
     b = op.alias("b")
     return (

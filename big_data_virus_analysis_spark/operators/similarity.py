@@ -288,9 +288,11 @@ def cosine_near_dup_lsh(
             for t in range(n_tables)
         ]
     )
+    # cache the bucket table: both self-join branches otherwise replay
+    # the plane-hash projection (see dedup.py materialize-once note)
     hashed = base.select("vec_id", F.explode(tables).alias("h")).select(
         "vec_id", "h.table", "h.bucket"
-    )
+    ).cache()
     a = hashed.alias("a")
     b = hashed.alias("b")
     cands = (

@@ -3700,7 +3700,9 @@ def _q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-support prunes BEFORE the enrichment joins — at 100 TB the
     support threshold is what keeps the rule set bounded."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    # four consumers (both pair-join sides, per-part counts, basket
+    # total) — cache the deduped index so its shuffle runs once
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates().cache()
     a, b = op.alias("a"), op.alias("b")
     pairs = (
         a.join(b, "l_orderkey")
