@@ -507,9 +507,10 @@ def _dedup_clusters_two_phase(pairs: DataFrame, max_iter: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
+    prev_sig, prev_edges = None, None
     converged = False
     for _ in range(max_iter):
+        prev_edges = edges
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         sig = tuple(
             edges.agg(
@@ -517,7 +518,12 @@ def _dedup_clusters_two_phase(pairs: DataFrame, max_iter: int) -> DataFrame:
                 F.coalesce(F.sum("v"), F.lit(0)),
             ).collect()[0]
         )
-        if sig == prev_sig:
+        # sig equality is a cheap per-round hash, not proof of a
+        # fixpoint (two different edge sets can share count and sums) —
+        # confirm with an exact set check before declaring convergence:
+        # both frames are distinct canonical edges, so same count plus
+        # empty difference means equality
+        if sig == prev_sig and edges.exceptAll(prev_edges).limit(1).count() == 0:
             converged = True
             break
         prev_sig = sig

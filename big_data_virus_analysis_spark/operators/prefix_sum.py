@@ -39,6 +39,7 @@ def global_prefix_sum(
     out_col: str | list[str] = "cum",
     n_buckets: int | None = None,
     order_exprs=None,
+    total_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = cumulative sum of ``value_col`` over the GLOBAL
     ``order_col`` order (inclusive prefix sum), without a global window.
@@ -46,6 +47,12 @@ def global_prefix_sum(
     ``value_col``/``out_col`` may be lists (same length) to compute
     several prefix sums in ONE pass — one range shuffle, one local
     window, one P-row driver exchange, however many scans ride along.
+
+    ``total_col`` (optional, aligned with ``out_col``) attaches each
+    value column's GRAND total as a literal column: the driver already
+    summed the per-bucket totals, so the number is known exactly —
+    callers that need "cumulative / total" (CDFs, running shares) get
+    it with NO second pass over the input and no one-row cross join.
 
     PRECONDITION (documented, not just implied): the order defined by
     ``order_exprs`` (default: ``order_col`` ascending) must be TOTAL —
@@ -55,14 +62,22 @@ def global_prefix_sum(
     tiebreaker expression) exactly as they would for a deterministic
     ORDER BY.
 
-    Buckets whose values are entirely NULL contribute an offset of
-    zero (``SUM`` over all-NULL is NULL; the driver loop coalesces),
-    matching what the naive global window would produce.
+    NULL handling matches the naive global window exactly: SQL's SUM
+    ignores NULLs, and a running sum is NULL only while no non-NULL
+    value has occurred yet — so the rewrite tracks the running non-NULL
+    COUNT alongside the running sum (same P-row driver exchange) and
+    emits NULL precisely when that count is zero.
     """
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(value_cols) != len(out_cols):
         raise ValueError("value_col and out_col must have the same length")
+    if total_col is None:
+        total_cols = [None] * len(out_cols)
+    else:
+        total_cols = [total_col] if isinstance(total_col, str) else list(total_col)
+        if len(total_cols) != len(out_cols):
+            raise ValueError("total_col and out_col must have the same length")
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
@@ -78,33 +93,54 @@ def global_prefix_sum(
     with_local = bucketed
     for vc, oc in zip(value_cols, out_cols):
         with_local = with_local.withColumn(f"_local_{oc}", F.sum(vc).over(local_w))
+        with_local = with_local.withColumn(f"_lcnt_{oc}", F.count(vc).over(local_w))
     # P tiny rows -> driver prefix sum -> broadcast offsets
     totals = (
         bucketed.groupBy("_bucket")
-        .agg(*[F.sum(vc).alias(f"_total_{oc}") for vc, oc in zip(value_cols, out_cols)])
+        .agg(
+            *[F.sum(vc).alias(f"_total_{oc}") for vc, oc in zip(value_cols, out_cols)],
+            *[F.count(vc).alias(f"_n_{oc}") for vc, oc in zip(value_cols, out_cols)],
+        )
         .collect()
     )
     dtypes = dict(with_local.dtypes)
     schema_parts = ["_bucket int"]
-    zeros = {}
+    zeros, cum_types = {}, {}
     for oc in out_cols:
-        cum_type = dtypes[f"_local_{oc}"]  # sum()'s widened type
-        zeros[oc] = Decimal(0) if cum_type.startswith("decimal") else 0
-        schema_parts.append(f"_offset_{oc} {cum_type}")
+        cum_types[oc] = dtypes[f"_local_{oc}"]  # sum()'s widened type
+        zeros[oc] = Decimal(0) if cum_types[oc].startswith("decimal") else 0
+        schema_parts.append(f"_offset_{oc} {cum_types[oc]}")
+        schema_parts.append(f"_cnt_{oc} bigint")
     running = {oc: zeros[oc] for oc in out_cols}
+    counts = {oc: 0 for oc in out_cols}
     offset_rows = []
     for row in sorted(totals, key=lambda r: r["_bucket"]):
-        offset_rows.append((row["_bucket"], *[running[oc] for oc in out_cols]))
+        offset_rows.append(
+            (
+                row["_bucket"],
+                *[v for oc in out_cols for v in (running[oc], counts[oc])],
+            )
+        )
         for oc in out_cols:
             t = row[f"_total_{oc}"]
             if t is not None:  # all-NULL bucket sums to NULL -> offset 0
                 running[oc] += t
+            counts[oc] += row[f"_n_{oc}"]
     offset_df = spark.createDataFrame(offset_rows, ", ".join(schema_parts))
     out = with_local.join(F.broadcast(offset_df), "_bucket")
     for oc in out_cols:
-        out = out.withColumn(oc, F.col(f"_local_{oc}") + F.col(f"_offset_{oc}")).drop(
-            f"_local_{oc}", f"_offset_{oc}"
-        )
+        zero_lit = F.lit(zeros[oc]).cast(cum_types[oc])
+        out = out.withColumn(
+            oc,
+            F.when(
+                (F.col(f"_lcnt_{oc}") + F.col(f"_cnt_{oc}")) > 0,
+                F.coalesce(F.col(f"_local_{oc}"), zero_lit) + F.col(f"_offset_{oc}"),
+            ),  # otherwise NULL: no non-NULL value seen yet, like SUM
+        ).drop(f"_local_{oc}", f"_offset_{oc}", f"_lcnt_{oc}", f"_cnt_{oc}")
+    for oc, tc in zip(out_cols, total_cols):
+        if tc is not None:
+            total_val = running[oc] if counts[oc] > 0 else None
+            out = out.withColumn(tc, F.lit(total_val).cast(cum_types[oc]))
     return out.drop("_bucket")
 
 
@@ -113,11 +149,17 @@ def global_row_number(
     order_exprs,
     out_col: str = "rn",
     n_buckets: int | None = None,
+    n_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = row_number() over the GLOBAL order without a
     single-partition window: range-partition on the order expressions,
     number rows per bucket in parallel, then offset each bucket by the
     count of all earlier buckets (P tiny rows through the driver).
+
+    ``n_col`` (optional) attaches the TOTAL row count as a literal
+    column — the driver just summed the per-bucket counts, so callers
+    needing (rn, n) for derived ntile/percent_rank pay no second pass
+    and no cross join.
 
     The order must be total (include a unique tiebreaker) so bucket
     boundaries cannot split ties; output is then bit-identical to the
@@ -125,7 +167,7 @@ def global_row_number(
     whole purpose is >2^31-row tables, so callers cast down only at
     oracle-matching query edges that need INT.  percent_rank and ntile
     derive from (rn, n) via :func:`percent_rank_from_rank` /
-    :func:`ntile_from_rank` once a one-row count broadcasts.
+    :func:`ntile_from_rank`.
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -145,11 +187,14 @@ def global_row_number(
     offset_df = spark.createDataFrame(
         [(b, o) for b, o in offsets.items()], "_bucket int, _offset bigint"
     )
-    return (
+    out = (
         with_local.join(F.broadcast(offset_df), "_bucket")
         .withColumn(out_col, F.col("_local_rn") + F.col("_offset"))
         .drop("_bucket", "_local_rn", "_offset")
     )
+    if n_col is not None:
+        out = out.withColumn(n_col, F.lit(running).cast("bigint"))
+    return out
 
 
 def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
@@ -183,10 +228,10 @@ def with_global_rank_and_count(
     n_buckets: int | None = None,
 ) -> DataFrame:
     """Convenience composition for derived ntile / percent_rank: the
-    two-phase global row number plus the broadcast one-row total count —
-    the two inputs :func:`ntile_from_rank` / :func:`percent_rank_from_rank`
-    need.  The one-row cross join is a broadcast nested-loop by
-    construction (allowlisted in tests/test_plan_lint.py)."""
-    ranked = global_row_number(df, order_exprs, out_col=rn_col, n_buckets=n_buckets)
-    n_row = df.agg(F.count("*").alias(n_col))
-    return ranked.crossJoin(F.broadcast(n_row))
+    two-phase global row number plus the total count — the two inputs
+    :func:`ntile_from_rank` / :func:`percent_rank_from_rank` need.  The
+    count is the driver's sum of per-bucket counts (a literal column),
+    so there is no second pass over the input and no cross join."""
+    return global_row_number(
+        df, order_exprs, out_col=rn_col, n_buckets=n_buckets, n_col=n_col
+    )

@@ -1227,12 +1227,14 @@ WITH files AS (
 ), docs AS (
   -- the corpus is CRLF: string_split on chr(10) leaves a trailing
   -- carriage return on every line, which Spark's text reader
-  -- (LineRecordReader handles CRLF) never sees — strip it so both
-  -- tokenizers get identical lines by construction, not by luck of
-  -- the top-k cutoff
+  -- (LineRecordReader handles CRLF) never sees — strip exactly ONE
+  -- trailing CR (anchored regexp, mirroring LineRecordReader; rtrim
+  -- would eat runs of CRs that Spark keeps).  The corpus is verified
+  -- free of multi-CR line endings and lone-CR terminators, the one
+  -- remaining case where the two readers could still split differently
   SELECT class || '/' || file AS doc,
          CASE WHEN class = 'virus' THEN 'pos' ELSE 'neg' END AS cls,
-         rtrim(raw_line, chr(13)) AS raw_line
+         regexp_replace(raw_line, chr(13) || '$', '') AS raw_line
   FROM lines
 )
 """
@@ -1619,8 +1621,10 @@ def _q_d3_export_tree_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # apis/size reproduce sample_api_structs: idx = vocab rank of a matched
-# token, size = VOCAB_K - (rank - 1); JSON strings are built to match
-# Spark to_json byte-for-byte (no spaces, struct field order, int size)
+# token, size = VOCAB_K - (rank - 1).  Leaf objects go through DuckDB's
+# to_json (same minimal-escaping byte format as Spark's to_json, so a
+# token containing quotes/backslashes still matches); the enclosing
+# arrays/objects are concatenated from engine-generated safe strings
 _SQL_REPORT_MATCHED = _SQL_IG_RANKED_VOCAB + f"""
 , matched AS (
   SELECT d.doc, d.cls, v.token, v.rank AS idx,
@@ -1631,8 +1635,9 @@ _SQL_REPORT_MATCHED = _SQL_IG_RANKED_VOCAB + f"""
          CAST(doc % 10 AS VARCHAR) AS cluster,
          CASE WHEN cls = 'pos' THEN '1.0' ELSE '0.0' END AS label,
          CASE WHEN cls = 'pos' THEN 'Virus' ELSE 'Clean' END AS class_name,
-         '[' || string_agg('{{"name":"' || token || '","size":' || size || '}}',
-                           ',' ORDER BY idx) || ']' AS apis_json
+         '[' || string_agg(
+                  CAST(to_json(struct_pack(name := token, size := size)) AS VARCHAR),
+                  ',' ORDER BY idx) || ']' AS apis_json
   FROM matched
   GROUP BY doc, cls
 )

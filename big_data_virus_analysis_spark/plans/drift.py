@@ -173,7 +173,8 @@ def _q_ks_price_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed scan (operators/prefix_sum.py::global_prefix_sum with
     two value columns — one range shuffle, no single-task window even
     over the distinct-value frame, which is O(rows) at scale); the
-    denominators are a broadcast one-row aggregate.  Fixed-grid scale
+    denominators are the scan's own driver-summed grand totals
+    (``total_col``) — no second pass, no cross join.  Fixed-grid scale
     twin: `ks_price_periods_grid`."""
     from ..operators.prefix_sum import global_prefix_sum
 
@@ -186,12 +187,13 @@ def _q_ks_price_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_ref").alias("nr"), F.sum(1 - F.col("is_ref")).alias("nc")
     )
     cum = global_prefix_sum(
-        per_value, "v", ["nr", "nc"], out_col=["cum_nr", "cum_nc"]
+        per_value,
+        "v",
+        ["nr", "nc"],
+        out_col=["cum_nr", "cum_nc"],
+        total_col=["tot_nr", "tot_nc"],
     )
-    totals = per_value.agg(
-        F.sum("nr").alias("tot_nr"), F.sum("nc").alias("tot_nc")
-    )
-    cdfs = cum.crossJoin(F.broadcast(totals)).select(
+    cdfs = cum.select(
         (F.col("cum_nr") / F.col("tot_nr").cast("double")).alias("cdf_ref"),
         (F.col("cum_nc") / F.col("tot_nc").cast("double")).alias("cdf_cur"),
     )

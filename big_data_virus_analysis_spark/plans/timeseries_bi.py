@@ -150,14 +150,14 @@ def _q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
     )
     # running share via the two-phase distributed scan (no global
-    # window); the grand total rides in as a one-row broadcast
-    total = per_cust.agg(F.sum("rev").alias("total"))
+    # window); the grand total is the scan's own driver-summed literal
+    # (total_col) — no second aggregation pass, no cross join
     return (
         global_prefix_sum(
             per_cust, "o_custkey", "rev", out_col="cum_rev",
             order_exprs=[F.col("rev").desc(), F.col("o_custkey")],
+            total_col="total",
         )
-        .crossJoin(F.broadcast(total))
         .where((F.col("cum_rev") - F.col("rev")) < F.lit(0.8) * F.col("total"))
         .select(
             "o_custkey",

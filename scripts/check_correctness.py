@@ -89,6 +89,10 @@ def main() -> None:
             sdf = spec.spark(spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
+            # pair generators/graph ops cache signature frames for their
+            # self-joins; drop them so a full-catalog run doesn't pin
+            # every index in executor storage for the session's lifetime
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             results[name] = {"status": "spark_error", "err": str(e)[:300]}

@@ -776,13 +776,21 @@ def test_global_row_number_and_derived_ntile(spark):
 
 def test_global_prefix_sum_multi_col_and_null_buckets(spark):
     """The multi-column form must equal per-column naive windows in one
-    pass, and buckets whose value column is entirely NULL must
-    contribute a zero offset instead of a driver TypeError."""
+    pass — including NULL runs in LEADING key ranges (where the naive
+    running sum is still NULL), MID-STREAM ranges (where it must carry
+    the prior non-NULL sum, not go NULL), and a trailing range; plus the
+    driver must not TypeError on all-NULL bucket totals, and the
+    total_col literals must equal a direct aggregate."""
     from pyspark.sql import Window
 
-    # values NULL for an entire leading key range (k < 200 -> a is NULL)
+    # a: NULL for k<200 (leading) and 500<=k<700 (mid-stream, spans
+    # whole range buckets at n_buckets=7); b: never NULL
     rows = [
-        (i, None if i < 200 else (i * 7) % 13 + 1, (i * 3) % 5 + 1)
+        (
+            i,
+            None if (i < 200 or 500 <= i < 700) else (i * 7) % 13 + 1,
+            (i * 3) % 5 + 1,
+        )
         for i in range(977)
     ]
     df = spark.createDataFrame(rows, "k long, a long, b long")
@@ -795,13 +803,31 @@ def test_global_prefix_sum_multi_col_and_null_buckets(spark):
     }
     from big_data_virus_analysis_spark.operators.prefix_sum import global_prefix_sum
 
-    two = {
-        r.k: (r.ca, r.cb)
-        for r in global_prefix_sum(
-            df, "k", ["a", "b"], out_col=["ca", "cb"], n_buckets=7
-        ).collect()
-    }
+    got = global_prefix_sum(
+        df,
+        "k",
+        ["a", "b"],
+        out_col=["ca", "cb"],
+        total_col=["ta", "tb"],
+        n_buckets=7,
+    ).collect()
+    two = {r.k: (r.ca, r.cb) for r in got}
     assert two == naive
+    want_ta = sum(r[1] for r in rows if r[1] is not None)
+    want_tb = sum(r[2] for r in rows)
+    assert {(r.ta, r.tb) for r in got} == {(want_ta, want_tb)}
+
+
+def test_global_prefix_sum_all_null_total(spark):
+    """An entirely-NULL value column must yield NULL cumulative sums
+    and a NULL grand total — exactly like SQL SUM."""
+    from big_data_virus_analysis_spark.operators.prefix_sum import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(50)], "k long, v long"
+    )
+    got = global_prefix_sum(df, "k", "v", total_col="t", n_buckets=5).collect()
+    assert all(r.cum is None and r.t is None for r in got)
 
 
 def test_ks_grid_bounds_exact(spark):

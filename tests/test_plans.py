@@ -209,3 +209,35 @@ def test_join_shapes_are_bloom_filter_eligible(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pair_generators_materialize_once(spark):
+    """The materialize-once contract (operators/dedup.py): every pair
+    generator self-joins a cached derived frame, so BOTH join branches
+    must read the InMemoryRelation (>=2 InMemoryTableScan nodes in the
+    plan) instead of replaying the gram/signature derivation — AQE's
+    broadcast conversion defeats ReusedExchange, so dropping the cache
+    silently doubles the most expensive stage."""
+    from big_data_virus_analysis_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from big_data_virus_analysis_spark.operators.graph import copurchase_edges
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    cases = {
+        "minhash_lsh_pairs": minhash_lsh_pairs(docs),
+        "ngram_jaccard_pairs": ngram_jaccard_pairs(docs),
+        "simhash_pairs": simhash_pairs(docs),
+        "copurchase_edges": copurchase_edges(li),
+    }
+    try:
+        for name, df in cases.items():
+            plan = fmt_plan(df)
+            n = plan.count("InMemoryTableScan")
+            assert n >= 2, f"{name}: {n} InMemoryTableScan nodes — cache dropped?"
+    finally:
+        spark.catalog.clearCache()
