@@ -53,6 +53,11 @@ HEADLINE = [
     # correctness-checked)
     "dedup_cluster_assign_two_phase",
     "sequence_packing",
+    # round-3 corpus-filter / RAG pack (span inverted index, bigram-LM
+    # shuffle join, pure-map chunking)
+    "dup_span_doc_fraction",
+    "bigram_lm_perplexity",
+    "rag_chunk_windows",
 ]
 
 

@@ -87,3 +87,58 @@ def hll_distinct_rollup(events: DataFrame) -> DataFrame:
         )
     )
     return day.unionByName(total)
+
+
+def histogram_quantile_rollup(
+    events: DataFrame,
+    bin_width: float = 5.0,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Re-aggregable quantile estimation via fixed-width histograms.
+
+    The quantile analogue of :func:`hll_distinct_rollup`: the raw scan
+    builds ONE day-grain histogram (``groupBy(day, bin).count``); the
+    corpus-level histogram is a SUM over the day bins — no second scan
+    of the raw table — and any quantile is answered from a histogram's
+    cumulative counts with linear interpolation inside the landing bin.
+    Unlike ``percentile_approx`` state, the day histogram is a plain
+    (bin, count) table, so it can be persisted as a continuous
+    aggregate and re-aggregated to ANY coarser grain later.  Estimates
+    are deterministic (no sketch randomness), so the DuckDB oracle
+    recomputes them exactly; the error bound |est − exact| ≤ bin_width
+    is asserted in tests.
+
+    Output: ``(day, q, n, est)`` with ``day`` = 'YYYY-MM-DD' or 'ALL'.
+    """
+    from pyspark.sql.window import Window
+
+    binned = events.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") / bin_width).alias("bin"),
+    )
+    day_hist = binned.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    all_hist = day_hist.groupBy("bin").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit("ALL").alias("day"), "bin", "cnt"
+    )
+    hist = day_hist.unionByName(all_hist)
+    w = Window.partitionBy("day").orderBy("bin")
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("day")))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    )
+    exploded = cum.withColumn("q", F.explode(F.array(*[F.lit(q) for q in qs])))
+    target = F.col("q") * F.col("n")
+    return (
+        exploded.where((F.col("cum_before") < target) & (target <= F.col("cum")))
+        .select(
+            "day",
+            "q",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("bin") * bin_width
+                + bin_width * (target - F.col("cum_before")) / F.col("cnt"),
+                6,
+            ).alias("est"),
+        )
+    )

@@ -54,3 +54,37 @@ def salted_count_sum(
             F.sum("_s").cast("double").alias("total"),
         )
     )
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Inner equi-join that spreads each hot fact key over ``n_salts``
+    reducers: fact rows get a deterministic salt (uniform hash of the
+    whole row), the dim side is replicated ``n_salts``× (one explode —
+    dim is the SMALL side, so the replication is cheap), and the join
+    key becomes ``(key, salt)``.  No single reducer ever sees more than
+    ~1/n_salts of a hot key's rows.
+
+    Result is row-identical to ``fact.join(dim, fact_key == dim_key)``
+    (the salt only partitions work), which is exactly what the DuckDB
+    oracle and the equality test assert.  AQE's skew-join split covers
+    sort-merge joins after the fact; explicit salting is the plan-level
+    guarantee that also composes under bucketed layouts and disabled
+    AQE.  The dim keeps its own key column name so downstream
+    projections are unchanged.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.hash(*fact.columns), F.lit(n_salts))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_fact.join(
+        replicated_dim,
+        (F.col(fact_key) == F.col(dim_key)) & (salted_fact["_salt"] == replicated_dim["_salt"]),
+    ).drop("_salt")

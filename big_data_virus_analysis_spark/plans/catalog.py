@@ -4025,3 +4025,118 @@ CATALOG.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# RAG pack (chunking, hybrid RRF fusion, nearest-centroid assignment;
+# plans/rag.py)
+# --------------------------------------------------------------------------
+
+from .rag import SPECS as _RAG_SPECS  # noqa: E402
+
+CATALOG.update(_RAG_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Corpus-filtering pack (duplicated spans, bigram-LM perplexity;
+# plans/corpus_filters.py)
+# --------------------------------------------------------------------------
+
+from .corpus_filters import SPECS as _CORPUS_FILTERS_SPECS  # noqa: E402
+
+CATALOG.update(_CORPUS_FILTERS_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Scale-ops pack round 3: salted skew join + re-aggregable histogram
+# quantiles (operators/skew.py, operators/rollup.py)
+# --------------------------------------------------------------------------
+
+def _q_salted_dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment revenue rollup through the SALTED fact-dim join:
+    each hot user_id is spread over 16 reducers (fact side salted, dim
+    side replicated 16x by one explode), so no reducer ever owns a hot
+    key outright.  Row-identical to the plain join — exactly what the
+    oracle asserts; the equality test against the unsalted join is
+    tests/test_operators.py::test_salted_skew_join_equals_plain."""
+    from ..operators.skew import salted_skew_join
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = salted_skew_join(
+        events, customer.select("c_custkey", "c_mktsegment"), "user_id", "c_custkey"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_value"),
+    )
+
+
+_SQL_SALTED_DIM_JOIN_ROLLUP = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+def _q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain p50/p90/p99 of event value from ONE fixed-bin histogram
+    scan, with the corpus-level quantiles re-aggregated from the day
+    bins (sum of counts — never re-reading raw data): the deterministic,
+    persistable cousin of percentile_approx state.  |est − exact| ≤
+    bin_width asserted in tests."""
+    from ..operators.rollup import histogram_quantile_rollup
+
+    return histogram_quantile_rollup(load_table(spark, sf_dir, "events"))
+
+
+_SQL_HISTOGRAM_QUANTILE_ROLLUP = """
+WITH binned AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(floor(value / 5.0) AS BIGINT) AS bin
+  FROM events
+), day_hist AS (
+  SELECT day, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+), all_hist AS (
+  SELECT 'ALL' AS day, bin, sum(cnt) AS cnt FROM day_hist GROUP BY 2
+), hist AS (
+  SELECT day, bin, CAST(cnt AS BIGINT) AS cnt FROM day_hist
+  UNION ALL
+  SELECT day, bin, CAST(cnt AS BIGINT) AS cnt FROM all_hist
+), cum AS (
+  SELECT day, bin, cnt,
+         sum(cnt) OVER (PARTITION BY day ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY day) AS n
+  FROM hist
+), ex AS (
+  SELECT day, bin, cnt, cum, cum - cnt AS cum_before, n, q
+  FROM cum CROSS JOIN (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+)
+SELECT day, q, CAST(n AS BIGINT) AS n,
+       round(bin * 5.0 + 5.0 * (q * n - cum_before) / cnt, 6) AS est
+FROM ex
+WHERE cum_before < q * n AND q * n <= cum
+"""
+
+CATALOG.update(
+    {
+        "salted_dim_join_rollup": QuerySpec(
+            _q_salted_dim_join_rollup,
+            _SQL_SALTED_DIM_JOIN_ROLLUP,
+            "salted fact-dim equi-join (fact salted, dim replicated 16x): "
+            "plan-level reducer-skew guarantee, row-identical to the plain "
+            "join (operators/skew.py::salted_skew_join)",
+        ),
+        "histogram_quantile_rollup": QuerySpec(
+            _q_histogram_quantile_rollup,
+            _SQL_HISTOGRAM_QUANTILE_ROLLUP,
+            "re-aggregable fixed-bin histogram quantiles: day grain from one "
+            "scan, total grain from the day bins, linear interpolation in "
+            "the landing bin (operators/rollup.py::histogram_quantile_rollup)",
+        ),
+    }
+)

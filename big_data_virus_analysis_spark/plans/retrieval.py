@@ -27,7 +27,11 @@ _B = 0.75
 _QUERY_TERMS = ("spark", "join", "stream")
 
 
-def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score over the fixed query terms, UNfiltered:
+    ``(doc_id, n_terms_hit, bm25)`` for every doc matching ≥1 term.
+    ``bm25_search`` applies the conjunctive cut; ``rrf_hybrid_fusion``
+    (plans/rag.py) reuses the same scored frame as its lexical leg."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -68,17 +72,19 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_terms_hit"),
-            F.round(F.sum("term_score"), 6).alias("bm25"),
-        )
-        .where(F.col("n_terms_hit") == len(_QUERY_TERMS))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_hit"),
+        F.round(F.sum("term_score"), 6).alias("bm25"),
     )
 
 
-_SQL_BM25_SEARCH = """
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scores(spark, sf_dir).where(
+        F.col("n_terms_hit") == len(_QUERY_TERMS)
+    )
+
+
+_SQL_BM25_BODY = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), nonempty AS (
@@ -104,13 +110,17 @@ WITH toks AS (
   JOIN df USING (tok)
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN totals
+), bm25_scored AS (
+  SELECT doc_id,
+         count(*) AS n_terms_hit,
+         round(sum(term_score), 6) AS bm25
+  FROM scored
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       count(*) AS n_terms_hit,
-       round(sum(term_score), 6) AS bm25
-FROM scored
-GROUP BY doc_id
-HAVING count(*) = 3
+"""
+
+_SQL_BM25_SEARCH = _SQL_BM25_BODY + """
+SELECT doc_id, n_terms_hit, bm25 FROM bm25_scored WHERE n_terms_hit = 3
 """
 
 

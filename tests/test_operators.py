@@ -843,3 +843,38 @@ def test_ks_grid_bounds_exact(spark):
     # coarsening error is bounded by the largest per-bucket mass gap;
     # at 600-wide buckets over this distribution that is well under 0.05
     assert exact - grid < 0.05, (exact, grid)
+
+
+def test_salted_skew_join_equals_plain(spark):
+    """The salted fact-dim join must be ROW-identical to the plain
+    equi-join — the salt only partitions work."""
+    from big_data_virus_analysis_spark.operators.skew import salted_skew_join
+
+    events = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    dim = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    salted = salted_skew_join(events, dim, "user_id", "c_custkey")
+    plain = events.join(dim, F.col("user_id") == F.col("c_custkey"))
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_histogram_quantile_within_bin_width(spark):
+    """Histogram-interpolated quantiles must land within one bin width
+    of the exact quantile at every grain, and the ALL grain must agree
+    with a direct whole-range histogram (re-aggregation consistency)."""
+    from big_data_virus_analysis_spark.operators.rollup import (
+        histogram_quantile_rollup,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    est = {(r.day, r.q): r.est for r in histogram_quantile_rollup(ev).collect()}
+    vals = sorted(r.value for r in ev.select("value").collect())
+    for q in (0.5, 0.9, 0.99):
+        exact = vals[min(int(q * len(vals)), len(vals) - 1)]
+        assert abs(est[("ALL", q)] - exact) <= 5.0 + 1e-9, (q, est[("ALL", q)], exact)
+    # ALL == direct histogram over the unpartitioned value column
+    direct = histogram_quantile_rollup(
+        ev.withColumn("ts", F.lit("2024-01-01").cast("timestamp"))
+    )
+    d = {r.q: r.est for r in direct.collect() if r.day == "ALL"}
+    for q in (0.5, 0.9, 0.99):
+        assert est[("ALL", q)] == d[q]

@@ -69,6 +69,13 @@ BNLJ_ALLOWED = {
     "ks_price_periods",
     # 5x5 dimension-scaffold cross join, both sides broadcastable
     "region_pair_matrix",
+    # 1-row query-embedding broadcast (semantic leg) + the BM25 corpus
+    # scalars it inherits from bm25_search
+    "rrf_hybrid_fusion",
+    # 10-row per-label centroid-array broadcast
+    "nearest_centroid_assign",
+    # 1-row vocabulary-size scalar broadcast (add-k smoothing denominator)
+    "bigram_lm_perplexity",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
