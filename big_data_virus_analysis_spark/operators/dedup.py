@@ -57,15 +57,22 @@ def word_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
     Shingling is transform(sequence) over the token array — explode
     happens once, after the per-row array is built (no UDTF).
     """
+    # Stage the token array as a real column BEFORE the transform: a
+    # lambda body that closes over the raw split() expression gets it
+    # INLINED into every slice() call — O(n²) re-splitting per row
+    # (measured 8× on the bigram/span builders at sf0.1).
     tokens = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-    )
-    return (
+    staged = (
         fan_out(documents)
         .where(F.size(tokens) >= n)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", tokens.alias("_toks"))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+    )
+    return (
+        staged.select("doc_id", F.explode(grams).alias("gram"))
         .dropDuplicates(["doc_id", "gram"])
     )
 
@@ -178,13 +185,16 @@ def _minhash_mins(
     # nothing — raw grams flow straight into map-side partial min-agg and
     # the only shuffle is one k-column row per doc.
     tokens = F.split(F.col("text"), " ")
+    # staged column, not a closure: see word_ngrams — closing over the
+    # split() expression inlines it into every slice() (O(n²) per row)
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
     )
     raw = (
         fan_out(documents)
         .where(F.size(tokens) >= n)
+        .select("doc_id", tokens.alias("_toks"))
         .select("doc_id", F.explode(grams).alias("gram"))
     )
     ids = shingle_ids(raw, hash_method).withColumn("s", _scramble(F.col("tid")))

@@ -45,12 +45,15 @@ def _doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence.  Pure array transform + explode — no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     a = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    # stage the token array: closing over filter(split(...)) inlines it
+    # into every slice() — O(n²) per row (measured 8× at sf0.1)
     spans = F.transform(
-        F.sequence(F.lit(1), F.size(a) - (_W - 1)),
-        lambda i: F.concat_ws(" ", F.slice(a, i, _W)),
+        F.sequence(F.lit(1), F.size("_toks") - (_W - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, _W)),
     )
     return (
         docs.where(F.size(a) >= _W)
+        .select("doc_id", a.alias("_toks"))
         .select("doc_id", F.explode(spans).alias("span"))
     )
 
@@ -144,16 +147,18 @@ FROM per_doc p LEFT JOIN dup_per_doc d ON p.doc_id = d.doc_id
 def _q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     a = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    # staged token column: see _doc_spans (closure inlining is O(n²))
     bigrams = (
         docs.where(F.size(a) >= 2)
+        .select("doc_id", a.alias("_toks"))
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(a) - 1),
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
                     lambda i: F.struct(
-                        F.element_at(a, i).alias("w1"),
-                        F.element_at(a, i + 1).alias("w2"),
+                        F.element_at(F.col("_toks"), i).alias("w1"),
+                        F.element_at(F.col("_toks"), i + 1).alias("w2"),
                     ),
                 )
             ).alias("bg"),

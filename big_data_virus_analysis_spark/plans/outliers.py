@@ -170,18 +170,24 @@ def _q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale.  No explode: the grams never become rows."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # stage tokens AND the gram array as real columns: a transform
+    # lambda closing over the split() expression re-splits per element
+    # (O(n²) per row), and the three outputs below would otherwise each
+    # rebuild the gram array
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 3)),
     )
     return (
         docs.where(F.size(toks) >= 3)
+        .select("doc_id", toks.alias("_toks"))
+        .select("doc_id", grams.alias("_g"))
         .select(
             "doc_id",
-            F.size(grams).alias("n_grams"),
-            F.size(F.array_distinct(grams)).alias("n_distinct"),
+            F.size("_g").alias("n_grams"),
+            F.size(F.array_distinct("_g")).alias("n_distinct"),
             F.round(
-                1.0 - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"), 6
+                1.0 - F.size(F.array_distinct("_g")) / F.size("_g").cast("double"), 6
             ).alias("dup_fraction"),
         )
     )

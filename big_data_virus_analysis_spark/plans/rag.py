@@ -54,7 +54,9 @@ _TOP_OUT = 20
 def _q_rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     a = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
-    n = F.size(a)
+    # stage the token array: a lambda closing over filter(split(...))
+    # inlines it into every slice() call — O(n²) per row
+    n = F.size("_toks")
     n_chunks = F.when(n <= _CHUNK, F.lit(1)).otherwise(
         F.ceil((n - _CHUNK) / F.lit(float(_STRIDE))).cast("int") + 1
     )
@@ -64,12 +66,13 @@ def _q_rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.struct(
                 i.cast("int").alias("chunk_idx"),
                 (1 + (i - 1) * _STRIDE).cast("int").alias("start_pos"),
-                F.slice(a, 1 + (i - 1) * _STRIDE, _CHUNK).alias("c"),
+                F.slice(F.col("_toks"), 1 + (i - 1) * _STRIDE, _CHUNK).alias("c"),
             ),
         )
     )
     return (
-        docs.where(n >= 1)
+        docs.where(F.size(a) >= 1)
+        .select("doc_id", a.alias("_toks"))
         .select("doc_id", chunk.alias("ch"))
         .select(
             "doc_id",
