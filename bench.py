@@ -58,6 +58,11 @@ HEADLINE = [
     "dup_span_doc_fraction",
     "bigram_lm_perplexity",
     "rag_chunk_windows",
+    # round-3 semantic/ingest/mixture pack (cluster-scoped pair join,
+    # asymmetric batch-vs-corpus index probe, two-phase seeded shuffle)
+    "semantic_dedup_pairs",
+    "dedup_incremental_batch",
+    "training_shuffle_order",
 ]
 
 

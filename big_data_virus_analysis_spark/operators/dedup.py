@@ -172,39 +172,88 @@ def _minhash_mins(
 ) -> DataFrame:
     """Wide MinHash row per doc: ``(doc_id, _h1 … _hk)``.
 
-    Hash family h_i(t) = (a_i·s + b_i) mod (2^31−1) with s the scrambled
-    shingle id, a_i = 2i+1, b_i = 7919·i — plain modular arithmetic,
-    identical in Spark and DuckDB, products bounded < 2^63.
+    Hash family: odd-multiplier linear permutations mod 2^31,
+    h_i(s) = (a_i·s + b_i) & (2^31−1) with s the scrambled shingle id
+    (< 2^31), a_i = (2654435761·(2i+1) mod 2^31) | 1, b_i = 7919·i —
+    plain integer arithmetic, identical in Spark and DuckDB, products
+    bounded < 2^62, and NO division in the k×|grams| hot loop (the
+    power-of-two mask replaces the earlier mod-P reduction; odd·s is a
+    bijection mod 2^31, preserving the permutation property).
 
-    k parallel min-aggregates instead of a k× row explode: the shuffle
-    carries ONE k-column row per doc per map partition (partial agg)
-    rather than k rows per (doc, shingle) — 32× less shuffle volume.
+    SHUFFLE-FREE: signatures are ``array_min`` folds over per-row staged
+    arrays — the gram explode + k-way min-agg of the earlier design is
+    gone entirely (min over a doc's grams never needed to leave the
+    row).  Each intermediate array is materialized as a real column
+    before the next ``transform`` closes over it (closure inlining is
+    O(n²) — see word_ngrams).  The ONLY remaining cost is the per-row
+    hash arithmetic; there is no shuffle until the caller's band join.
+
+    NOTE deliberately NOT word_ngrams(): min() is duplicate-insensitive,
+    so a per-doc distinct would buy nothing.
+
+    ``hash_method="xxhash64"`` (bench/scale path) never builds gram
+    STRINGS at all: tokens are hashed once each, and a gram's id is
+    ``xxhash64`` of its n token-hashes — longs end to end.
     """
-    # NOTE deliberately NOT word_ngrams(): min() is duplicate-insensitive,
-    # so the per-doc distinct (a full shuffle of the gram table) would buy
-    # nothing — raw grams flow straight into map-side partial min-agg and
-    # the only shuffle is one k-column row per doc.
     tokens = F.split(F.col("text"), " ")
-    # staged column, not a closure: see word_ngrams — closing over the
-    # split() expression inlines it into every slice() (O(n²) per row)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
-    )
-    raw = (
+    staged = (
         fan_out(documents)
         .where(F.size(tokens) >= n)
         .select("doc_id", tokens.alias("_toks"))
-        .select("doc_id", F.explode(grams).alias("gram"))
     )
-    ids = shingle_ids(raw, hash_method).withColumn("s", _scramble(F.col("tid")))
-    return ids.groupBy("doc_id").agg(
+    if hash_method == "xxhash64":
+        tok_hashes = F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+        with_tids = staged.select(
+            "doc_id", tok_hashes.alias("_th")
+        ).select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("_th") - (n - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(F.col("_th"), i + j) for j in range(n)]
+                ).bitwiseAND(F.lit((1 << 60) - 1)),
+            ).alias("_tids"),
+        )
+    elif hash_method == "md5":
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+        )
+        with_tids = staged.select("doc_id", grams.alias("_grams")).select(
+            "doc_id",
+            F.transform(
+                F.col("_grams"),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+            ).alias("_tids"),
+        )
+    else:
+        raise ValueError("hash_method must be 'md5' or 'xxhash64'")
+    with_s = with_tids.select(
+        "doc_id", F.transform(F.col("_tids"), _scramble).alias("_s")
+    )
+
+    def _family(i: int):
+        # linear permutation mod 2^31: h_i(s) = (a_i·s + b_i) & (2^31−1)
+        # with a_i a large ODD constant (multiplication by an odd number
+        # is a BIJECTION mod a power of two — the permutation property
+        # MinHash needs; a plain multiply-shift high-bits form is
+        # order-preserving and makes every family pick the same argmin).
+        # The mask replaces the previous mod-P form's hardware DIVISION
+        # in the k×|grams| hot loop; products stay < 2^62 (no overflow
+        # in either engine).
+        # MUST stay a one-parameter lambda: transform() treats a second
+        # parameter as the ARRAY INDEX and would shadow the family index.
+        a_i = ((_SCRAMBLE * (2 * i + 1)) % _M31) | 1
+        return lambda s: (F.lit(a_i).cast("bigint") * s + 7919 * i).bitwiseAND(
+            F.lit(_M31 - 1)
+        )
+
+    return with_s.select(
+        "doc_id",
         *[
-            F.min((F.lit(2 * i + 1).cast("bigint") * F.col("s") + 7919 * i) % _P31).alias(
-                f"_h{i}"
-            )
+            F.array_min(F.transform(F.col("_s"), _family(i))).alias(f"_h{i}")
             for i in range(1, k + 1)
-        ]
+        ],
     )
 
 

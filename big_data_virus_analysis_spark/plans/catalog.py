@@ -652,7 +652,11 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_MINHASH_LSH_PAIRS = _SQL_SHINGLE_IDS + """
 , sig AS (
-  SELECT doc_id, i, min((CAST(2 * i + 1 AS BIGINT) * s + 7919 * i) % 2147483647) AS h
+  -- odd-multiplier linear permutation mod 2^31, mirrors
+  -- operators/dedup.py::_family exactly (mask, not mod — no division)
+  SELECT doc_id, i,
+         min(((((2654435761 * (2 * i + 1)) % 2147483648) | 1) * s + 7919 * i)
+             & 2147483647) AS h
   FROM ids CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i)
   GROUP BY doc_id, i
 ), band_keys AS (
@@ -4140,3 +4144,39 @@ CATALOG.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Data-mixture & training-order pack (plans/mixtures.py)
+# --------------------------------------------------------------------------
+
+from .mixtures import SPECS as _MIXTURES_SPECS  # noqa: E402
+
+CATALOG.update(_MIXTURES_SPECS)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup pack (cluster-scoped semantic dedup; plans/semantic.py)
+# --------------------------------------------------------------------------
+
+from .semantic import SPECS as _SEMANTIC_SPECS  # noqa: E402
+
+CATALOG.update(_SEMANTIC_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Incremental-ingest dedup pack (plans/ingestion.py)
+# --------------------------------------------------------------------------
+
+from .ingestion import SPECS as _INGESTION_SPECS  # noqa: E402
+
+CATALOG.update(_INGESTION_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Gopher quality-rules pack (plans/gopher.py)
+# --------------------------------------------------------------------------
+
+from .gopher import SPECS as _GOPHER_SPECS  # noqa: E402
+
+CATALOG.update(_GOPHER_SPECS)

@@ -209,8 +209,20 @@ QUALIFY rank <= 20
 # nearest_centroid_assign
 # --------------------------------------------------------------------------
 
-def _q_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
+    """Assign every embedding to its nearest per-label centroid.
+
+    Deterministic "trained-free" quantizer: centroids are per-label
+    means (decimal-exact sums rounded to 6, so both engines agree
+    bit-for-bit), distances are squared L2 via a zip_with fold, the
+    argmin is a vec_id-partitioned window with clabel tiebreak.  The
+    centroid table is #labels rows → broadcast; the corpus streams
+    through one scan.  Shared by the confusion rollup below and the
+    SemDeDup pack (plans/semantic.py).
+
+    Output: the input columns + ``clabel`` (assigned centroid) +
+    ``dist`` (rounded squared L2).
+    """
     ex = emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "x"))
     cent = ex.groupBy("label", "pos").agg(
         F.round(
@@ -236,21 +248,28 @@ def _q_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("clabel").asc())
-    assigned = (
-        emb.crossJoin(
-            F.broadcast(cvec.select(F.col("label").alias("clabel"), "cvec"))
-        )
+    return (
+        emb.crossJoin(F.broadcast(cvec.select(F.col("label").alias("clabel"), "cvec")))
         .withColumn("dist", dist)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
+        .drop("rn", "cvec")
     )
+
+
+def _q_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = assign_nearest_centroid(emb)
     return (
         assigned.groupBy(F.col("label"), F.col("clabel").alias("assigned_label"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
-_SQL_NEAREST_CENTROID_ASSIGN = """
+#: shared oracle body: per-label centroids + nearest-centroid argmin —
+#: ends with a ``best(vec_id, label, clabel)`` CTE.  Reused by the
+#: SemDeDup oracles (plans/semantic.py), which append further CTEs.
+SQL_CENTROID_ASSIGN_BODY = """
 WITH elems AS (
   SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
@@ -269,6 +288,9 @@ WITH elems AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id
                              ORDER BY dist ASC, clabel ASC) = 1
 )
+"""
+
+_SQL_NEAREST_CENTROID_ASSIGN = SQL_CENTROID_ASSIGN_BODY + """
 SELECT label, clabel AS assigned_label, count(*) AS n
 FROM best GROUP BY 1, 2
 """

@@ -564,11 +564,16 @@ def test_minhash_xxhash64_family_finds_planted_dups(spark):
     collide in all 8 bands, and near-identical docs in ≥1."""
     from big_data_virus_analysis_spark.operators.dedup import minhash_lsh_pairs
 
+    # the repeated base has few DISTINCT grams (min() ignores repeats),
+    # so keep the near-dup's tail short: each extra token adds a new
+    # distinct gram and drops the Jaccard — at j≈0.9 a band collision
+    # is near-certain (1-(1-0.9^4)^8 ≈ 0.9998), at j≈0.5 it's a coin
+    # flip that depends on the hash-family constants
     base = "the quick brown fox jumps over the lazy dog " * 8
     rows = [
         (1, base),
         (2, base),  # exact dup of 1
-        (3, base + "with one extra tail phrase appended here"),
+        (3, base + "tailword"),
         (4, "an entirely different document about spark partitioning " * 8),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
@@ -878,3 +883,79 @@ def test_histogram_quantile_within_bin_width(spark):
     d = {r.q: r.est for r in direct.collect() if r.day == "ALL"}
     for q in (0.5, 0.9, 0.99):
         assert est[("ALL", q)] == d[q]
+
+
+def test_interleave_prefix_is_source_balanced(spark):
+    """The round-robin interleave's defining property: any prefix of the
+    training order contains nearly-equal counts per source (max spread 1
+    per round boundary, i.e. ≤ #sources in raw counts)."""
+    from big_data_virus_analysis_spark.plans.mixtures import _q_interleave_sources
+
+    rows = _q_interleave_sources(spark, SF_DIR).collect()
+    n_sources = len({r.source for r in rows})
+    by_pos = sorted(rows, key=lambda r: r.global_pos)
+    # positions are contiguous 1..N
+    assert [r.global_pos for r in by_pos] == list(range(1, len(rows) + 1))
+    for prefix_len in (n_sources, 5 * n_sources, len(rows) // 2):
+        counts: dict[str, int] = {}
+        for r in by_pos[:prefix_len]:
+            counts[r.source] = counts.get(r.source, 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (
+            prefix_len,
+            counts,
+        )
+
+
+def test_training_shuffle_is_permutation_and_deterministic(spark):
+    """Seeded shuffle must be a bijection doc_id→position and identical
+    across runs (the resumability contract)."""
+    from big_data_virus_analysis_spark.plans.mixtures import _q_training_shuffle_order
+
+    a = {r.doc_id: r.pos for r in _q_training_shuffle_order(spark, SF_DIR).collect()}
+    b = {r.doc_id: r.pos for r in _q_training_shuffle_order(spark, SF_DIR).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, len(a) + 1))
+
+
+def test_semantic_dedup_survivors_partition_the_corpus(spark):
+    """Survivors + dropped = corpus; every dropped vector has a
+    smaller-id near-dup pair inside its own cluster; no survivor is the
+    higher-id side of any pair."""
+    from big_data_virus_analysis_spark.plans.semantic import (
+        _clustered,
+        _pairs,
+        _q_semantic_dedup_survivors,
+    )
+
+    clustered = _clustered(spark, SF_DIR)
+    pairs = _pairs(clustered).collect()
+    survivors = {r.vec_id for r in _q_semantic_dedup_survivors(spark, SF_DIR).collect()}
+    all_ids = {r.vec_id for r in clustered.collect()}
+    dropped = {p.vec_b for p in pairs}
+    assert survivors == all_ids - dropped
+    for p in pairs:
+        assert p.vec_a < p.vec_b
+
+
+def test_incremental_dedup_flags_planted_exact_dups(spark):
+    """Every batch doc flagged exact_dup must share its md5 digest with
+    a corpus doc, and near-dup jaccard is bounded to [0.8, 1]."""
+    from big_data_virus_analysis_spark.plans.ingestion import (
+        _q_dedup_incremental_batch,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    digests = {
+        (r.doc_id, r.d)
+        for r in docs.select("doc_id", F.md5("text").alias("d")).collect()
+    }
+    corpus_digests = {d for i, d in digests if i % 5 != 0}
+    batch_digest = {i: d for i, d in digests if i % 5 == 0}
+    out = _q_dedup_incremental_batch(spark, SF_DIR).collect()
+    assert {r.doc_id for r in out} == set(batch_digest)
+    for r in out:
+        assert r.exact_dup == (batch_digest[r.doc_id] in corpus_digests)
+        if r.n_near_dups:
+            assert 0.8 <= r.best_jaccard <= 1.0
+        else:
+            assert r.best_jaccard == 0.0

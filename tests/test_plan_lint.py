@@ -76,6 +76,12 @@ BNLJ_ALLOWED = {
     "nearest_centroid_assign",
     # 1-row vocabulary-size scalar broadcast (add-k smoothing denominator)
     "bigram_lm_perplexity",
+    # 1-row mixture-normalizer broadcast (sum over ~#domains)
+    "domain_mixture_weights",
+    # 10-row per-label centroid-array broadcast (shared with
+    # nearest_centroid_assign)
+    "semantic_dedup_pairs",
+    "semantic_dedup_survivors",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
