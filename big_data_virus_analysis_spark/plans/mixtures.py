@@ -64,10 +64,13 @@ def _ws_token_count() -> F.Column:
 
 def _q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # cache the ~#domains-row aggregate: the normalizer branch would
+    # otherwise re-derive it from a SECOND full corpus scan (the same
+    # materialize-once rule as the dedup signature frames)
     per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(_ws_token_count()).alias("n_tokens"),
-    )
+    ).cache()
     w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(_ALPHA))
     # the normalizer is ONE row (sum over ~#domains) — broadcast scalar
     tot = per_src.agg(
