@@ -241,3 +241,50 @@ def test_pair_generators_materialize_once(spark):
             assert n >= 2, f"{name}: {n} InMemoryTableScan nodes — cache dropped?"
     finally:
         spark.catalog.clearCache()
+
+
+def test_gopher_flags_plan_is_pure_map(plan_of):
+    """The Gopher rule battery must stay a pure map over the scan —
+    zero Exchanges of any kind (the whole point of per-row array math)."""
+    plan = plan_of("gopher_quality_flags")
+    assert "Exchange" not in plan, "gopher_quality_flags grew a shuffle"
+
+
+def test_mixture_weights_single_corpus_scan(spark):
+    """domain_mixture_weights' 1-row normalizer must reuse the cached
+    per-source aggregate, not re-scan the corpus: exactly one parquet
+    scan in the plan, both join branches on InMemoryTableScan."""
+    try:
+        plan = fmt_plan(CATALOG["domain_mixture_weights"].spark(spark, SMOKE_SF_DIR))
+        # both join branches read the cache (the cached subtree's own
+        # lineage still RENDERS its parquet scan, so count cache reads,
+        # not scan strings)
+        assert plan.count("InMemoryTableScan") >= 2
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_incremental_dedup_gram_indexes_cached(spark):
+    """Both gram inverted indexes (batch + corpus) feed multiple
+    consumers (sizes + intersection join) — they must read from cache,
+    not replay the explode (materialize-once contract)."""
+    try:
+        plan = fmt_plan(CATALOG["dedup_incremental_batch"].spark(spark, SMOKE_SF_DIR))
+        assert plan.count("InMemoryTableScan") >= 3
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_semantic_dedup_pair_join_on_cluster_key(spark):
+    """SemDeDup's pair join must be an equi-join on the cluster id over
+    the CACHED assignment (both branches InMemoryTableScan) — never a
+    nested-loop over the corpus."""
+    try:
+        plan = fmt_plan(CATALOG["semantic_dedup_pairs"].spark(spark, SMOKE_SF_DIR))
+        assert plan.count("InMemoryTableScan") >= 2
+        # the only BNLJ allowed is the tiny centroid broadcast INSIDE the
+        # cached assignment's lineage; the pair join itself is hash/SMJ
+        after_cache = plan.split("InMemoryRelation")[0]
+        assert "BroadcastNestedLoopJoin" not in after_cache
+    finally:
+        spark.catalog.clearCache()
