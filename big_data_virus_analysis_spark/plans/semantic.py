@@ -35,11 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from ..operators.similarity import lsh_bucket
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 from .rag import SQL_CENTROID_ASSIGN_BODY, assign_nearest_centroid
 
 _TAU = 0.4  # rounded-cosine threshold (matches embedding_near_dup's)
+_FINE_PLANES = 4  # sub-bucket planes for the fine-grained variant
 
 
 def _clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,6 +124,74 @@ WHERE b.vec_id NOT IN (SELECT vec_b FROM pairs)
 """
 
 
+# --------------------------------------------------------------------------
+# fine-grained variant: the "raise C" scale knob made concrete
+# --------------------------------------------------------------------------
+
+def _q_semantic_dedup_pairs_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same SemDeDup pair search with C multiplied 16×: cluster =
+    (label centroid, 4-plane sign-LSH sub-bucket) — the deterministic
+    stand-in for training more centroids.  Per-cluster blocks shrink
+    16×, so candidate volume drops to ~n²/(16·C); the price is recall
+    (a near-dup pair split across sub-buckets is missed — by
+    construction a SUBSET of the coarse variant's pairs, asserted in
+    tests).  Both the sub-bucket hash and the centroid assignment are
+    exact SQL, so this variant keeps a full value-hash oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = assign_nearest_centroid(emb)
+    fine = assigned.select(
+        "vec_id",
+        "embedding",
+        (
+            F.col("clabel").cast("bigint") * (1 << _FINE_PLANES)
+            + lsh_bucket(F.col("embedding"), n_planes=_FINE_PLANES)
+        ).alias("cluster"),
+    )
+    return _pairs(fine)
+
+
+_SQL_SEMANTIC_DEDUP_PAIRS_FINE = SQL_CENTROID_ASSIGN_BODY + """
+, norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM elems GROUP BY vec_id
+), planes AS (
+  SELECT j, d,
+         ((1103515245 * (j * 64 + (d - 1)) + 12345) % 2147483648)
+           / 2147483648.0 - 0.5 AS wgt
+  FROM (SELECT unnest(generate_series(0, 3)) AS j)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
+), pdots AS (
+  SELECT e.vec_id, p.j, sum(e.x * p.wgt) AS pd
+  FROM elems e JOIN planes p ON e.i = p.d
+  GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM pdots GROUP BY vec_id
+), fine AS (
+  SELECT b.vec_id, b.clabel * 16 + bk.bucket AS cluster
+  FROM best b JOIN buckets bk ON b.vec_id = bk.vec_id
+), dots AS (
+  SELECT fa.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         sum(a.x * b.x) AS dot
+  FROM elems a
+  JOIN fine fa ON a.vec_id = fa.vec_id
+  JOIN fine fb ON fa.cluster = fb.cluster
+  JOIN elems b ON b.vec_id = fb.vec_id AND b.i = a.i
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT cluster, vec_a, vec_b,
+         round(dot / (na.nrm * nb.nrm), 6) AS sim
+  FROM dots
+  JOIN norms na ON vec_a = na.vec_id
+  JOIN norms nb ON vec_b = nb.vec_id
+  WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
+)
+SELECT cluster, vec_a, vec_b, sim FROM pairs
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "semantic_dedup_pairs": QuerySpec(
         _q_semantic_dedup_pairs,
@@ -134,5 +204,12 @@ SPECS: dict[str, QuerySpec] = {
         _SQL_SEMANTIC_DEDUP_SURVIVORS,
         "SemDeDup survivors: greedy keep-lowest-id within each cluster "
         "(anti-join on the dropped side)",
+    ),
+    "semantic_dedup_pairs_fine": QuerySpec(
+        _q_semantic_dedup_pairs_fine,
+        _SQL_SEMANTIC_DEDUP_PAIRS_FINE,
+        "SemDeDup with 16x more clusters (label x 4-plane sign-LSH "
+        "sub-bucket): the raise-C scale knob as code — candidate volume "
+        "n²/(16·C), pairs a strict subset of the coarse variant",
     ),
 }

@@ -959,3 +959,25 @@ def test_incremental_dedup_flags_planted_exact_dups(spark):
             assert 0.8 <= r.best_jaccard <= 1.0
         else:
             assert r.best_jaccard == 0.0
+
+
+def test_semantic_dedup_fine_pairs_subset_of_coarse(spark):
+    """The fine (label x sub-bucket) variant only RESTRICTS the
+    candidate space: every fine pair must appear among the coarse
+    pairs with the same similarity."""
+    from big_data_virus_analysis_spark.plans.semantic import (
+        _q_semantic_dedup_pairs,
+        _q_semantic_dedup_pairs_fine,
+    )
+
+    coarse = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in _q_semantic_dedup_pairs(spark, SF_DIR).collect()
+    }
+    fine = [
+        ((r.vec_a, r.vec_b), r.sim)
+        for r in _q_semantic_dedup_pairs_fine(spark, SF_DIR).collect()
+    ]
+    assert fine, "expected at least one fine-cluster pair at sf0.01"
+    for key, sim in fine:
+        assert key in coarse and coarse[key] == sim

@@ -82,6 +82,7 @@ BNLJ_ALLOWED = {
     # nearest_centroid_assign)
     "semantic_dedup_pairs",
     "semantic_dedup_survivors",
+    "semantic_dedup_pairs_fine",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
