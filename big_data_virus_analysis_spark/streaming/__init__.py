@@ -8,6 +8,8 @@ function serves BOTH a batch DataFrame (oracle-checkable) and a
 """
 
 from .streams import (
+    flag_incremental_dups,
+    read_documents_stream,
     read_events_stream,
     session_window_agg,
     sliding_window_agg,
@@ -17,6 +19,8 @@ from .streams import (
 from .stateful import running_user_totals
 
 __all__ = [
+    "flag_incremental_dups",
+    "read_documents_stream",
     "read_events_stream",
     "session_window_agg",
     "sliding_window_agg",

@@ -327,3 +327,56 @@ def monitor_value_drift(
         psi_row.write.mode("append").parquet(sink_path)
 
     return stream_events.writeStream.foreachBatch(_score)
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of documents parquet files —
+    the landing path of a continuously-ingested corpus."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(docs_dir)
+
+
+def flag_incremental_dups(
+    batch_docs: DataFrame, corpus_digests: DataFrame
+) -> DataFrame:
+    """Stream-static incremental-ingest dedup: the streaming twin of the
+    exact tier in plans/ingestion.py::dedup_incremental_batch.
+
+    Arriving documents probe the corpus's maintained digest table with a
+    stateless broadcast left join — each micro-batch re-reads the static
+    side (picking up corpus growth between triggers for free), the
+    stream side never shuffles, and no streaming state accumulates, so
+    this runs forever at constant memory.  Batch/stream polymorphic: the
+    same function body serves the oracle-checked batch form (parity test
+    in tests/test_streaming.py).
+
+    ``corpus_digests``: one ``digest`` column (md5 hex of corpus text).
+    Output: ``(doc_id, digest, exact_dup)`` per arriving document.
+    """
+    hits = corpus_digests.select("digest").distinct().withColumn(
+        "_in_corpus", F.lit(True)
+    )
+    return (
+        batch_docs.withColumn("digest", F.md5("text"))
+        .join(F.broadcast(hits), "digest", "left")
+        .select(
+            "doc_id",
+            "digest",
+            F.coalesce(F.col("_in_corpus"), F.lit(False)).alias("exact_dup"),
+        )
+    )

@@ -360,3 +360,39 @@ def test_stateful_session_emitter_matches_batch_closed_sessions(
     }
     assert surely_closed <= got, "a long-closed session was never emitted"
     assert len(got) > 0
+
+
+def test_incremental_ingest_stream_matches_batch(spark, tmp_path):
+    """flag_incremental_dups run as a real multi-batch stream must agree
+    per doc with the batch exact tier of dedup_incremental_batch (which
+    is DuckDB-oracle-checked in the catalog)."""
+    from big_data_virus_analysis_spark.plans.ingestion import (
+        _q_dedup_incremental_batch,
+    )
+    from big_data_virus_analysis_spark.streaming import (
+        flag_incremental_dups,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    batch_docs = docs.where((F.col("doc_id") % 5) == 0)
+    corpus_digests = (
+        docs.where((F.col("doc_id") % 5) != 0)
+        .select(F.md5("text").alias("digest"))
+    )
+    landing = tmp_path / "docs_landing"
+    batch_docs.repartition(3).write.mode("overwrite").parquet(str(landing))
+
+    stream = read_documents_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_stream(
+        spark,
+        flag_incremental_dups(stream, corpus_digests),
+        "append",
+        tmp_path,
+    )
+    stream_flags = {r.doc_id: r.exact_dup for r in got.collect()}
+    batch_flags = {
+        r.doc_id: r.exact_dup
+        for r in _q_dedup_incremental_batch(spark, SMOKE_SF_DIR).collect()
+    }
+    assert stream_flags == batch_flags
