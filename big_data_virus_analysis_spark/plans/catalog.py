@@ -4180,3 +4180,46 @@ CATALOG.update(_INGESTION_SPECS)
 from .gopher import SPECS as _GOPHER_SPECS  # noqa: E402
 
 CATALOG.update(_GOPHER_SPECS)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py) — iterative, rows-only
+# --------------------------------------------------------------------------
+
+def _q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merges trained on the corpus.  Iterative (one global
+    top-1 per round) — not SQL-expressible, so rows-only at the driver;
+    the exact merge list is equality-tested against an independent
+    pure-Python reference in tests/test_operators.py."""
+    from ..operators.bpe import train_bpe
+
+    return train_bpe(load_table(spark, sf_dir, "documents"), n_merges=20)
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under the corpus-trained 10-merge BPE —
+    train once, then a pure-map segmentation pass."""
+    from ..operators.bpe import bpe_segment, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [r.asDict() for r in train_bpe(docs, n_merges=10).collect()]
+    return bpe_segment(docs, merges)
+
+
+CATALOG.update(
+    {
+        "bpe_merge_table": QuerySpec(
+            _q_bpe_merge_table,
+            None,
+            "distributed BPE training (20 merges): corpus touched once for "
+            "the word-freq table, then vocabulary-sized agg rounds with a "
+            "1-row top-1 driver exchange per merge",
+        ),
+        "bpe_token_stats": QuerySpec(
+            _q_bpe_token_stats,
+            None,
+            "per-doc BPE token counts under the corpus-trained merges: "
+            "train once, segment as a pure map",
+        ),
+    }
+)

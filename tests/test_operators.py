@@ -981,3 +981,49 @@ def test_semantic_dedup_fine_pairs_subset_of_coarse(spark):
     assert fine, "expected at least one fine-cluster pair at sf0.01"
     for key, sim in fine:
         assert key in coarse and coarse[key] == sim
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """The distributed trainer must reproduce the classic sequential
+    BPE algorithm exactly: same merges, same order, same counts —
+    checked against an independent pure-Python implementation on the
+    same corpus (deterministic tie-break: count desc, pair asc)."""
+    from collections import Counter
+
+    from big_data_virus_analysis_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in train_bpe(docs, n_merges=15).orderBy("rank").collect()
+    ]
+
+    freq = Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) for w in freq}
+    expect = []
+    for rank in range(1, 16):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        expect.append((rank, a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == expect
