@@ -18,6 +18,11 @@ TakeOrderedAndProject — the properties that survive a 100 TB scale-up.
 
 No partsupp table exists in the fixtures; Q2/Q11/Q20-style inventory
 queries are re-based on shipment volumes (documented per query).
+Likewise no l_shipmode/l_commitdate/l_receiptdate: Q12 and Q21 are
+re-based on ship lag (shipdate − orderdate), keeping their defining
+shapes (conditional priority counts; sole-late-supplier EXISTS pair).
+With those, every TPC-H query whose schema the fixtures can express
+(Q1, Q3-Q10, Q12-Q22) has a shape here or in plans/catalog.py.
 """
 
 from __future__ import annotations
@@ -694,6 +699,145 @@ ORDER BY c_mktsegment
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Q12 shape — ship-lag-bucket priority counts (conditional aggregation)
+# --------------------------------------------------------------------------
+
+def _q_shiplag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape re-based on ship lag (no l_shipmode in the
+    fixture): lineitems shipped in 1997 bucketed by how long after the
+    order they shipped (30-day buckets, capped at 90+), with the
+    classic conditional counts of high- vs low-priority orders per
+    bucket.  One join, one hash agg — the CASE sums are map-side
+    partial like every Q12 implementation.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    # the synthetic fixture (unlike TPC-H) has lineitems shipped BEFORE
+    # the order date — clamp the bucket to [0, 3] so "early" rows land
+    # in bucket 0 instead of fanning out one bucket per negative month
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = F.least(
+        F.greatest(F.floor(lag_days / 30), F.lit(0)).cast("bigint"),
+        F.lit(3).cast("bigint"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("lag_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+        .orderBy("lag_bucket")
+    )
+
+
+_SQL_SHIPLAG_PRIORITY_COUNTS = """
+SELECT least(CAST(greatest(floor(date_diff('day', o_orderdate, l_shipdate)
+                           / 30.0), 0) AS BIGINT), 3) AS lag_bucket,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 shape — sole-late-supplier blame (multi-EXISTS as conditional agg)
+# --------------------------------------------------------------------------
+
+def _q_sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape re-based on ship lag (no receipt/commit dates in
+    the fixture): suppliers who were the ONLY late shipper (>60 days
+    after order date) on a multi-supplier order — the classic
+    EXISTS(other supplier) AND NOT EXISTS(other late supplier) pair.
+
+    Both correlated subqueries collapse into ONE per-order conditional
+    aggregation (distinct suppliers vs distinct late suppliers), so the
+    plan is join → two-level hash agg instead of Q21's textbook double
+    self-join of lineitem — one shuffle on l_orderkey replaces two
+    corpus-sized self-join probes, the at-scale rewrite.  Top 25 by
+    blamed-order count with supplier name from the broadcast dim.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    with_late = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).withColumn(
+        "late",
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60),
+    )
+    per_supp_order = with_late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    order_stats = per_supp_order.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late_supp"),
+    )
+    blamed = (
+        per_supp_order.where(F.col("supp_late"))
+        .join(order_stats, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
+_SQL_SOLE_LATE_SUPPLIER_BLAME = """
+WITH with_late AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_supp_order AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+  FROM with_late GROUP BY 1, 2
+), order_stats AS (
+  SELECT l_orderkey, count(*) AS n_supp,
+         sum(CASE WHEN supp_late THEN 1 ELSE 0 END) AS n_late_supp
+  FROM per_supp_order GROUP BY 1
+)
+SELECT s_name, count(*) AS numwait
+FROM per_supp_order p
+JOIN order_stats o ON p.l_orderkey = o.l_orderkey
+JOIN supplier ON p.l_suppkey = s_suppkey
+WHERE p.supp_late AND o.n_supp >= 2 AND o.n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 25
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "order_priority_waiting": QuerySpec(
         _q_order_priority_waiting,
@@ -754,6 +898,19 @@ SPECS: dict[str, QuerySpec] = {
         _q_heavy_shipment_suppliers,
         _SQL_HEAVY_SHIPMENT_SUPPLIERS,
         "TPC-H Q20 shape: HAVING-filtered inner agg probed via left-semi chain",
+    ),
+    "shiplag_priority_counts": QuerySpec(
+        _q_shiplag_priority_counts,
+        _SQL_SHIPLAG_PRIORITY_COUNTS,
+        "TPC-H Q12 shape (ship-lag buckets for shipmode): conditional "
+        "priority counts, map-side partial CASE sums",
+    ),
+    "sole_late_supplier_blame": QuerySpec(
+        _q_sole_late_supplier_blame,
+        _SQL_SOLE_LATE_SUPPLIER_BLAME,
+        "TPC-H Q21 shape (ship-lag for receipt/commit): double correlated "
+        "EXISTS collapsed to one per-order conditional agg — no lineitem "
+        "self-joins",
     ),
     "idle_customer_balance": QuerySpec(
         _q_idle_customer_balance,
