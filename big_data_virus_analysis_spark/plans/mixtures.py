@@ -25,6 +25,9 @@ trainer.
   resumability; at 100 TB the range shuffle on the 32-hex key is the
   only wide stage, and the md5 keyspace is uniform by construction so
   range partitions are balanced.
+* ``curriculum_quality_order`` — quality-curriculum order: rank-derived
+  quality deciles (two-phase scan), seeded shuffle within each decile —
+  easy-to-hard with in-band randomness.
 * ``interleave_sources_round_robin`` — curriculum interleaving: docs
   are shuffled WITHIN each source (partitioned window — parallel),
   then sources are interleaved round-robin by (pos_in_source, source)
@@ -33,7 +36,7 @@ trainer.
   property homogeneous-batch streams lack.
 
 No reference counterpart (the reference stops at model training on one
-corpus); these are engine additions for LLM-corpus assembly.  All four
+corpus); these are engine additions for LLM-corpus assembly.  All five
 have exact DuckDB oracles.
 """
 
@@ -52,6 +55,10 @@ _SEED = 42
 
 #: whitespace tokens, both engines identically
 _TOKS_SQL = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+#: English stopword list as a SQL IN-list (mirrors operators/text_quality.py)
+from ..operators.text_quality import LANG_STOPWORDS as _LSW
+_EN_STOPS_SQL = ", ".join(f"'{w}'" for w in _LSW["en"])
 
 
 def _ws_token_count() -> F.Column:
@@ -255,3 +262,82 @@ SPECS: dict[str, QuerySpec] = {
         "prefix sees near-proportional source mix",
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# curriculum_quality_order
+# --------------------------------------------------------------------------
+
+def _q_curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order: docs ranked into quality
+    deciles (highest-scoring decile first), shuffled WITHIN each decile
+    by the seeded hash — easy-to-hard ordering with randomness inside
+    each difficulty band, the standard curriculum-learning recipe.
+
+    Both global orderings ride the two-phase distributed rank: the
+    decile comes from rank-derived ntile over (score desc, doc_id), the
+    final position from (decile, shuffle hash).  No single-partition
+    window anywhere.
+    """
+    from ..operators.prefix_sum import ntile_from_rank, with_global_rank_and_count
+    from ..operators.text_quality import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "score")
+    ranked = with_global_rank_and_count(
+        scored, [F.col("score").desc(), F.col("doc_id").asc()]
+    )
+    with_decile = ranked.select(
+        "doc_id",
+        "score",
+        ntile_from_rank(F.col("rn"), F.col("_n"), 10).alias("decile"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":cur{_SEED}")).cast(
+                "binary"
+            )
+        ).alias("_h"),
+    )
+    out = global_row_number(
+        with_decile,
+        [F.col("decile").asc(), F.col("_h").asc(), F.col("doc_id").asc()],
+        out_col="pos",
+    )
+    return out.select("doc_id", "score", "decile", "pos")
+
+
+_SQL_CURRICULUM_QUALITY_ORDER = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+), parts AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x IN ({_EN_STOPS_SQL}))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stop_frac,
+         least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_score,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_frac
+  FROM t
+), scored AS (
+  SELECT doc_id,
+         round(0.4 * stop_frac + 0.3 * len_score + 0.3 * alpha_frac, 6) AS score
+  FROM parts
+), with_decile AS (
+  SELECT doc_id, score,
+         ntile(10) OVER (ORDER BY score DESC, doc_id ASC) AS decile
+  FROM scored
+)
+SELECT doc_id, score, CAST(decile AS BIGINT) AS decile,
+       row_number() OVER (
+         ORDER BY decile ASC,
+                  md5(CAST(doc_id AS VARCHAR) || ':cur{_SEED}') ASC,
+                  doc_id ASC
+       ) AS pos
+FROM with_decile
+"""
+
+
+SPECS["curriculum_quality_order"] = QuerySpec(
+    _q_curriculum_quality_order,
+    _SQL_CURRICULUM_QUALITY_ORDER,
+    "quality-curriculum training order: rank-derived deciles + seeded "
+    "within-decile shuffle, all on the two-phase scan",
+)
