@@ -4223,3 +4223,82 @@ CATALOG.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data op)
+# --------------------------------------------------------------------------
+
+def _q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: for each anchor
+    (vec_id < 10), the top-5 most-similar candidates with a DIFFERENT
+    label — the examples that teach a contrastive model the most
+    (Robinson et al. 2021, "Contrastive Learning with Hard Negative
+    Samples" — public).  Same broadcast-anchor scan shape as
+    cosine_topk_bruteforce (the LSH/IVF candidate generators compose in
+    front at scale exactly as for kNN); the label inequality rides the
+    join condition so mismatched pairs never materialize."""
+    from ..functions.vectors import cosine_similarity
+    from ..sources.tables import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("anchor_label"),
+    )
+    c = fan_out(emb).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("neg_label"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neg_label") != F.col("anchor_label"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "sim", "rank")
+    )
+
+
+_SQL_HARD_NEGATIVE_MINING = _SQL_EMB_BASE + """
+, lab AS (
+  SELECT vec_id, label FROM embeddings
+), dots AS (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id, sum(q.x * c.x) AS dot
+  FROM elems q
+  JOIN lab ql ON q.vec_id = ql.vec_id
+  JOIN elems c ON q.i = c.i
+  JOIN lab cl ON c.vec_id = cl.vec_id AND cl.label <> ql.label
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2
+), sims AS (
+  SELECT anchor_id, ql.label AS anchor_label, neg_id, cl.label AS neg_label,
+         round(dot / (nq.nrm * nc.nrm), 6) AS sim
+  FROM dots
+  JOIN lab ql ON anchor_id = ql.vec_id
+  JOIN lab cl ON neg_id = cl.vec_id
+  JOIN norms nq ON anchor_id = nq.vec_id
+  JOIN norms nc ON neg_id = nc.vec_id
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, sim,
+       CAST(row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY sim DESC, neg_id ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= 5
+"""
+
+CATALOG.update(
+    {
+        "hard_negative_mining": QuerySpec(
+            _q_hard_negative_mining,
+            _SQL_HARD_NEGATIVE_MINING,
+            "contrastive hard negatives: per-anchor top-5 most-similar "
+            "different-label candidates (broadcast anchors, label "
+            "inequality in the join condition)",
+        ),
+    }
+)

@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "bigram_pmi_top",
     # brute-force baselines (the LSH/IVF variants are the scale path)
     "cosine_topk_bruteforce",
+    "hard_negative_mining",
     "knn_label_vote",
     "quantized_cosine_topk",
     # single-row corpus-total broadcast (like info_gain_topk)
