@@ -146,24 +146,14 @@ def _kgram_hash(chars: Column, i: Column) -> Column:
     return h
 
 
-def doc_fingerprints(documents: DataFrame) -> DataFrame:
-    """Winnowing fingerprints (k=8 char-grams, window=4).
-
-    Classic scheme: hash every k-gram, keep the min hash of each
-    sliding window of 4 consecutive hashes, dedup.  Output is an
-    oracle-friendly digest per doc: ``(doc_id, n_fp, fp_checksum)``.
-
-    Entirely per-row array expressions — an earlier version exploded one
-    row per character position (duplicating the full text onto every
-    row) and ran two windows over it; this form has NO shuffle at all
-    until the final (already doc-grained) aggregation, which is a plain
-    projection.  Per-row cost is the same O(n·k) arithmetic.
-    """
+def _fingerprint_arrays(documents: DataFrame) -> DataFrame:
+    """Shared winnowing pipeline: ``(doc_id, fps)`` with ``fps`` the
+    deduped per-doc fingerprint array.  Entirely per-row array
+    expressions — NO shuffle; each stage is its own projection column (a
+    nested transform(..., slice(hashes, ...)) would re-evaluate the
+    whole inner array once per outer element — O(n²·k) per row)."""
     max_pos = F.length("text") - (FP_K - 1)
-    # each stage is its own projection column: a nested
-    # transform(..., slice(hashes, ...)) would re-evaluate the entire
-    # inner array once per outer element (O(n²·k) per row)
-    staged = (
+    return (
         fan_out(documents)
         .where(max_pos >= FP_WINDOW)
         .select("doc_id", F.split("text", "").alias("chars"))
@@ -184,12 +174,68 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
             ).alias("fps"),
         )
     )
-    return staged.select(
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """Winnowing fingerprints (k=8 char-grams, window=4).
+
+    Classic scheme: hash every k-gram, keep the min hash of each
+    sliding window of 4 consecutive hashes, dedup.  Output is an
+    oracle-friendly digest per doc: ``(doc_id, n_fp, fp_checksum)``.
+
+    An earlier version exploded one row per character position
+    (duplicating the full text onto every row) and ran two windows over
+    it; the shared array pipeline has no shuffle at all — the final
+    digest is a plain projection.  Per-row cost is the same O(n·k)
+    arithmetic.
+    """
+    return _fingerprint_arrays(documents).select(
         "doc_id",
         F.size("fps").cast("bigint").alias("n_fp"),
         F.aggregate("fps", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
             "fp_checksum"
         ),
+    )
+
+
+def fingerprint_overlap_pairs(
+    documents: DataFrame, min_shared: int = 50
+) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs — the MOSS plagiarism-
+    detection method (Schleimer et al. 2003, "Winnowing: Local
+    Algorithms for Document Fingerprinting" — public) as a near-dup
+    pair generator beside the Jaccard / MinHash / SimHash / embedding /
+    span families.
+
+    Pairs sharing ≥ ``min_shared`` fingerprints surface via an
+    inverted-index self-join keyed on the fingerprint hash — a
+    well-distributed bigint key, the same cached build-then-probe shape
+    as the other dedup joins.
+
+    Output: ``(doc_a, doc_b, n_shared)`` with doc_a < doc_b.
+    """
+    # cache the ARRAY frame, not the exploded one: a Generate (explode)
+    # consuming the staged projections lets Catalyst collapse them back
+    # into one expression — re-inlining split(text) into every
+    # element_at, the O(n²·k) trap the staging exists to avoid (observed
+    # as a >100× hang).  The InMemoryRelation is a hard barrier, and the
+    # self-join needs the index cached anyway.
+    fps = (
+        _fingerprint_arrays(documents)
+        .cache()
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

@@ -4302,3 +4302,36 @@ CATALOG.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Winnowing-fingerprint overlap pairs (operators/text_quality.py)
+# --------------------------------------------------------------------------
+
+def _q_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_quality import fingerprint_overlap_pairs
+
+    return fingerprint_overlap_pairs(
+        load_table(spark, sf_dir, "documents"), min_shared=50
+    )
+
+
+_SQL_FINGERPRINT_OVERLAP_PAIRS = _SQL_DOC_FINGERPRINTS.split("SELECT doc_id, count(*)")[0] + """
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM mins a JOIN mins b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 50
+"""
+
+CATALOG.update(
+    {
+        "fingerprint_overlap_pairs": QuerySpec(
+            _q_fingerprint_overlap_pairs,
+            _SQL_FINGERPRINT_OVERLAP_PAIRS,
+            "MOSS-style near-dup pairs: >=50 shared winnowing fingerprints "
+            "via inverted-index self-join on the fingerprint hash",
+        ),
+    }
+)

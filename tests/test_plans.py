@@ -228,8 +228,13 @@ def test_pair_generators_materialize_once(spark):
 
     docs = load_table(spark, SMOKE_SF_DIR, "documents")
     li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    from big_data_virus_analysis_spark.operators.text_quality import (
+        fingerprint_overlap_pairs,
+    )
+
     cases = {
         "minhash_lsh_pairs": minhash_lsh_pairs(docs),
+        "fingerprint_overlap_pairs": fingerprint_overlap_pairs(docs),
         "ngram_jaccard_pairs": ngram_jaccard_pairs(docs),
         "simhash_pairs": simhash_pairs(docs),
         "copurchase_edges": copurchase_edges(li),
