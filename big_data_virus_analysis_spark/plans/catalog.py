@@ -4335,3 +4335,12 @@ CATALOG.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Corpus datasheet (plans/datasheet.py)
+# --------------------------------------------------------------------------
+
+from .datasheet import SPECS as _DATASHEET_SPECS  # noqa: E402
+
+CATALOG.update(_DATASHEET_SPECS)
