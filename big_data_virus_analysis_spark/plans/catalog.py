@@ -4344,3 +4344,69 @@ CATALOG.update(
 from .datasheet import SPECS as _DATASHEET_SPECS  # noqa: E402
 
 CATALOG.update(_DATASHEET_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion audit (evaluation against ground truth)
+# --------------------------------------------------------------------------
+
+def _q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-profile language classifier
+    against the fixture's ground-truth ``lang`` column, with per-cell
+    share of the true class — the classifier-quality audit a corpus
+    pipeline runs before trusting language routing.  One extra
+    broadcast join (docs → truth) and a two-key hash agg on top of the
+    language_id pipeline; the per-class total is a truth-keyed window
+    over the already-aggregated (≤ langs²-row) confusion frame."""
+    from ..operators.text_quality import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs)
+    joined = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    cells = joined.groupBy(
+        F.col("lang").alias("true_lang"), F.col("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share_of_true"),
+    )
+
+
+_SQL_LANGUAGE_CONFUSION = _SQL_LANGUAGE_ID.replace(
+    """SELECT doc_id, cand_lang AS pred_lang, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) = 1
+""",
+    """, pred AS (
+  SELECT doc_id, cand_lang AS pred_lang
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, cand_lang ASC) = 1
+), cells AS (
+  SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+  FROM pred p JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
+         AS share_of_true
+FROM cells
+""",
+)
+
+CATALOG.update(
+    {
+        "language_confusion": QuerySpec(
+            _q_language_confusion,
+            _SQL_LANGUAGE_CONFUSION,
+            "language-ID confusion matrix vs ground truth with per-true-class "
+            "shares: language_id pipeline + truth join + two-key hash agg",
+        ),
+    }
+)

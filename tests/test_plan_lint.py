@@ -42,6 +42,8 @@ BNLJ_ALLOWED = {
     # 16-row centroid table / 5-language stopword table broadcast
     "ivf_ann_topk",
     "language_id",
+    # inherits language_id's 5-language scaffold broadcast
+    "language_confusion",
     # single-row bigram-total broadcast crossed onto vocabulary-sized counts
     "bigram_pmi_top",
     # brute-force baselines (the LSH/IVF variants are the scale path)
