@@ -11,7 +11,10 @@ SVMDT.scala) on the DataFrame ML API:
 * LinearSVC regParam grid {0.001,0.01,0.1,1.0,10.0} (SVMDT.scala:189 —
   OWLQN here vs the reference's SGD, so AUC parity is invariant-based,
   not exact);
-* AUC via BinaryClassificationEvaluator (SVMDT.scala:153-158).
+* AUC via the exact Mann–Whitney aggregation (ml/metrics.py) — the
+  same oracle-checked code path as the ``fixed_scorer_auc`` catalog
+  query (SVMDT.scala:153-158's areaUnderROC, computed exactly instead
+  of via the evaluator's 1000-bin ROC approximation).
 
 Everything consumes a plain DataFrame with ``features_arr:
 array<double>`` and converts via ``array_to_vector`` — JVM-side, no
@@ -27,10 +30,11 @@ from pyspark.ml.classification import (
     LogisticRegression,
 )
 from pyspark.ml.clustering import KMeans
-from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .metrics import exact_auc
 
 DEFAULT_SEED = 42
 
@@ -58,10 +62,17 @@ def kmeans_assign(
 
 
 def _auc(predictions: DataFrame, score_col: str, label_col: str = "label") -> float:
-    ev = BinaryClassificationEvaluator(
-        rawPredictionCol=score_col, labelCol=label_col, metricName="areaUnderROC"
-    )
-    return float(ev.evaluate(predictions))
+    """Exact ROC-AUC of the positive-class score (rawPrediction[1]).
+
+    Routed through the same Mann–Whitney aggregation that the
+    oracle-checked ``fixed_scorer_auc``/``auc_rank_based`` catalog
+    queries pin against DuckDB (ml/metrics.py::exact_auc) — the
+    evaluator's 1000-bin ROC approximation is replaced by the exact
+    area, so every grid's metric column is computed by oracle-verified
+    code.  Equality with ``BinaryClassificationEvaluator`` (up to its
+    binning) is asserted in tests/test_ml_queries.py.
+    """
+    return exact_auc(predictions, score_col, label_col)
 
 
 def dt_auc_grid(

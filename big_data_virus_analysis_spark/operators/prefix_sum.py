@@ -108,7 +108,12 @@ def global_prefix_sum(
     zeros, cum_types = {}, {}
     for oc in out_cols:
         cum_types[oc] = dtypes[f"_local_{oc}"]  # sum()'s widened type
-        zeros[oc] = Decimal(0) if cum_types[oc].startswith("decimal") else 0
+        if cum_types[oc].startswith("decimal"):
+            zeros[oc] = Decimal(0)
+        elif cum_types[oc] in ("double", "float"):
+            zeros[oc] = 0.0
+        else:
+            zeros[oc] = 0
         schema_parts.append(f"_offset_{oc} {cum_types[oc]}")
         schema_parts.append(f"_cnt_{oc} bigint")
     running = {oc: zeros[oc] for oc in out_cols}

@@ -107,6 +107,54 @@ def ann_lsh_topk(
     )
 
 
+def _l2sq(a, b):
+    """Column expr: rounded squared-L2 distance between two double arrays."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _ivf_search(
+    inverted: DataFrame, cent_df: DataFrame, q: DataFrame, k: int, n_probe: int
+) -> DataFrame:
+    """Shared IVF probe + in-cell search (steps 3-4 of :func:`ivf_topk`).
+
+    ``inverted``: (vec_id, embedding, cell); ``cent_df``: (cell,
+    centroid) — tiny, broadcast; ``q``: (query_id, qe).  Each query
+    keeps its ``n_probe`` nearest cells (rounded distance, cell-asc
+    tiebreak — deterministic), then exact cosine only within probed
+    cells with a per-query top-k window.
+    """
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("cdist", _l2sq(F.col("qe"), F.col("centroid")))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qe", "cell")
+    )
+    c = inverted.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "cell"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
+    return (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -157,41 +205,48 @@ def ivf_topk(
         "cell int, centroid array<double>",
     )
 
-    q = inverted.where(F.col("vec_id") < n_queries).select(
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").asc(), F.col("cell").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn(
-            "cdist",
-            F.aggregate(
-                F.zip_with(
-                    "qe", "centroid", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .where(F.col("pr") <= n_probe)
-        .select("query_id", "qe", "cell")
-    )
+    return _ivf_search(inverted, cent_df, q, k, n_probe)
 
-    c = inverted.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "cell"
+
+def ivf_topk_fixed(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k with a FIXED deterministic coarse quantizer — the
+    exact-oracle twin of :func:`ivf_topk`.
+
+    Centroids are the first ``n_cells`` corpus vectors (vec_id <
+    n_cells) instead of a trained K-Means model, so the ENTIRE plan is
+    relational: argmin cell assignment, top-``n_probe`` cell probe, and
+    in-cell cosine are all rounded/tiebroken expressions that DuckDB
+    reproduces bit-for-bit (oracle in plans/ml_exact.py).  Plan shape is
+    identical to the trained variant — broadcast centroid table, one
+    candidate shuffle on ``cell`` — so the oracle checks the same
+    physical strategy the trained quantizer runs at 100 TB.
+    """
+    cent_df = embeddings.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
-    return (
-        c.join(F.broadcast(probes), "cell")
-        .where(F.col("cand_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "cand_id", "sim", "rank")
+    aw = Window.partitionBy("vec_id").orderBy(F.col("cdist").asc(), F.col("cell").asc())
+    inverted = (
+        fan_out(embeddings)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cdist", _l2sq(F.col("embedding"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
     )
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return _ivf_search(inverted, cent_df, q, k, n_probe)
 
 
 def _verify_pairs_exact(
@@ -211,32 +266,51 @@ def _verify_pairs_exact(
     )
 
 
+#: ``method="auto"`` routes to the LSH prefilter at/above this
+#: threshold — the point where per-plane bit agreement (1 − acos(s)/π ≈
+#: 0.80 at s=0.8) gives the banded multi-table filter both real pruning
+#: (~2^-p random collisions) and high recall (miss ≈ (1−a^p)^T, see
+#: :func:`cosine_near_dup_lsh`).  Below it, no LSH parameterization
+#: prunes without losing recall, so exact blocked-BLAS is the honest
+#: path.
+AUTO_LSH_THRESHOLD = 0.8
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    method: str = "blocked",
+    method: str = "auto",
     n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs: ``(vec_a, vec_b, sim)`` at/above the
     rounded-cosine threshold, vec_a < vec_b.
 
-    ``method="blocked"`` (default, exact, the 100 TB path): triangle
-    block partitioning + per-task BLAS matmul candidate generation
-    (``similarity_pandas.blocked_near_dup_candidates``), then a JVM
-    exact verify that recomputes the canonical rounded cosine — output
-    is byte-identical to the all-pairs form (asserted in tests), but
-    the n² work is spread over B(B+1)/2 even, bounded-memory tasks
-    instead of one quadratic nested-loop join.
+    ``method="auto"`` (default) routes by threshold: at/above
+    :data:`AUTO_LSH_THRESHOLD` the sign-LSH multi-table prefilter
+    (:func:`cosine_near_dup_lsh`) prunes the candidate space by ~2^-p
+    per table with quantified recall — the n² FLOPs wall never
+    materializes; below it the exact blocked plan runs, because no LSH
+    parameterization at low similarity gives both recall and pruning
+    (bit agreement at sim 0.4 is ~0.63/plane).
+
+    ``method="blocked"`` (exact, the low-threshold 100 TB path):
+    triangle block partitioning + per-task BLAS matmul candidate
+    generation (``similarity_pandas.blocked_near_dup_candidates``),
+    then a JVM exact verify that recomputes the canonical rounded
+    cosine — output is byte-identical to the all-pairs form (asserted
+    in tests), with the n² work spread over B(B+1)/2 even,
+    bounded-memory tasks instead of one quadratic nested-loop join.
+
+    ``method="lsh"``: force the prefilter (recall<1 by construction —
+    quantified in :func:`cosine_near_dup_lsh`).
 
     ``method="allpairs"``: the brute-force thresholded join, kept as the
     correctness oracle for small fixtures.
-
-    For HIGH thresholds (≥ ~0.8) where sign-LSH has real pruning power,
-    see :func:`cosine_near_dup_lsh`; at low thresholds like 0.4 no LSH
-    parameterization gives both recall and pruning (bit agreement at
-    sim 0.4 is ~0.63/plane), so the exact blocked plan is the honest
-    scale path.
     """
+    if method == "auto":
+        method = "lsh" if threshold >= AUTO_LSH_THRESHOLD else "blocked"
+    if method == "lsh":
+        return cosine_near_dup_lsh(embeddings, threshold)
     if method == "blocked":
         from .similarity_pandas import blocked_near_dup_candidates
 

@@ -20,9 +20,10 @@ sum over that frame.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.prefix_sum import global_prefix_sum
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 
@@ -63,24 +64,24 @@ def _q_km_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     times = cohort.groupBy("duration").agg(
         F.sum("event").alias("d"), F.count("*").alias("c")
     )
-    w_desc = Window.orderBy(F.col("duration").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    # both cumulative sums run through the two-phase distributed scan —
+    # the per-duration frame is bounded by distinct day-gaps, but no
+    # aggregate-side frame gets a single-task global window on principle
+    # (same rewrite as ks_price_periods / pareto_customers); durations
+    # are distinct after the groupBy, so the order is total
+    with_risk = global_prefix_sum(
+        times,
+        "duration",
+        "c",
+        "n_risk",
+        order_exprs=[F.col("duration").desc()],
     )
-    w_asc = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
-    with_risk = times.withColumn("n_risk", F.sum("c").over(w_desc))
+    events_only = with_risk.where(F.col("d") > 0).withColumn(
+        "logterm", F.log(1.0 - F.col("d") / F.col("n_risk").cast("double"))
+    )
     return (
-        with_risk.where(F.col("d") > 0)
-        .withColumn(
-            "surv",
-            F.round(
-                F.exp(
-                    F.sum(
-                        F.log(1.0 - F.col("d") / F.col("n_risk").cast("double"))
-                    ).over(w_asc)
-                ),
-                6,
-            ),
-        )
+        global_prefix_sum(events_only, "duration", "logterm", "cumlog")
+        .withColumn("surv", F.round(F.exp(F.col("cumlog")), 6))
         .select("duration", "d", "n_risk", "surv")
         .orderBy("duration")
     )

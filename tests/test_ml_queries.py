@@ -129,3 +129,48 @@ def test_pca_projection_invariants(spark):
     # deterministic across invocations
     again = pca_project(emb, k=2).collect()
     assert [r.pc1 for r in again] == [r.pc1 for r in out]
+
+
+def test_exact_auc_matches_evaluator(spark):
+    """ml/metrics.py::exact_auc (the Mann-Whitney aggregation behind the
+    grids' metric column and the fixed_scorer_auc oracle) agrees with
+    BinaryClassificationEvaluator up to the evaluator's 1000-bin ROC
+    approximation, and exactly with a brute-force pairwise count."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from big_data_virus_analysis_spark.ml.metrics import exact_auc
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    preds = emb.select(
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            ),
+            9,
+        ).alias("score"),
+        (F.col("label") < 5).cast("double").alias("label"),
+    ).cache()
+
+    ours = exact_auc(preds, "score", "label")
+
+    # brute-force Mann-Whitney on the driver (small fixture): exact match
+    rows = [(r.score, int(r.label)) for r in preds.collect()]
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    num = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    assert abs(ours - num / (len(pos) * len(neg))) < 1e-6
+
+    # evaluator (vector score column, as the grids feed it): binned approx
+    vec = preds.withColumn(
+        "raw", array_to_vector(F.array(-F.col("score"), F.col("score")))
+    )
+    ev = BinaryClassificationEvaluator(
+        rawPredictionCol="raw", labelCol="label", metricName="areaUnderROC"
+    )
+    assert abs(ours - float(ev.evaluate(vec))) < 5e-3
+    preds.unpersist()

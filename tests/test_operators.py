@@ -160,6 +160,47 @@ def test_lsh_near_dup_finds_planted_pairs(spark):
     assert lsh == exact
 
 
+def test_near_dup_auto_routes_by_threshold(spark):
+    """method="auto" (the default) must route high thresholds through the
+    LSH prefilter (bucket-join plan — no quadratic default) and low
+    thresholds through the exact blocked plan; at a high threshold the
+    recall caveat is bounded by the planted-pair construction above."""
+    import numpy as np
+
+    from big_data_virus_analysis_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 4 == 0:
+            noisy = v + rng.normal(scale=0.01, size=64)
+            rows.append((1000 + i, [float(x) for x in noisy]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    auto_high = cosine_near_dup_pairs(emb, 0.95)  # >= AUTO_LSH_THRESHOLD
+    plan = auto_high._jdf.queryExecution().executedPlan().toString()
+    # LSH prefilter = an equi-join on (table, bucket) — a hash/sort-merge
+    # join, never a nested-loop over all pairs
+    assert "bucket" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    got = sorted(map(tuple, auto_high.collect()))
+    exact = sorted(
+        map(tuple, cosine_near_dup_pairs(emb, 0.95, method="allpairs").collect())
+    )
+    assert got == exact  # planted pairs at sim>=0.99: miss prob ~1e-6
+
+    # low threshold -> exact blocked path, byte-identical to all-pairs
+    auto_low = sorted(map(tuple, cosine_near_dup_pairs(emb, 0.4).collect()))
+    all_low = sorted(
+        map(tuple, cosine_near_dup_pairs(emb, 0.4, method="allpairs").collect())
+    )
+    assert auto_low == all_low
+
+
 def test_knn_candidate_sources_agree(spark):
     """The vote layer is generator-independent.  On data with real
     cluster structure (3 well-separated centers, label = cluster id)

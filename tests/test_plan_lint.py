@@ -41,7 +41,12 @@ BNLJ_ALLOWED = {
     "d3_export_tree_det",
     # 16-row centroid table / 5-language stopword table broadcast
     "ivf_ann_topk",
+    "ivf_ann_topk_fixed",
     "language_id",
+    # <=20-row fixed Lloyd-init centroid table broadcast (plans/ml_exact.py)
+    "kmeans_lloyd_step",
+    "lloyd_step_weighted_entropy",
+    "lloyd_wssse_k_sweep",
     # inherits language_id's 5-language scaffold broadcast
     "language_confusion",
     # single-row bigram-total broadcast crossed onto vocabulary-sized counts
