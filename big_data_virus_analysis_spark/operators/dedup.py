@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import fan_out
+from .caching import tracked_cache
 
 # LCG-style mixing constants (Knuth/Numerical-Recipes lineage, public)
 _SCRAMBLE = 2654435761  # Fibonacci hashing multiplier
@@ -108,7 +109,7 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         dg = dg.join(hot, "gram", "left_semi")
-    dg = dg.cache()
+    dg = dg.transform(tracked_cache)
     sizes = dg.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     a = dg.alias("a")
@@ -295,7 +296,7 @@ def minhash_lsh_pairs(
     # side; verified against the executed plan).  At 100 TB this is the
     # standard materialize-signatures design: |docs| × k longs, tiny
     # next to the corpus.
-    mins = _minhash_mins(documents, n, k, hash_method).cache()
+    mins = _minhash_mins(documents, n, k, hash_method).transform(tracked_cache)
     band_keys = mins.select(
         "doc_id",
         F.posexplode(
@@ -387,7 +388,7 @@ def simhash_pairs(
     """
     # one row per doc — cache: both self-join branches otherwise replay
     # the whole shingle+bit-vote pipeline (see minhash_lsh_pairs note)
-    sim = simhash_docs(documents, n, bits).cache()
+    sim = simhash_docs(documents, n, bits).transform(tracked_cache)
     if not banded:
         a = sim.alias("a")
         b = sim.alias("b")
@@ -645,7 +646,7 @@ def jaccard_prefix_filtered(
     # the shingle frame feeds five branches (df counts, prefix, both
     # verify sides, sizes) — cache it so the explode+dedup shuffle runs
     # once, exactly like PageRank caches its edge list
-    dg = word_ngrams(documents, n).cache()
+    dg = word_ngrams(documents, n).transform(tracked_cache)
     gram_df = dg.groupBy("gram").agg(F.count("*").alias("df"))
     ranked = dg.join(gram_df, "gram")
     wdoc = Window.partitionBy("doc_id").orderBy("df", "gram")

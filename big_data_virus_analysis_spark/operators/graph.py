@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .caching import tracked_cache
 
 DAMPING = 0.85
 RESET = 0.15
@@ -52,7 +53,7 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     index is cached: both join branches otherwise replay the scan +
     dedup shuffle (no ReusedExchange once the join re-keys on the
     order — see the dedup.py materialize-once note)."""
-    op = lineitem.select("l_orderkey", "l_partkey").dropDuplicates().cache()
+    op = lineitem.select("l_orderkey", "l_partkey").dropDuplicates().transform(tracked_cache)
     a = op.alias("a")
     b = op.alias("b")
     return (
@@ -69,8 +70,8 @@ def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
     """PageRank over an edge list (columns ``src``, ``dst``) with the
     decimal-contribution determinism contract described in the module
     docstring.  Returns (node, rank) with rank rounded to 6."""
-    edges = edges.cache()
-    nodes = edges.select(F.col("src").alias("node")).dropDuplicates().cache()
+    edges = edges.transform(tracked_cache)
+    nodes = edges.select(F.col("src").alias("node")).dropDuplicates().transform(tracked_cache)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     zero = F.lit("0").cast(_CONTRIB_DEC)
@@ -135,7 +136,7 @@ def undirected_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct UNDIRECTED co-purchase edges, canonicalized src < dst —
     the half-size edge list triangle counting needs (each triangle then
     appears exactly once as s1 < s2 < s3)."""
-    op = lineitem.select("l_orderkey", "l_partkey").dropDuplicates().cache()
+    op = lineitem.select("l_orderkey", "l_partkey").dropDuplicates().transform(tracked_cache)
     a = op.alias("a")
     b = op.alias("b")
     return (

@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity
 from ..sources.tables import fan_out
+from .caching import tracked_cache
 
 DIM = 64
 N_PLANES = 8
@@ -192,7 +193,7 @@ def ivf_topk(
     fanned = fan_out(embeddings)
     with_vec = fanned.withColumn(
         "_v", array_to_vector(F.col("embedding").cast("array<double>"))
-    ).cache()
+    ).transform(tracked_cache)
     model = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell").fit(
         with_vec
     )
@@ -366,7 +367,7 @@ def cosine_near_dup_lsh(
     # the plane-hash projection (see dedup.py materialize-once note)
     hashed = base.select("vec_id", F.explode(tables).alias("h")).select(
         "vec_id", "h.table", "h.bucket"
-    ).cache()
+    ).transform(tracked_cache)
     a = hashed.alias("a")
     b = hashed.alias("b")
     cands = (

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import fan_out
+from .caching import tracked_cache
 
 #: word-token pattern shared with the oracle (letters | digits | single other)
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -222,7 +223,7 @@ def fingerprint_overlap_pairs(
     # self-join needs the index cached anyway.
     fps = (
         _fingerprint_arrays(documents)
-        .cache()
+        .transform(tracked_cache)
         .select("doc_id", F.explode("fps").alias("fp"))
     )
     a = fps.alias("a")

@@ -29,6 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.caching import release_tracked_caches, tracked_cache
 from ..sources.tables import load_table, register_views
 from ..operators.features import document_tokens, info_gain_ranking
 from ..operators.entropy_score import weighted_average_entropy
@@ -560,8 +561,24 @@ CATALOG: dict[str, QuerySpec] = {
 }
 
 
+def _self_cleaning(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a catalog query so BUILDING it releases the tracked caches of
+    previously-built queries (operators/caching.py): a sequential catalog
+    run — the external driver, bench.py — holds at most one query's
+    build-then-probe caches at any time instead of accumulating an
+    InMemoryRelation per pair-generator query for the session's life."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_tracked_caches()
+        return fn(spark, sf_dir)
+
+    run.__doc__ = fn.__doc__
+    run.__name__ = getattr(fn, "__name__", "query")
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark for name, spec in CATALOG.items()}
+    return {name: _self_cleaning(spec.spark) for name, spec in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -986,7 +1003,10 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
 
-_SQL_LANGUAGE_ID = f"""
+#: shared CTE body ending in ``scored(doc_id, cand_lang, score)`` — the
+#: per-doc per-language stopword-hit scores.  Named constant so both
+#: language_id and language_confusion consume the same fragment.
+SQL_LANG_SCORED_BODY = f"""
 WITH lw(cand_lang, word) AS (VALUES {_LW_VALUES}),
 langs AS (SELECT DISTINCT cand_lang FROM lw),
 tokens AS (
@@ -1004,6 +1024,9 @@ scored AS (
   CROSS JOIN langs l
   LEFT JOIN hits h ON h.doc_id = nt.doc_id AND h.cand_lang = l.cand_lang
 )
+"""
+
+_SQL_LANGUAGE_ID = SQL_LANG_SCORED_BODY + """
 SELECT doc_id, cand_lang AS pred_lang, score
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) = 1
@@ -1021,7 +1044,11 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
-_SQL_DOC_FINGERPRINTS = f"""
+#: shared CTE body ending in ``mins(doc_id, wmin)`` — the winnowing
+#: fingerprint set per document.  Named constant (not derived by string
+#: surgery) so both doc_fingerprints and fingerprint_overlap_pairs
+#: consume the same fragment.
+SQL_FP_MINS_BODY = f"""
 WITH grams AS (
   SELECT doc_id, text,
          unnest(generate_series(1, length(text) - {FP_K - 1})) AS i
@@ -1037,6 +1064,9 @@ WITH grams AS (
 ), mins AS (
   SELECT DISTINCT doc_id, wmin FROM wm WHERE i <= ng - {FP_WINDOW - 1}
 )
+"""
+
+_SQL_DOC_FINGERPRINTS = SQL_FP_MINS_BODY + """
 SELECT doc_id, count(*) AS n_fp, CAST(sum(wmin) AS BIGINT) AS fp_checksum
 FROM mins GROUP BY doc_id
 """
@@ -1523,7 +1553,7 @@ def _document_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference pipeline end-to-end on synthetic docs: vectors → KMeans
     k=10 → cluster/label histogram (KmeansVirus.scala shape)."""
-    assigned = kmeans_assign(_document_feature_vectors(spark, sf_dir).cache(), k=10)
+    assigned = kmeans_assign(_document_feature_vectors(spark, sf_dir).transform(tracked_cache), k=10)
     return (
         assigned.groupBy("cluster", "label")
         .agg(F.count("*").alias("n_samples"))
@@ -1533,7 +1563,7 @@ def _q_kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_kmeans_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.pipeline import kmeans_k_sweep
 
-    vec = _document_feature_vectors(spark, sf_dir).cache()
+    vec = _document_feature_vectors(spark, sf_dir).transform(tracked_cache)
     rows = kmeans_k_sweep(vec, ks=[5, 10, 15, 20])
     return spark.createDataFrame(rows, "k int, score double")
 
@@ -1541,7 +1571,7 @@ def _q_kmeans_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_kmeans_weighted_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-quality score of the k=10 clustering vs true labels
     (SVMDT.scala:253-285)."""
-    assigned = kmeans_assign(_document_feature_vectors(spark, sf_dir).cache(), k=10)
+    assigned = kmeans_assign(_document_feature_vectors(spark, sf_dir).transform(tracked_cache), k=10)
     return _wae(assigned, "cluster", "label")
 
 
@@ -1551,7 +1581,7 @@ def _embedding_splits(spark: SparkSession, sf_dir: str):
         emb.withColumn("label", (F.col("label") % 2).cast("double")), "embedding"
     )
     train, cv, test = df.randomSplit([0.5, 0.25, 0.25], seed=42)
-    return train.cache(), cv.cache(), test
+    return train.transform(tracked_cache), cv.transform(tracked_cache), test
 
 
 def _q_dt_auc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1575,7 +1605,7 @@ def _q_lr_auc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_kmeans_cluster_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Center dump as a scalar digest per cluster (row count = k, values
     deterministic under the fixed seed)."""
-    centers = kmeans_centers(_document_feature_vectors(spark, sf_dir).cache(), k=10)
+    centers = kmeans_centers(_document_feature_vectors(spark, sf_dir).transform(tracked_cache), k=10)
     rows = [
         (c, len(vec), round(sum(x * x for x in vec) ** 0.5, 6)) for c, vec in centers
     ]
@@ -1586,7 +1616,7 @@ def _clustered_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks, vocab = _ranked_vocab(spark, sf_dir)
     vec = doc_vectors(toks, vocab)
     assigned = kmeans_assign(
-        to_ml_vectors(dense_feature_array(vec, VOCAB_K)).cache(), k=10
+        to_ml_vectors(dense_feature_array(vec, VOCAB_K)).transform(tracked_cache), k=10
     ).select("doc", "cluster", "label", "indices")
     return sample_api_structs(assigned, vocab, total_features=VOCAB_K)
 
@@ -3711,7 +3741,7 @@ def _q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # four consumers (both pair-join sides, per-part counts, basket
     # total) — cache the deduped index so its shuffle runs once
-    op = li.select("l_orderkey", "l_partkey").dropDuplicates().cache()
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates().transform(tracked_cache)
     a, b = op.alias("a"), op.alias("b")
     pairs = (
         a.join(b, "l_orderkey")
@@ -4202,7 +4232,11 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_segment, train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = [r.asDict() for r in train_bpe(docs, n_merges=10).collect()]
+    # merges MUST apply in training order — sort by rank explicitly
+    # rather than relying on collect() preserving insertion order
+    merges = [
+        r.asDict() for r in train_bpe(docs, n_merges=10).orderBy("rank").collect()
+    ]
     return bpe_segment(docs, merges)
 
 
@@ -4316,7 +4350,7 @@ def _q_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_FINGERPRINT_OVERLAP_PAIRS = _SQL_DOC_FINGERPRINTS.split("SELECT doc_id, count(*)")[0] + """
+_SQL_FINGERPRINT_OVERLAP_PAIRS = SQL_FP_MINS_BODY + """
 , pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
   FROM mins a JOIN mins b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
@@ -4377,12 +4411,8 @@ def _q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_LANGUAGE_CONFUSION = _SQL_LANGUAGE_ID.replace(
-    """SELECT doc_id, cand_lang AS pred_lang, score
-FROM scored
-QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) = 1
-""",
-    """, pred AS (
+_SQL_LANGUAGE_CONFUSION = SQL_LANG_SCORED_BODY + """
+, pred AS (
   SELECT doc_id, cand_lang AS pred_lang
   FROM scored
   QUALIFY row_number() OVER (PARTITION BY doc_id
@@ -4397,8 +4427,7 @@ SELECT true_lang, pred_lang, n,
              / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
          AS share_of_true
 FROM cells
-""",
-)
+"""
 
 CATALOG.update(
     {

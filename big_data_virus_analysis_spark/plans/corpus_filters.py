@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from .catalog import QuerySpec
+from ..operators.caching import tracked_cache
 
 _W = 8  # span width (tokens)
 _SMOOTH_K = 0.5
@@ -102,7 +103,7 @@ QUALIFY rank <= 100
 
 
 def _q_dup_span_doc_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = _doc_spans(spark, sf_dir).cache()
+    ex = _doc_spans(spark, sf_dir).transform(tracked_cache)
     dup = (
         ex.groupBy("span")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -164,7 +165,7 @@ def _q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .select("doc_id", "bg.w1", "bg.w2")
-        .cache()
+        .transform(tracked_cache)
     )
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import word_ngrams
 from ..sources.tables import load_table
 from .catalog import QuerySpec
+from ..operators.caching import tracked_cache
 
 _N = 3
 _TAU = 0.8
@@ -59,7 +60,7 @@ def _q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE gram index over the whole table, split by the batch flag —
     # building per-side indexes would scan and explode the corpus twice
     # for the same total gram volume (measured ~25% of query time).
-    dg_all = word_ngrams(docs, _N).cache()
+    dg_all = word_ngrams(docs, _N).transform(tracked_cache)
     bg = dg_all.where((F.col("doc_id") % 5) == 0)
     cg = dg_all.where((F.col("doc_id") % 5) != 0)
     b_sizes = bg.groupBy("doc_id").agg(F.count("*").alias("b_sz"))

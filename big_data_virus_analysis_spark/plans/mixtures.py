@@ -58,6 +58,7 @@ _TOKS_SQL = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
 
 #: English stopword list as a SQL IN-list (mirrors operators/text_quality.py)
 from ..operators.text_quality import LANG_STOPWORDS as _LSW
+from ..operators.caching import tracked_cache
 _EN_STOPS_SQL = ", ".join(f"'{w}'" for w in _LSW["en"])
 
 
@@ -77,7 +78,7 @@ def _q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(_ws_token_count()).alias("n_tokens"),
-    ).cache()
+    ).transform(tracked_cache)
     w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(_ALPHA))
     # the normalizer is ONE row (sum over ~#domains) — broadcast scalar
     tot = per_src.agg(

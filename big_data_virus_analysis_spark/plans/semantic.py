@@ -39,6 +39,7 @@ from ..operators.similarity import lsh_bucket
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 from .rag import SQL_CENTROID_ASSIGN_BODY, assign_nearest_centroid
+from ..operators.caching import tracked_cache
 
 _TAU = 0.4  # rounded-cosine threshold (matches embedding_near_dup's)
 _FINE_PLANES = 4  # sub-bucket planes for the fine-grained variant
@@ -55,7 +56,7 @@ def _pairs(clustered: DataFrame) -> DataFrame:
     # materialize the (narrow) assignment once: both self-join branches
     # would otherwise replay the centroid argmin (AQE defeats
     # ReusedExchange matching — see operators/dedup.py)
-    clustered = clustered.cache()
+    clustered = clustered.transform(tracked_cache)
     a = clustered.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
