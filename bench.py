@@ -12,6 +12,7 @@ reported alongside."""
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -102,6 +103,43 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
+    # Measured scaling curve (VERDICT r03 #3): one run per query at the
+    # other scale factors, so the 100x claims rest on data, not just
+    # plan-shape argument.  The per-query exponent is the log-log slope
+    # between the two LARGEST measured SFs (the smallest is fixed-
+    # overhead-dominated); sub-linear exponents mean constant overhead
+    # still dominates at these sizes, n-squared pair generators are
+    # expected near their blocked/banded bound, everything else should
+    # sit at or below ~1.  Disable with SPARK_GRAFT_SCALING=0.
+    scaling: dict[str, dict[str, float]] = {}
+    exponents: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        base = os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata"
+        extra = [s for s in ("0.001", "0.01") if s != sf]
+        for name in HEADLINE:
+            if name not in CATALOG:
+                continue
+            per = {sf: timings[name]}
+            for s in extra:
+                d = os.path.join(base, f"sf{s}")
+                if not os.path.isdir(d):
+                    continue
+                t0 = time.perf_counter()
+                CATALOG[name].spark(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                per[s] = round(time.perf_counter() - t0, 3)
+                spark.catalog.clearCache()
+            scaling[name] = {k: per[k] for k in sorted(per, key=float)}
+            sfs = sorted(per, key=float)
+            if len(sfs) >= 2:
+                s1, s2 = sfs[-2], sfs[-1]
+                if per[s1] > 0 and per[s2] > 0:
+                    exponents[name] = round(
+                        math.log(per[s2] / per[s1]) / math.log(float(s2) / float(s1)),
+                        2,
+                    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -113,6 +151,8 @@ def main() -> None:
                 "spread": spread,
                 "n_runs": N_RUNS,
                 "sf": float(sf),
+                "scaling": scaling,
+                "scaling_exponent": exponents,
             }
         )
     )

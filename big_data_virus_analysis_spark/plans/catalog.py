@@ -1778,6 +1778,62 @@ CATALOG.update(
     }
 )
 
+
+# --------------------------------------------------------------------------
+# End-to-end reference pipeline as ONE catalog query
+# --------------------------------------------------------------------------
+
+def reference_pipeline_samples(spark: SparkSession) -> DataFrame:
+    """The full reference workload as one chained plan on the
+    reference's OWN corpus: api_logs scan → IG ranking
+    (FeatureSelectionCloud.scala:376-442) → vocab vectorize (:494-519) →
+    seeded KMeans k=10 (KmeansVirus.scala:181-194) → per-sample api
+    structs (:106-135).  Consumed by the report-line and d3-tree
+    builders; the chain is pinned end-to-end by a committed self-golden
+    hash in tests/test_reference_parity.py."""
+    raw = read_api_logs(spark, _REF_CLEAN, _REF_VIRUS)
+    doc_cls = raw.select(
+        F.concat_ws("/", "class", "file").alias("doc"),
+        F.when(F.col("class") == "virus", F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("cls"),
+    ).distinct()
+    toks = api_log_tokens(raw)
+    ranked = info_gain_ranking(toks, k=2000, doc_classes=doc_cls).transform(
+        tracked_cache
+    )
+    vocab = ranked.select("token", "rank")
+    n_features = ranked.count()  # survivor count sizes the dense vectors
+    vectors = doc_vectors(toks, vocab)
+    featured = to_ml_vectors(dense_feature_array(vectors, n_features)).transform(
+        tracked_cache
+    )
+    assigned = kmeans_assign(featured, k=10).select(
+        "doc", "cluster", "label", "indices"
+    )
+    return sample_api_structs(assigned, vocab, total_features=n_features)
+
+
+def _q_reference_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """output.txt grammar rows (KmeansVirus.scala:106-135) from the full
+    chain — ignores sf_dir (the corpus is the reference's own).  Rows-
+    only at the driver (seeded KMeans in the chain); the exact artifact
+    bytes are pinned by the self-golden equality test."""
+    return report_lines(reference_pipeline_samples(spark))
+
+
+CATALOG.update(
+    {
+        "reference_pipeline_report": QuerySpec(
+            _q_reference_pipeline_report,
+            None,
+            "END-TO-END reference pipeline: api_logs → IG rank → vectorize "
+            "→ seeded KMeans → report lines, one chained plan "
+            "(FeatureSelectionCloud + KmeansVirus + exportJSON feed)",
+        ),
+    }
+)
+
 # --------------------------------------------------------------------------
 # Multi-dimensional aggregation pack: ROLLUP / CUBE / GROUPING SETS
 # --------------------------------------------------------------------------

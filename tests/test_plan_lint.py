@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "kmeans_cluster_centers",
     "cluster_report_lines",
     "d3_export_tree",
+    "reference_pipeline_report",
     "cluster_report_lines_det",
     "d3_export_tree_det",
     # 16-row centroid table / 5-language stopword table broadcast

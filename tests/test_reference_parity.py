@@ -268,3 +268,39 @@ def test_report_lines_grammar_matches_golden_grammar(spark):
         apis = json.loads(payload)
         sizes = [a["size"] for a in apis]
         assert sizes == sorted(sizes, reverse=True)
+
+
+def test_reference_pipeline_self_golden(spark):
+    """The END-TO-END chain (api_logs → IG rank → vectorize → seeded
+    KMeans → report lines → d3 tree) is pinned by committed self-golden
+    hashes: any change to tokenizer semantics, IG math, vocab ranking,
+    vectorization, the seeded clustering, or the report/tree grammar
+    moves one of these digests (KmeansVirus.scala:55-144 +
+    exportJSON.php:5-54 end-to-end).  Regenerate by running the chain —
+    determinism within an environment is asserted by the double run in
+    the catalog smoke; the hash pins the WHOLE artifact, not samples."""
+    import hashlib
+
+    from big_data_virus_analysis_spark.operators.report import d3_tree
+    from big_data_virus_analysis_spark.plans.catalog import (
+        CATALOG,
+        reference_pipeline_samples,
+    )
+
+    from conftest import SMOKE_SF_DIR
+
+    df = CATALOG["reference_pipeline_report"].spark(spark, SMOKE_SF_DIR)
+    rows = df.collect()
+    assert df.columns == ["doc", "line"]
+    assert len(rows) == 1587  # docs with >=1 vocab hit in the corpus
+    lines = sorted(r["line"] for r in rows)
+    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    assert digest == (
+        "c9d62a3b018d18cdee2fb326e019565a23100b5cd3738ee1e6a5202460c0023c"
+    )
+
+    tree = d3_tree(reference_pipeline_samples(spark)).collect()[0]["tree_json"]
+    tdigest = hashlib.sha256(tree.encode()).hexdigest()
+    assert tdigest == (
+        "5896c0dc3cdd86f45a4eaed335676bd1b757cf7f1d5ad86d50128c375187fe79"
+    )
