@@ -667,17 +667,19 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, k=32, bands=8)
 
 
-_SQL_MINHASH_LSH_PAIRS = _SQL_SHINGLE_IDS + """
+def _minhash_lsh_sql(k: int, rows_per_band: int) -> str:
+    """Parameterized MinHash+LSH oracle (mirrors
+    operators/dedup.py::_family exactly — mask, not mod; no division)."""
+    return _SQL_SHINGLE_IDS + f"""
 , sig AS (
-  -- odd-multiplier linear permutation mod 2^31, mirrors
-  -- operators/dedup.py::_family exactly (mask, not mod — no division)
+  -- odd-multiplier linear permutation mod 2^31
   SELECT doc_id, i,
          min(((((2654435761 * (2 * i + 1)) % 2147483648) | 1) * s + 7919 * i)
              & 2147483647) AS h
-  FROM ids CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i)
+  FROM ids CROSS JOIN (SELECT unnest(generate_series(1, {k})) AS i)
   GROUP BY doc_id, i
 ), band_keys AS (
-  SELECT doc_id, CAST((i - 1) // 4 AS INT) AS band,
+  SELECT doc_id, CAST((i - 1) // {rows_per_band} AS INT) AS band,
          string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS key
   FROM sig GROUP BY doc_id, band
 )
@@ -686,6 +688,18 @@ FROM band_keys a
 JOIN band_keys b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
 """
+
+
+_SQL_MINHASH_LSH_PAIRS = _minhash_lsh_sql(32, 4)
+
+
+def _q_minhash_lsh_pairs_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-cost signature twin: k=16 hashes in 4 bands — the same
+    rows-per-band (r=4, so the same per-band selectivity j^4) at half
+    the per-gram hash arithmetic, trading collision opportunities (4
+    bands vs 8 → lower recall at mid Jaccard: 1-(1-j^4)^4 vs ^8).  The
+    measured recall/cost table lives in SCALING.md (bench_minhash.py)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, k=16, bands=4)
 
 
 def _q_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,6 +773,12 @@ CATALOG.update(
             _q_minhash_lsh_pairs_fast,
             None,
             "same plan, xxhash64 gram family — the bench/scale path",
+        ),
+        "minhash_lsh_pairs_k16": QuerySpec(
+            _q_minhash_lsh_pairs_k16,
+            _minhash_lsh_sql(16, 4),
+            "half-cost signature twin: MinHash(k=16) + LSH(4 bands), same "
+            "r=4 band selectivity; recall/cost measured in SCALING.md",
         ),
         "simhash_docs": QuerySpec(
             _q_simhash_docs, _SQL_SIMHASH_DOCS, "per-doc 31-bit SimHash signatures"

@@ -396,3 +396,65 @@ def test_incremental_ingest_stream_matches_batch(spark, tmp_path):
         for r in _q_dedup_incremental_batch(spark, SMOKE_SF_DIR).collect()
     }
     assert stream_flags == batch_flags
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Exactly-once across a stop/restart (VERDICT r03 #7).
+
+    Phase 1 drains the first landing file through a stateful
+    dropDuplicates into a DURABLE parquet sink and stops.  More files
+    land.  The RESTARTED query — same checkpoint, same sink — must emit
+    exactly the new unique rows: nothing from phase 1 reprocessed (the
+    checkpoint's offset log), nothing lost, and the dedup STATE carried
+    across the restart (a phase-2 duplicate of a phase-1 text is
+    suppressed by the recovered state store, not re-emitted).
+    """
+    from big_data_virus_analysis_spark.streaming import read_documents_stream
+
+    landing = tmp_path / "restart_landing"
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def mkdocs(ids, texts):
+        return spark.createDataFrame(
+            [(i, t, "en", "synth", len(t)) for i, t in zip(ids, texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def run_to_completion():
+        stream = read_documents_stream(spark, str(landing), max_files_per_trigger=1)
+        q = (
+            stream.withColumn("digest", F.md5("text"))
+            .dropDuplicates(["digest"])
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # phase 1: 50 unique docs land and drain
+    phase1 = [(i, f"unique text number {i}") for i in range(50)]
+    mkdocs(*zip(*phase1)).coalesce(1).write.mode("append").parquet(str(landing))
+    run_to_completion()
+    assert spark.read.parquet(sink).count() == 50
+
+    # phase 2: 50 more docs land - 10 duplicate phase-1 TEXTS (state
+    # recovery must suppress them), 40 genuinely new
+    phase2 = [(100 + i, f"unique text number {i}") for i in range(10)] + [
+        (110 + i, f"fresh text number {i}") for i in range(40)
+    ]
+    mkdocs(*zip(*phase2)).coalesce(1).write.mode("append").parquet(str(landing))
+    run_to_completion()
+
+    out = spark.read.parquet(sink)
+    rows = out.collect()
+    ids = sorted(r.doc_id for r in rows)
+    # no loss: every phase-1 doc + every genuinely-new phase-2 doc
+    assert ids == list(range(50)) + list(range(110, 150))
+    # no dups: phase-1 files were not reprocessed, and the 10 repeated
+    # texts were suppressed by the RECOVERED dedup state
+    digests = [r.digest for r in rows]
+    assert len(digests) == len(set(digests)) == 90
