@@ -64,6 +64,11 @@ HEADLINE = [
     "semantic_dedup_pairs",
     "dedup_incremental_batch",
     "training_shuffle_order",
+    # round-4 exact ML twins + sketch pack (Lloyd iteration, fixed-
+    # quantizer IVF probe, count-min merge)
+    "kmeans_lloyd_step",
+    "ivf_ann_topk_fixed",
+    "cms_heavy_users",
 ]
 
 

@@ -4528,6 +4528,16 @@ CATALOG.update(_ML_EXACT_SPECS)
 
 
 # --------------------------------------------------------------------------
+# Round-4 breadth pack (full-outer, ACF, exact count-min sketch;
+# plans/round4_ops.py)
+# --------------------------------------------------------------------------
+
+from .round4_ops import SPECS as _ROUND4_OPS_SPECS  # noqa: E402
+
+CATALOG.update(_ROUND4_OPS_SPECS)
+
+
+# --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
 # exact-oracle entries only.
 #

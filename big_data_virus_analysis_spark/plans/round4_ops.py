@@ -1,0 +1,296 @@
+"""Round-4 breadth pack: full-outer reconciliation, autocorrelation,
+and an exactly-reproducible count-min sketch.
+
+Three shapes the catalog did not yet cover, each with a bit-exact
+DuckDB oracle:
+
+* ``full_outer_balance`` — FULL OUTER join completeness (the catalog
+  had inner/left/semi/anti/asof/interval but no full-outer shape):
+  reconcile two DELIBERATELY asymmetric customer sets with coalesced
+  keys and presence flags — the classic two-system reconciliation
+  report.
+* ``daily_value_acf`` — autocorrelation of the daily event-value series
+  at lags 1..7: per-day aggregate first (the corpus-sized pass), then
+  the lag self-join and the closed-form Pearson r run on the tiny
+  per-day frame.  Time-series diagnostics for drift/seasonality.
+* ``cms_heavy_users`` — count-min sketch with a DETERMINISTIC hash
+  family (the engine-portable LCG used by sign-LSH/MinHash), built as a
+  re-aggregable counter table per day and MERGED by plain counter
+  addition (the sketch property that matters at 100 TB: daily sketches
+  persist tiny and roll up without re-reading raw data, same contract
+  as hll_distinct_rollup).  Because the family is deterministic, the
+  final estimates are bit-identical in DuckDB — unlike HLL, this sketch
+  gets a full exact oracle; the est >= true one-sided error bound is
+  additionally pinned in tests.
+
+Scale notes: every query is one corpus scan into a bounded aggregate
+(days × buckets, days, or customers-after-filter); the ACF/CMS
+estimate stages run on frames whose size is independent of corpus
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import QuerySpec
+
+# deterministic LCG constants shared in spirit with similarity._plane_weight
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row
+_M31 = 2_147_483_648
+_CMS_A = [1103515245, 2654435761 % _M31, 1664525, 22695477]
+_CMS_B = [12345, 7919, 1013904223, 1]
+
+
+def _cms_bucket(user, d: int):
+    """Counter index for hash row d — plain 64-bit-safe integer
+    arithmetic, identical in any engine."""
+    s = user % _M31
+    return ((F.lit(_CMS_A[d]) * s + F.lit(_CMS_B[d])) % _M31) % _CMS_W
+
+
+def _cms_bucket_sql(d: int) -> str:
+    return f"((({_CMS_A[d]} * (user_id % {_M31}) + {_CMS_B[d]}) % {_M31}) % {_CMS_W})"
+
+
+# --------------------------------------------------------------------------
+# full_outer_balance
+# --------------------------------------------------------------------------
+
+def _q_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation of two asymmetric customer sets via FULL OUTER:
+    high-balance customers vs customers with URGENT orders.  Coalesced
+    key, presence flags, null-safe measures — the shape of any
+    two-system diff report."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = customer.where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("rk"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+    )
+    urgent = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("uk"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return (
+        rich.join(urgent, rich.rk == urgent.uk, "full_outer")
+        .select(
+            F.coalesce(F.col("rk"), F.col("uk")).alias("custkey"),
+            F.col("rk").isNotNull().alias("is_rich"),
+            F.col("uk").isNotNull().alias("has_urgent"),
+            F.coalesce(F.col("acctbal"), F.lit(0.0)).alias("acctbal"),
+            F.coalesce(F.col("n_urgent"), F.lit(0).cast("bigint")).alias("n_urgent"),
+        )
+    )
+
+
+_SQL_FULL_OUTER_BALANCE = """
+WITH rich AS (
+  SELECT c_custkey AS rk, round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal
+  FROM customer WHERE c_acctbal > 5000
+), urgent AS (
+  SELECT o_custkey AS uk, count(*) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+)
+SELECT coalesce(rk, uk) AS custkey,
+       rk IS NOT NULL AS is_rich,
+       uk IS NOT NULL AS has_urgent,
+       coalesce(acctbal, 0.0) AS acctbal,
+       CAST(coalesce(n_urgent, 0) AS BIGINT) AS n_urgent
+FROM rich FULL OUTER JOIN urgent ON rk = uk
+"""
+
+
+# --------------------------------------------------------------------------
+# daily_value_acf
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = 7
+
+
+def _q_daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the daily value series at lags 1..7.
+
+    One scan → per-day decimal-exact sums (tiny frame); the lag join and
+    the closed-form Pearson r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    run on that frame.  Sums feed through decimal so both engines add in
+    any order; the single final round(…,6) is the only float edge."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+            "v"
+        )
+    )
+    lags = spark.range(1, _ACF_LAGS + 1).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("d1"), F.col("v").alias("x"))
+    b = daily.select(F.col("day").alias("d2"), F.col("v").alias("y"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("d1") == F.col("d2") + F.col("lag"))
+        .select("lag", F.col("x").cast("decimal(28,8)").alias("x"),
+                F.col("y").cast("decimal(28,8)").alias("y"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    return (
+        paired.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("acf"),
+        )
+    )
+
+
+_SQL_DAILY_VALUE_ACF = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS v
+  FROM events GROUP BY 1
+), paired AS (
+  SELECT l.lag, CAST(a.v AS DECIMAL(28,8)) AS x, CAST(b.v AS DECIMAL(28,8)) AS y
+  FROM daily a
+  CROSS JOIN (SELECT unnest(generate_series(1, {_ACF_LAGS})) AS lag) l
+  JOIN daily b ON a.day = b.day + l.lag
+)
+SELECT CAST(lag AS INT) AS lag, count(*) AS n_pairs,
+       round((count(*) * CAST(sum(x * y) AS DOUBLE)
+              - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+             / sqrt((count(*) * CAST(sum(x * x) AS DOUBLE)
+                     - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+                    * (count(*) * CAST(sum(y * y) AS DOUBLE)
+                       - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))), 6)
+         AS acf
+FROM paired GROUP BY lag
+"""
+
+
+# --------------------------------------------------------------------------
+# cms_heavy_users
+# --------------------------------------------------------------------------
+
+def _q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates for the true top-10 users, from per-day
+    sketches merged by counter addition.
+
+    Build: one scan → (day, d, bucket) counters; merge: sum counters
+    over days (the persisted-daily-sketch contract); estimate: min over
+    the D counters each user hashes to.  Deterministic hash family →
+    exact oracle.  est >= true (one-sided CMS bound) is pinned in
+    tests/test_invariants.py."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    day = (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
+    rows = ev.select(
+        day.alias("day"),
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(F.col("user_id"), d).alias("bucket")
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("h"),
+    )
+    per_day = rows.groupBy("day", "h.d", "h.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = per_day.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(F.col("user_id"), d).alias("bucket")
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "true_n", "h.d", "h.bucket")
+    return (
+        probes.join(merged, ["d", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+_CMS_HASH_STRUCTS = ", ".join(
+    f"({d}, {_cms_bucket_sql(d)})" for d in range(_CMS_D)
+)
+
+_SQL_CMS_HEAVY_USERS = f"""
+WITH hashed AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, user_id, h.d, h.bucket
+  FROM events
+  CROSS JOIN LATERAL (
+    SELECT * FROM (VALUES {_CMS_HASH_STRUCTS}) AS t(d, bucket)
+  ) h
+), per_day AS (
+  SELECT day, d, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2, 3
+), merged AS (
+  SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM per_day GROUP BY 1, 2
+), top AS (
+  SELECT user_id, count(*) AS true_n
+  FROM events GROUP BY 1
+  ORDER BY true_n DESC, user_id ASC LIMIT 10
+), probes AS (
+  SELECT user_id, true_n, h.d, h.bucket
+  FROM top
+  CROSS JOIN LATERAL (
+    SELECT * FROM (VALUES {_CMS_HASH_STRUCTS}) AS t(d, bucket)
+  ) h
+)
+SELECT p.user_id, p.true_n, min(m.cnt) AS cms_est
+FROM probes p JOIN merged m ON p.d = m.d AND p.bucket = m.bucket
+GROUP BY 1, 2
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "full_outer_balance": QuerySpec(
+        _q_full_outer_balance,
+        _SQL_FULL_OUTER_BALANCE,
+        "FULL OUTER reconciliation of asymmetric customer sets: coalesced "
+        "key, presence flags, null-safe measures",
+    ),
+    "daily_value_acf": QuerySpec(
+        _q_daily_value_acf,
+        _SQL_DAILY_VALUE_ACF,
+        "autocorrelation of the daily value series at lags 1..7: per-day "
+        "decimal-exact aggregate, lag self-join on the tiny day frame, "
+        "closed-form Pearson r",
+    ),
+    "cms_heavy_users": QuerySpec(
+        _q_cms_heavy_users,
+        _SQL_CMS_HEAVY_USERS,
+        "count-min sketch with deterministic LCG family: per-day counter "
+        "tables merged by addition (re-aggregable like hll_distinct_rollup), "
+        "min-over-rows estimates for the true top-10 — exact oracle, "
+        "est>=true bound pinned in tests",
+    ),
+}

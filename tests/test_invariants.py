@@ -102,3 +102,17 @@ def test_incremental_rollup_merge_is_lossless(spark):
     assert len(days) == len(set(days))
     total = sum(r.n_events for r in merged)
     assert total == load_table(spark, SMOKE_SF_DIR, "events").count()
+
+
+def test_cms_estimate_upper_bounds_true_count(spark):
+    """Count-min one-sided error: est >= true for every probed user, and
+    est - true is bounded by the sketch's collision mass (<= N/w per row
+    in expectation; assert the hard bound est - true <= N)."""
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG
+
+    from conftest import SF_DIR
+
+    rows = CATALOG["cms_heavy_users"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_est >= r.true_n, (r.user_id, r.cms_est, r.true_n)

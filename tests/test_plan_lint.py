@@ -78,6 +78,8 @@ BNLJ_ALLOWED = {
     "ks_price_periods",
     # 5x5 dimension-scaffold cross join, both sides broadcastable
     "region_pair_matrix",
+    # 7-row lag scaffold broadcast crossed onto the tiny per-day frame
+    "daily_value_acf",
     # 1-row query-embedding broadcast (semantic leg) + the BM25 corpus
     # scalars it inherits from bm25_search
     "rrf_hybrid_fusion",
