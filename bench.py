@@ -146,21 +146,32 @@ def main() -> None:
                     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "n_runs": N_RUNS,
-                "sf": float(sf),
-                "scaling": scaling,
-                "scaling_exponent": exponents,
-            }
-        )
-    )
+    # Key order is deliberate: the driver records only the TAIL of this
+    # line, so the keys a reviewer needs most (per-query medians, the
+    # scaling exponents, the headline total) come LAST; the bulky
+    # per-SF map and spreads come first.  The complete payload is also
+    # written to BENCH_FULL.json beside this script for the committed
+    # record (SCALING.md carries the full per-SF table).
+    payload = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "n_runs": N_RUNS,
+        "spread": spread,
+        "scaling": scaling,
+        "queries": timings,
+        "scaling_exponent": exponents,
+        "value": total,
+        "sf": float(sf),
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
