@@ -271,7 +271,83 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# zipf_slope_tokens
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP = 40
+
+
+def _q_zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary — the
+    vocabulary-health diagnostic a tokenizer/mixture pipeline watches
+    (natural text sits near slope −1; a collapsing corpus drifts flat).
+
+    One scan → token frequencies (vocabulary-sized frame); global
+    frequency rank via one deterministic window ORDER over that frame
+    restricted to the top-``_ZIPF_TOP`` (TakeOrderedAndProject-sized cut
+    BEFORE the rank window, same discipline as bm25/rrf); OLS slope of
+    ln(freq) on ln(rank) in closed form.  Output: one row
+    ``(n_types_used, slope, intercept)`` rounded to 6."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(_ZIPF_TOP)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    pts = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_types_used"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+_SQL_ZIPF_SLOPE_TOKENS = f"""
+WITH freq AS (
+  SELECT token, count(*) AS n
+  FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE length(token) > 0
+  GROUP BY token
+  ORDER BY n DESC, token ASC
+  LIMIT {_ZIPF_TOP}
+), pts AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM freq
+)
+SELECT count(*) AS n_types_used,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope,
+       round((sum(y) - (count(*) * sum(x * y) - sum(x) * sum(y))
+                       / (count(*) * sum(x * x) - sum(x) * sum(x)) * sum(x))
+             / count(*), 6) AS intercept
+FROM pts
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "zipf_slope_tokens": QuerySpec(
+        _q_zipf_slope_tokens,
+        _SQL_ZIPF_SLOPE_TOKENS,
+        "Zipf rank-frequency OLS slope over the top-40 vocabulary: "
+        "limit-before-rank-window, closed-form regression on the tiny "
+        "frequency frame",
+    ),
     "full_outer_balance": QuerySpec(
         _q_full_outer_balance,
         _SQL_FULL_OUTER_BALANCE,

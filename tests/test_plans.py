@@ -293,3 +293,37 @@ def test_semantic_dedup_pair_join_on_cluster_key(spark):
         assert "BroadcastNestedLoopJoin" not in after_cache
     finally:
         spark.catalog.clearCache()
+
+
+def test_lloyd_step_broadcasts_centroids(plan_of):
+    """The Lloyd assignment must broadcast the k-row centroid table onto
+    the corpus scan (never shuffle the corpus by anything but vec_id)
+    and prune the embeddings scan to the needed columns."""
+    plan = plan_of("kmeans_lloyd_step")
+    # the k-row centroid table (filtered scan) rides a BroadcastExchange
+    # into the corpus-side cross join; the corpus itself is never the
+    # build side
+    assert "BroadcastExchange" in plan
+    assert "BuildRight" in plan
+    # the argmin runs as a rank-limited window (WindowGroupLimit pushes
+    # the rn=1 cut below the full window sort)
+    assert "WindowGroupLimit" in plan
+
+
+def test_ivf_fixed_probe_is_broadcast_hash_join_on_cell(plan_of):
+    """The IVF candidate probe joins candidates to the (tiny, broadcast)
+    probe table on the cell key — a BroadcastHashJoin, never a
+    nested-loop over all (query, candidate) pairs."""
+    plan = plan_of("ivf_ann_topk_fixed")
+    assert "BroadcastHashJoin" in plan
+    assert "cell" in plan
+
+
+def test_exact_auc_groups_before_global_scan(plan_of):
+    """fixed_scorer_auc aggregates scores BEFORE any ordered pass: the
+    only shuffle of corpus-sized data is the score groupBy (partial agg
+    present); the cumulative count runs on the distinct-score frame via
+    the two-phase scan (no single-partition global window)."""
+    plan = plan_of("fixed_scorer_auc")
+    assert "partial_sum" in plan
+    assert "Window [" not in plan or "partitionBy" not in plan.lower()
