@@ -340,7 +340,116 @@ FROM pts
 """
 
 
+# --------------------------------------------------------------------------
+# variant_json_rollup
+# --------------------------------------------------------------------------
+
+def _q_variant_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: a JSON
+    payload column (deterministically constructed, integer-cents money
+    so both engines render identical strings) is parsed with
+    ``parse_json`` and fields are re-extracted with typed
+    ``try_variant_get`` paths, then rolled up — the
+    open-schema-ingest → shredded-columns pattern.  The oracle runs the
+    identical construct/extract chain on DuckDB's JSON type, so the
+    whole parse→extract→aggregate path is value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"u":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"t":"'),
+        F.col("event_type"),
+        F.lit('","v":'),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit("}"),
+    )
+    v = ev.select(F.parse_json(payload).alias("j"))
+    shredded = v.select(
+        F.try_variant_get(F.col("j"), "$.t", "string").alias("t"),
+        F.try_variant_get(F.col("j"), "$.u", "long").alias("u"),
+        F.try_variant_get(F.col("j"), "$.v", "long").alias("cents"),
+    )
+    return shredded.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("u").alias("n_users"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+_SQL_VARIANT_JSON_ROLLUP = """
+WITH payload AS (
+  SELECT CAST('{"u":' || user_id || ',"t":"' || event_type || '","v":'
+              || CAST(round(value * 100) AS BIGINT) || '}' AS JSON) AS j
+  FROM events
+), shredded AS (
+  SELECT json_extract_string(j, '$.t') AS t,
+         CAST(json_extract(j, '$.u') AS BIGINT) AS u,
+         CAST(json_extract(j, '$.v') AS BIGINT) AS cents
+  FROM payload
+)
+SELECT t, count(*) AS n, count(DISTINCT u) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM shredded GROUP BY t
+"""
+
+
+# --------------------------------------------------------------------------
+# python_datasource_rollup
+# --------------------------------------------------------------------------
+
+def _q_python_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-connector path (sources/pyds.py, Spark 4 DataSource API):
+    read the deterministic generator source across 8 planned input
+    partitions, then a plain rollup on top — proving options, partition
+    planning, per-partition iterators, and DataFrame composition over a
+    user-defined source, with the generator's closed form as the exact
+    oracle.  Ignores sf_dir (the source generates its own rows)."""
+    from ..sources.pyds import register_synthetic_events
+
+    register_synthetic_events(spark)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("shards", 8)
+        .option("rows_per_shard", 1000)
+        .load()
+    )
+    return src.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").alias("total_amount"),
+        F.count_distinct("shard").alias("n_shards_seen"),
+    )
+
+
+_SQL_PYTHON_DATASOURCE_ROLLUP = """
+WITH g AS (
+  SELECT shard, seq, (1103515245 * (shard * 1000 + seq) + 12345) % 2147483648 AS s
+  FROM (SELECT unnest(generate_series(0, 7)) AS shard)
+  CROSS JOIN (SELECT unnest(generate_series(0, 999)) AS seq)
+), rows_ AS (
+  SELECT shard, s % 1000 AS user_id, s % 9973 AS amount FROM g
+)
+SELECT user_id % 10 AS bucket, count(*) AS n,
+       CAST(sum(amount) AS BIGINT) AS total_amount,
+       count(DISTINCT shard) AS n_shards_seen
+FROM rows_ GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "python_datasource_rollup": QuerySpec(
+        _q_python_datasource_rollup,
+        _SQL_PYTHON_DATASOURCE_ROLLUP,
+        "custom Python DataSource (8 planned input partitions, "
+        "deterministic LCG generator) -> rollup; the connector "
+        "extension point with a closed-form exact oracle",
+    ),
+    "variant_json_rollup": QuerySpec(
+        _q_variant_json_rollup,
+        _SQL_VARIANT_JSON_ROLLUP,
+        "semi-structured VARIANT path: parse_json -> typed "
+        "try_variant_get extraction -> rollup, value-checked end to end "
+        "against DuckDB's JSON type",
+    ),
     "zipf_slope_tokens": QuerySpec(
         _q_zipf_slope_tokens,
         _SQL_ZIPF_SLOPE_TOKENS,

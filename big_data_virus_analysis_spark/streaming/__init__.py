@@ -16,7 +16,7 @@ from .streams import (
     streaming_dedup,
     tumbling_window_counts,
 )
-from .stateful import running_user_totals
+from .stateful import running_user_totals, running_user_totals_tws
 
 __all__ = [
     "flag_incremental_dups",
@@ -27,4 +27,5 @@ __all__ = [
     "streaming_dedup",
     "tumbling_window_counts",
     "running_user_totals",
+    "running_user_totals_tws",
 ]

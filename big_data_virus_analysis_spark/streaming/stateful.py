@@ -145,3 +145,49 @@ def session_emitter(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals on Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API
+    (StatefulProcessor with named state handles, timers, TTL support)
+    that replaces ``applyInPandasWithState``'s single-tuple state.
+
+    Shipping BOTH forms keeps the engine current: new pipelines get the
+    processor API (composable named states, per-state TTL — the pieces
+    a 100 TB resident topology needs for state hygiene), existing ones
+    keep the classic form.  Batch parity with the oracle-checked
+    groupBy aggregate is asserted in tests/test_streaming.py.
+
+    Runtime requirements (both standard): the RocksDB state store
+    provider and the `protobuf` package (TWS's state-server protocol
+    imports google.protobuf in the Python driver worker) — the parity
+    test importorskips where protobuf is absent.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -458,3 +458,47 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     # texts were suppressed by the RECOVERED dedup state
     digests = [r.digest for r in rows]
     assert len(digests) == len(set(digests)) == 90
+
+
+def test_transform_with_state_matches_batch(spark, events_stream_dir, tmp_path):
+    """transformWithStateInPandas (the Spark 4 StatefulProcessor API)
+    must agree with the same aggregate as the applyInPandasWithState
+    form and the oracle-checked batch groupBy.
+
+    SKIPPED where `protobuf` is not installed: TWS's state-server
+    protocol imports google.protobuf in the Python driver worker
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py) and crashes
+    without it — an environment gap, not an operator bug.  The operator
+    itself (streaming/stateful.py::running_user_totals_tws) is plain
+    documented API usage and runs wherever protobuf exists.
+    """
+    pytest.importorskip("google.protobuf")
+    from big_data_virus_analysis_spark.streaming import running_user_totals_tws
+
+    # transformWithState requires the RocksDB state store provider
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+        got = _run_stream(spark, running_user_totals_tws(stream), "update", tmp_path)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.sum_value")
+    )
+    want = (
+        load_table(spark, SMOKE_SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    cols = ["user_id", "n_events", "sum_value"]
+    assert _canon(final, cols) == _canon(want, cols)
