@@ -435,7 +435,125 @@ FROM rows_ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# corpus_minhash_jaccard
+# --------------------------------------------------------------------------
+
+_CMJ_K = 64
+
+
+def _q_corpus_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level MinHash Jaccard — dataset-overlap estimation from
+    mergeable sketches, the dataset-versioning/drift counterpart of the
+    pairwise dedup queries.
+
+    Each corpus half (doc_id parity here; two snapshots/sources in
+    production) is summarized to k=64 per-family gram-hash MINIMA — a
+    sketch that is tiny, persistable, and mergeable (min of mins), so
+    comparing two 100 TB corpora costs two linear scans that never meet:
+    the join is k rows.  Estimate = fraction of agreeing minima (an
+    unbiased estimator of Jaccard); the EXACT gram-set Jaccard is
+    computed beside it so the driver's oracle pins both the sketch AND
+    its ground truth.  Hash family identical to minhash_lsh_pairs
+    (operators/dedup.py::_minhash_mins)."""
+    from ..operators.dedup import _M31, _SCRAMBLE, _scramble
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    staged = docs.where(F.size(tokens) >= 3).select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("corpus"), tokens.alias("_toks")
+    )
+    grams = staged.select(
+        "corpus",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 3)),
+            )
+        ).alias("gram"),
+    )
+    tid = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+    ids = grams.select("corpus", "gram", _scramble(tid).alias("s"))
+
+    def _h(i: int):
+        a_i = ((_SCRAMBLE * (2 * i + 1)) % _M31) | 1
+        return (F.lit(a_i).cast("bigint") * F.col("s") + 7919 * i).bitwiseAND(
+            F.lit(_M31 - 1)
+        )
+
+    minima = (
+        ids.select(
+            "corpus", F.posexplode(F.array(*[_h(i) for i in range(1, _CMJ_K + 1)])).alias("i0", "h")
+        )
+        .groupBy("corpus", F.col("i0").alias("i"))
+        .agg(F.min("h").alias("h"))
+    )
+    a = minima.where(F.col("corpus") == 0).select("i", F.col("h").alias("ha"))
+    b = minima.where(F.col("corpus") == 1).select("i", F.col("h").alias("hb"))
+    est = a.join(b, "i").agg(
+        F.round(
+            F.avg((F.col("ha") == F.col("hb")).cast("int")), 6
+        ).alias("est_jaccard")
+    )
+    flags = grams.groupBy("gram").agg(
+        F.max((F.col("corpus") == 0).cast("int")).alias("in_a"),
+        F.max((F.col("corpus") == 1).cast("int")).alias("in_b"),
+    )
+    exact = flags.agg(
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("exact_jaccard")
+    )
+    return est.crossJoin(exact).select(
+        F.lit(_CMJ_K).alias("k"), "est_jaccard", "exact_jaccard"
+    )
+
+
+_SQL_CORPUS_MINHASH_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS corpus, string_split(text, ' ') AS tokens FROM documents
+), grams AS (
+  SELECT corpus, unnest(list_transform(generate_series(1, len(tokens) - 2),
+         i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS gram
+  FROM toks WHERE len(tokens) >= 3
+), ids AS (
+  SELECT corpus,
+         ((CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 2147483648)
+          * 2654435761) % 2147483648 AS s
+  FROM grams
+), fam AS (
+  SELECT corpus, i,
+         min(((((2654435761 * (2 * i + 1)) % 2147483648) | 1) * s + 7919 * i)
+             & 2147483647) AS h
+  FROM ids CROSS JOIN (SELECT unnest(generate_series(1, {_CMJ_K})) AS i)
+  GROUP BY 1, 2
+), agree AS (
+  SELECT CASE WHEN a.h = b.h THEN 1 ELSE 0 END AS eq
+  FROM fam a JOIN fam b ON a.i = b.i AND a.corpus = 0 AND b.corpus = 1
+), exact AS (
+  SELECT round(CAST(count(*) FILTER (WHERE in_a AND in_b) AS DOUBLE)
+               / count(*), 6) AS exact_jaccard
+  FROM (
+    SELECT gram, bool_or(corpus = 0) AS in_a, bool_or(corpus = 1) AS in_b
+    FROM grams GROUP BY gram
+  )
+)
+SELECT {_CMJ_K} AS k,
+       round(CAST(sum(eq) AS DOUBLE) / count(*), 6) AS est_jaccard,
+       any_value(exact_jaccard) AS exact_jaccard
+FROM agree CROSS JOIN exact
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "corpus_minhash_jaccard": QuerySpec(
+        _q_corpus_minhash_jaccard,
+        _SQL_CORPUS_MINHASH_JACCARD,
+        "corpus-level MinHash Jaccard: two mergeable k=64 min-sketches "
+        "compared in k rows (dataset-overlap/drift), exact gram-set "
+        "Jaccard pinned beside the estimate",
+    ),
     "python_datasource_rollup": QuerySpec(
         _q_python_datasource_rollup,
         _SQL_PYTHON_DATASOURCE_ROLLUP,

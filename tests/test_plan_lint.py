@@ -80,6 +80,8 @@ BNLJ_ALLOWED = {
     "region_pair_matrix",
     # 7-row lag scaffold broadcast crossed onto the tiny per-day frame
     "daily_value_acf",
+    # 1-row x 1-row estimate/exact cross join (corpus-level sketch compare)
+    "corpus_minhash_jaccard",
     # 1-row query-embedding broadcast (semantic leg) + the BM25 corpus
     # scalars it inherits from bm25_search
     "rrf_hybrid_fusion",
