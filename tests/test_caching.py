@@ -67,3 +67,13 @@ def test_tracked_cache_is_reusable_after_release(spark):
     assert df.count() == 100
     assert release_tracked_caches() == 1
     assert df.count() == 100  # recomputes fine after unpersist
+
+
+def test_first_window_is_all_exact_oracle():
+    """The driver's correctness gate samples the first 50 queries();
+    every slot must carry an exact DuckDB oracle (rows-only entries
+    live after the window — see catalog._finalize_order)."""
+    names = list(CATALOG)[:50]
+    assert len(names) == 50
+    missing = [n for n in names if CATALOG[n].oracle is None]
+    assert missing == []
