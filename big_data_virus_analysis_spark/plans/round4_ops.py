@@ -546,7 +546,62 @@ FROM agree CROSS JOIN exact
 """
 
 
+# --------------------------------------------------------------------------
+# k_anonymity_audit
+# --------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def _q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    gate a training-data release runs beside PII scrubbing: any
+    (nation, market-segment, balance-band) group with fewer than k
+    members is re-identifiable.  One hash aggregate over the
+    quasi-identifier key, then the at-risk groups and their row share;
+    the per-group frame is bounded by the QI-combination count, never
+    corpus-sized."""
+    customer = load_table(spark, sf_dir, "customer")
+    qi = customer.select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000)).cast("bigint").alias("bal_band"),
+    )
+    groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        groups.where(F.col("group_size") < _K_ANON)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "group_size",
+        )
+    )
+
+
+_SQL_K_ANONYMITY_AUDIT = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+), groups AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS group_size
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, group_size
+FROM groups WHERE group_size < {_K_ANON}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "k_anonymity_audit": QuerySpec(
+        _q_k_anonymity_audit,
+        _SQL_K_ANONYMITY_AUDIT,
+        "k-anonymity audit (k=5) over a quasi-identifier tuple: one hash "
+        "aggregate, at-risk groups only - the privacy gate beside pii_scrub",
+    ),
     "corpus_minhash_jaccard": QuerySpec(
         _q_corpus_minhash_jaccard,
         _SQL_CORPUS_MINHASH_JACCARD,
