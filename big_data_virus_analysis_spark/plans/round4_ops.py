@@ -595,7 +595,85 @@ FROM groups WHERE group_size < {_K_ANON}
 """
 
 
+# --------------------------------------------------------------------------
+# bfs_hops_recursive_sql
+# --------------------------------------------------------------------------
+
+_RCTE_MAX_PART = 500
+_RCTE_HOPS = 2
+
+
+def _q_bfs_hops_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability as a RECURSIVE CTE (Spark 4's WITH
+    RECURSIVE) — the declarative twin of the iterative
+    ``bfs_hops_part0`` (operators/graph.py::bfs_hops): the engine's
+    fixed-point operator drives the frontier expansion instead of a
+    driver loop.
+
+    Spark's recursive CTEs support UNION ALL only (no dedup between
+    iterations yet), so path count — not vertex count — bounds the
+    work; the query therefore runs on a bounded co-purchase SUBGRAPH
+    (parts < {maxp}) at {hops} hops, with the per-node min-hop dedup in
+    the outer aggregate.  On an unbounded dense graph the iterative
+    form with its per-round min-aggregate (bfs_hops) remains the scale
+    path; this entry pins the recursive OPERATOR's semantics against
+    DuckDB's WITH RECURSIVE.
+    """.format(maxp=_RCTE_MAX_PART, hops=_RCTE_HOPS)
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.where(F.col("l_partkey") < _RCTE_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .dropDuplicates()
+    )
+    edges.createOrReplaceTempView("rcte_edges_v")
+    return spark.sql(f"""
+        WITH RECURSIVE reach(node, hops) AS (
+          SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+          UNION ALL
+          SELECT e.dst AS node, r.hops + 1 AS hops
+          FROM reach r JOIN rcte_edges_v e ON r.node = e.src
+          WHERE r.hops < {_RCTE_HOPS}
+        )
+        SELECT node, min(hops) AS hops FROM reach GROUP BY node
+    """)
+
+
+_SQL_BFS_HOPS_RECURSIVE = f"""
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey < {_RCTE_MAX_PART}
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+), reach(node, hops) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst AS node, r.hops + 1 AS hops
+  FROM reach r JOIN edges e ON r.node = e.src
+  WHERE r.hops < {_RCTE_HOPS}
+)
+SELECT node, min(hops) AS hops FROM reach GROUP BY node
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "bfs_hops_recursive_sql": QuerySpec(
+        _q_bfs_hops_recursive_sql,
+        _SQL_BFS_HOPS_RECURSIVE,
+        "WITH RECURSIVE reachability (Spark 4 recursive CTE) on a bounded "
+        "co-purchase subgraph - declarative twin of the iterative bfs_hops",
+    ),
     "k_anonymity_audit": QuerySpec(
         _q_k_anonymity_audit,
         _SQL_K_ANONYMITY_AUDIT,
