@@ -667,7 +667,45 @@ SELECT node, min(hops) AS hops FROM reach GROUP BY node
 """
 
 
+# --------------------------------------------------------------------------
+# except_all_line_shipments
+# --------------------------------------------------------------------------
+
+def _q_except_all_line_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set difference (EXCEPT ALL) — the multiset twin of
+    the existing distinct EXCEPT query: each duplicate (orderkey,
+    partkey) shipment survives as many times as it appears in the
+    large-quantity side MINUS its occurrences in the returned side.
+    Physical shape is one aggregate-style shuffle on the compare key
+    (Spark plans a left-anti-ish replicated join), not a distinct —
+    which is the point: dedup must NOT happen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.where(F.col("l_quantity") >= 25).select("l_orderkey", "l_partkey")
+    ret = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey")
+    return (
+        big.exceptAll(ret)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+_SQL_EXCEPT_ALL_LINE_SHIPMENTS = """
+WITH kept AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25
+  EXCEPT ALL
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT l_orderkey, count(*) AS n_kept FROM kept GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "except_all_line_shipments": QuerySpec(
+        _q_except_all_line_shipments,
+        _SQL_EXCEPT_ALL_LINE_SHIPMENTS,
+        "EXCEPT ALL multiset difference (bag semantics, no dedup) - "
+        "completes the set-operator family beside the distinct forms",
+    ),
     "bfs_hops_recursive_sql": QuerySpec(
         _q_bfs_hops_recursive_sql,
         _SQL_BFS_HOPS_RECURSIVE,
