@@ -699,7 +699,37 @@ SELECT l_orderkey, count(*) AS n_kept FROM kept GROUP BY 1
 """
 
 
+def _q_intersect_all_line_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics intersection (INTERSECT ALL): each (orderkey,
+    partkey) pair survives min(occurrences on each side) times —
+    completes the multiset family beside EXCEPT ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.where(F.col("l_quantity") >= 25).select("l_orderkey", "l_partkey")
+    ret = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey")
+    return (
+        big.intersectAll(ret)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+_SQL_INTERSECT_ALL_LINE_SHIPMENTS = """
+WITH common AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25
+  INTERSECT ALL
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT l_orderkey, count(*) AS n_common FROM common GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "intersect_all_line_shipments": QuerySpec(
+        _q_intersect_all_line_shipments,
+        _SQL_INTERSECT_ALL_LINE_SHIPMENTS,
+        "INTERSECT ALL multiset intersection (bag semantics) - the "
+        "min-multiplicity twin of except_all_line_shipments",
+    ),
     "except_all_line_shipments": QuerySpec(
         _q_except_all_line_shipments,
         _SQL_EXCEPT_ALL_LINE_SHIPMENTS,
