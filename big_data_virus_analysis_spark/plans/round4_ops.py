@@ -699,6 +699,105 @@ SELECT l_orderkey, count(*) AS n_kept FROM kept GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# dedup audit pack: cluster-size histogram + retention-by-threshold
+# --------------------------------------------------------------------------
+
+def _q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-SIZE distribution — the dedup-quality audit run
+    before committing a dedup pass: a heavy tail of giant clusters means
+    the threshold/banding is collapsing distinct content (or boilerplate
+    slipped through).  Composes the oracle-checked component assignment
+    (docs with ≥1 LSH pair only; singletons are the complement) into a
+    two-level count: cluster → size → #clusters of that size."""
+    from ..operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    assign = dedup_clusters(minhash_lsh_pairs(docs, n=3, k=32, bands=8))
+    return (
+        assign.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def _q_dedup_retention_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup retention curve: for each Jaccard threshold, how many docs
+    would survive keep-lowest-id dedup — the knob-tuning table a corpus
+    pipeline consults before choosing its cutoff.  Pairs are generated
+    ONCE at the floor threshold; the per-threshold counts are a 5-row
+    broadcast grid over the (tiny) pair table, so sweeping thresholds
+    costs one pass regardless of how many cut points are evaluated."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    ths = spark.createDataFrame(
+        [(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], "threshold double"
+    )
+    removed = (
+        pairs.crossJoin(F.broadcast(ths))
+        .where(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count_distinct("doc_b").alias("n_removed"))
+    )
+    totals = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        ths.join(removed, "threshold", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_removed"), F.lit(0).cast("bigint")).alias("n_removed"),
+            F.round(
+                1.0
+                - F.coalesce(F.col("n_removed"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("retention_frac"),
+        )
+    )
+
+
+_SQL_DEDUP_RETENTION_BY_THRESHOLD = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tokens) - 2),
+         i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS gram
+  FROM toks WHERE len(tokens) >= 3
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM grams
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM dg GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM dg a JOIN dg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jacc AS (
+  SELECT doc_b,
+         round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6)
+           AS jaccard
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6)
+        >= 0.5
+), ths(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)),
+removed AS (
+  SELECT threshold, count(DISTINCT doc_b) AS n_removed
+  FROM jacc JOIN ths ON jaccard >= threshold
+  GROUP BY threshold
+), totals AS (SELECT count(*) AS n_docs FROM documents)
+SELECT t.threshold,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       round(1.0 - CAST(coalesce(r.n_removed, 0) AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE), 6) AS retention_frac
+FROM ths t LEFT JOIN removed r ON t.threshold = r.threshold
+CROSS JOIN totals
+"""
+
+
 def _q_intersect_all_line_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BAG-semantics intersection (INTERSECT ALL): each (orderkey,
     partkey) pair survives min(occurrences on each side) times —
@@ -723,7 +822,33 @@ SELECT l_orderkey, count(*) AS n_common FROM common GROUP BY 1
 """
 
 
+def _sql_dedup_cluster_size_histogram() -> str:
+    # the recursive component-assignment oracle wrapped as a subquery
+    # (imported lazily: catalog defines it before importing this pack)
+    from .catalog import _SQL_DEDUP_CLUSTER_ASSIGN
+
+    return f"""
+SELECT size, count(*) AS n_clusters FROM (
+  SELECT cluster_id, count(*) AS size FROM (
+{_SQL_DEDUP_CLUSTER_ASSIGN}
+  ) GROUP BY cluster_id
+) GROUP BY size
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "dedup_cluster_size_histogram": QuerySpec(
+        _q_dedup_cluster_size_histogram,
+        _sql_dedup_cluster_size_histogram(),
+        "near-dup cluster-size distribution (dedup-quality audit over the "
+        "oracle-checked component assignment)",
+    ),
+    "dedup_retention_by_threshold": QuerySpec(
+        _q_dedup_retention_by_threshold,
+        _SQL_DEDUP_RETENTION_BY_THRESHOLD,
+        "dedup retention curve: survivors per Jaccard cutoff from ONE pair "
+        "pass + a 5-row threshold grid (keep-lowest-id rule)",
+    ),
     "intersect_all_line_shipments": QuerySpec(
         _q_intersect_all_line_shipments,
         _SQL_INTERSECT_ALL_LINE_SHIPMENTS,

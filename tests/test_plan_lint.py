@@ -82,6 +82,8 @@ BNLJ_ALLOWED = {
     "daily_value_acf",
     # 1-row x 1-row estimate/exact cross join (corpus-level sketch compare)
     "corpus_minhash_jaccard",
+    # 5-row threshold grid + 1-row doc-count broadcast over the pair table
+    "dedup_retention_by_threshold",
     # 1-row query-embedding broadcast (semantic leg) + the BM25 corpus
     # scalars it inherits from bm25_search
     "rrf_hybrid_fusion",
