@@ -822,6 +822,36 @@ SELECT l_orderkey, count(*) AS n_common FROM common GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# lateral_topk_parts
+# --------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT b.p_brand AS brand, top.p_partkey AS partkey, top.price
+FROM (SELECT DISTINCT p_brand FROM part) b,
+LATERAL (
+  SELECT p_partkey, round(CAST(p_retailprice AS DOUBLE), 2) AS price
+  FROM part p
+  WHERE p.p_brand = b.p_brand
+  ORDER BY p_retailprice DESC, p_partkey ASC
+  LIMIT 2
+) top
+"""
+
+
+def _q_lateral_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 parts per brand via a correlated LATERAL subquery — the
+    SQL-completeness twin of the window-based ``topk_parts_per_brand``:
+    Spark 4 decorrelates the per-group ORDER BY/LIMIT into a ranked
+    window under the hood, so the declarative form costs the same plan
+    as the hand-written one (both verified against the same oracle
+    shape).  One shared SQL string runs verbatim on both engines."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, only=["part"])
+    return spark.sql(_LATERAL_SQL)
+
+
 def _sql_dedup_cluster_size_histogram() -> str:
     # the recursive component-assignment oracle wrapped as a subquery
     # (imported lazily: catalog defines it before importing this pack)
@@ -837,6 +867,12 @@ SELECT size, count(*) AS n_clusters FROM (
 
 
 SPECS: dict[str, QuerySpec] = {
+    "lateral_topk_parts": QuerySpec(
+        _q_lateral_topk_parts,
+        _LATERAL_SQL,
+        "correlated LATERAL subquery top-2 per brand (Spark 4 lateral "
+        "decorrelation) - one SQL string shared verbatim with the oracle",
+    ),
     "dedup_cluster_size_histogram": QuerySpec(
         _q_dedup_cluster_size_histogram,
         _sql_dedup_cluster_size_histogram(),

@@ -86,9 +86,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view so Spark SQL text queries work."""
-    for name in TABLE_NAMES:
+def register_views(
+    spark: SparkSession, sf_dir: str, only: list[str] | None = None
+) -> None:
+    """Register tables as temp views so Spark SQL text queries work.
+
+    ``only`` restricts registration (queries that need one view avoid
+    re-reading every table's footer on each build)."""
+    for name in only if only is not None else TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 

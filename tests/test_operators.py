@@ -1068,3 +1068,37 @@ def test_bpe_merges_match_python_reference(spark):
                     i += 1
             vocab[w] = out
     assert got == expect
+
+
+def test_observed_quality_gate_single_pass(spark):
+    """df.observe() metrics ride the write action itself (no second
+    scan) and must equal independently computed aggregates; the gate
+    policy flags null violations."""
+    from big_data_virus_analysis_spark.operators.observe import (
+        attach_quality_gate,
+        gate_passed,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    observed, obs = attach_quality_gate(
+        events, numeric_cols=["value"], required_cols=["user_id", "event_type"]
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    want = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    ).first()
+    assert m["n_rows"] == want["n"]
+    assert m["user_id_nulls"] == 0 and m["event_type_nulls"] == 0
+    assert m["value_min"] == want["lo"] and m["value_max"] == want["hi"]
+    assert gate_passed(m)
+
+    # a frame with planted nulls fails the zero-null policy
+    dirty = events.withColumn(
+        "user_id", F.when(F.col("user_id") % 10 != 0, F.col("user_id"))
+    )
+    observed2, obs2 = attach_quality_gate(dirty, required_cols=["user_id"])
+    observed2.write.format("noop").mode("overwrite").save()
+    assert not gate_passed(obs2.get)
