@@ -823,6 +823,73 @@ SELECT l_orderkey, count(*) AS n_common FROM common GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# cdc_apply_with_deletes
+# --------------------------------------------------------------------------
+
+def _q_cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC APPLY over an I/U/D change log — extends the
+    update/insert-only merge_upsert_orders with the delete action.
+
+    The change log is synthesized deterministically from events: each
+    (user, op) row carries a sequence number; the apply rule is
+    latest-wins per key, then rows whose final op is 'D' vanish.  One
+    window over (key ORDER BY seq DESC) + filter — the log is shuffled
+    on the key once and the base never re-read per change; at 100 TB
+    the log is tiny next to the table and the apply is O(log).
+    Output: surviving (user_id, last_op, last_value, n_changes).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    sel = F.pmod(F.unix_micros("ts"), F.lit(8))
+    log = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("seq"),
+        # deterministic op from the timestamp: ~1/8 deletes, rest I/U
+        # (engine-portable arithmetic, no Spark-internal hash)
+        F.when(sel == 0, F.lit("D"))
+        .when(sel < 4, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.round(F.col("value").cast("decimal(18,4)"), 4).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("seq").desc(), F.col("value").desc(), F.col("op").desc()
+    )  # value/op tiebreak: same-microsecond events pick deterministically
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .where(F.col("rn") == 1)
+    )
+    return latest.where(F.col("op") != "D").select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("value").cast("double").alias("last_value"),
+        "n_changes",
+    )
+
+
+_SQL_CDC_APPLY_WITH_DELETES = """
+WITH log AS (
+  SELECT user_id, epoch_us(ts) AS seq,
+         CASE WHEN epoch_us(ts) % 8 = 0 THEN 'D'
+              WHEN epoch_us(ts) % 8 < 4 THEN 'U' ELSE 'I' END AS op,
+         round(CAST(value AS DECIMAL(18,4)), 4) AS value
+  FROM events
+), latest AS (
+  SELECT user_id, op, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY seq DESC, value DESC, op DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM log
+)
+SELECT user_id, op AS last_op, CAST(value AS DOUBLE) AS last_value,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# --------------------------------------------------------------------------
 # lateral_topk_parts
 # --------------------------------------------------------------------------
 
@@ -866,7 +933,66 @@ SELECT size, count(*) AS n_clusters FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# source_capped_sample
+# --------------------------------------------------------------------------
+
+_SOURCE_CAP = 10
+
+
+def _q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document CAP — the mixture-hygiene op that stops one
+    over-crawled source from dominating a training mix (distinct from
+    proportional stratified sampling: a hard ceiling, not a rate).
+    Selection is deterministic: within each source, docs rank by
+    md5(doc_id) — an unbiased pseudo-random order both engines compute
+    identically — and the first N survive.  Output: per-source kept
+    counts + the kept doc_id checksum (order-insensitive)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    kept = (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SOURCE_CAP)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_checksum"),
+    )
+
+
+_SQL_SOURCE_CAPPED_SAMPLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS kept_id_checksum
+FROM ranked WHERE rn <= {_SOURCE_CAP}
+GROUP BY source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "cdc_apply_with_deletes": QuerySpec(
+        _q_cdc_apply_with_deletes,
+        _SQL_CDC_APPLY_WITH_DELETES,
+        "full CDC apply (I/U/D, latest-wins then delete-filter) - the "
+        "delete-aware completion of merge_upsert_orders",
+    ),
+    "source_capped_sample": QuerySpec(
+        _q_source_capped_sample,
+        _SQL_SOURCE_CAPPED_SAMPLE,
+        "hard per-source document cap via deterministic md5-order ranking "
+        "(mixture over-representation control)",
+    ),
     "lateral_topk_parts": QuerySpec(
         _q_lateral_topk_parts,
         _LATERAL_SQL,
