@@ -905,7 +905,10 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_KNN_LABEL_VOTE = _SQL_EMB_BASE + """
+#: shared oracle body ending in ``votes(query_id, label, votes)`` — the
+#: kNN vote tallies.  Named constant so knn_label_vote and the
+#: label-noise audit (plans/round4_ops.py) consume the same fragment.
+SQL_KNN_VOTES_BODY = _SQL_EMB_BASE + """
 , dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
   FROM elems q JOIN elems c ON q.i = c.i AND c.vec_id <> q.vec_id
@@ -925,6 +928,9 @@ _SQL_KNN_LABEL_VOTE = _SQL_EMB_BASE + """
   FROM topk t JOIN embeddings e ON t.cand_id = e.vec_id
   GROUP BY 1, 2
 )
+"""
+
+_SQL_KNN_LABEL_VOTE = SQL_KNN_VOTES_BODY + """
 SELECT query_id, label AS pred_label, votes
 FROM votes
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) = 1

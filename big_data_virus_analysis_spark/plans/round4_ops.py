@@ -980,7 +980,53 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# label_noise_candidates
+# --------------------------------------------------------------------------
+
+def _q_label_noise_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise mining (confident-learning-lite): samples whose kNN
+    majority vote disagrees with their OWN label, ranked by vote margin
+    — the review queue a training pipeline builds before trusting
+    labels.  Composes the oracle-checked kNN vote layer
+    (operators/similarity.py::knn_label_vote) with one label join."""
+    from ..operators.similarity import knn_label_vote
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    votes = knn_label_vote(emb, n_queries=50, k=5)
+    own = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("own_label"))
+    return (
+        votes.join(own, "query_id")
+        .where(F.col("pred_label") != F.col("own_label"))
+        .select("query_id", "own_label", "pred_label", F.col("votes").alias("disagree_votes"))
+    )
+
+
+def _sql_label_noise_candidates() -> str:
+    from .catalog import SQL_KNN_VOTES_BODY
+
+    return SQL_KNN_VOTES_BODY + """
+, pred AS (
+  SELECT query_id, label AS pred_label, votes
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY votes DESC, label ASC) = 1
+)
+SELECT p.query_id, e.label AS own_label, p.pred_label,
+       p.votes AS disagree_votes
+FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+WHERE p.pred_label <> e.label
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "label_noise_candidates": QuerySpec(
+        _q_label_noise_candidates,
+        _sql_label_noise_candidates(),
+        "label-noise mining: kNN-vote/own-label disagreements (the review "
+        "queue built before trusting labels) over the oracle-checked vote "
+        "layer",
+    ),
     "cdc_apply_with_deletes": QuerySpec(
         _q_cdc_apply_with_deletes,
         _SQL_CDC_APPLY_WITH_DELETES,

@@ -56,6 +56,9 @@ BNLJ_ALLOWED = {
     "cosine_topk_bruteforce",
     "hard_negative_mining",
     "knn_label_vote",
+    # inherits knn_label_vote's brute-force generator (LSH/IVF compose
+    # in front at scale, same as for the vote query)
+    "label_noise_candidates",
     "quantized_cosine_topk",
     # single-row corpus-total broadcast (like info_gain_topk)
     "tfidf_top_terms",
