@@ -981,6 +981,71 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# median_confidence_interval
+# --------------------------------------------------------------------------
+
+def _q_median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% CI for the median via order statistics —
+    the uncertainty quantification most "exact quantile" pipelines skip:
+    the binomial normal approximation puts the CI at order statistics
+    k_lo = floor((n − z√n)/2) and k_hi = ceil((n + z√n)/2) + 1 (z =
+    1.959964), valid for ANY distribution.  The ranks come from the
+    two-phase distributed scan (no single-task global window); the three
+    order statistics are filtered by rank, never sorted globally."""
+    from ..operators.prefix_sum import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("price"),
+    )
+    ranked = global_row_number(
+        orders, [F.col("price"), F.col("k")], n_col="n"
+    )
+    z = 1.959964
+    k_med = (F.col("n") + 1).cast("double") / 2.0
+    k_lo = F.floor((F.col("n") - z * F.sqrt(F.col("n").cast("double"))) / 2.0)
+    k_hi = F.ceil((F.col("n") + z * F.sqrt(F.col("n").cast("double"))) / 2.0) + 1
+    picked = ranked.select(
+        "price",
+        "rn",
+        "n",
+        F.when(F.col("rn") == k_lo, F.lit("lo"))
+        .when(F.col("rn") == F.floor(k_med), F.lit("med"))
+        .when(F.col("rn") == k_hi, F.lit("hi"))
+        .alias("which"),
+    ).where(F.col("which").isNotNull())
+    return picked.groupBy("n").agg(
+        F.round(F.min(F.when(F.col("which") == "lo", F.col("price"))), 2).alias("ci_lo"),
+        F.round(F.min(F.when(F.col("which") == "med", F.col("price"))), 2).alias("median"),
+        F.round(F.min(F.when(F.col("which") == "hi", F.col("price"))), 2).alias("ci_hi"),
+    )
+
+
+_SQL_MEDIAN_CONFIDENCE_INTERVAL = """
+WITH ranked AS (
+  SELECT round(CAST(o_totalprice AS DOUBLE), 2) AS price,
+         row_number() OVER (ORDER BY round(CAST(o_totalprice AS DOUBLE), 2),
+                            o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), picked AS (
+  SELECT n, price,
+         CASE WHEN rn = floor((n - 1.959964 * sqrt(n)) / 2.0) THEN 'lo'
+              WHEN rn = floor((n + 1) / 2.0) THEN 'med'
+              WHEN rn = ceil((n + 1.959964 * sqrt(n)) / 2.0) + 1 THEN 'hi'
+         END AS which
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(min(CASE WHEN which = 'lo' THEN price END), 2) AS ci_lo,
+       round(min(CASE WHEN which = 'med' THEN price END), 2) AS median,
+       round(min(CASE WHEN which = 'hi' THEN price END), 2) AS ci_hi
+FROM picked WHERE which IS NOT NULL
+GROUP BY n
+"""
+
+
+# --------------------------------------------------------------------------
 # label_noise_candidates
 # --------------------------------------------------------------------------
 
@@ -1020,6 +1085,12 @@ WHERE p.pred_label <> e.label
 
 
 SPECS: dict[str, QuerySpec] = {
+    "median_confidence_interval": QuerySpec(
+        _q_median_confidence_interval,
+        _SQL_MEDIAN_CONFIDENCE_INTERVAL,
+        "distribution-free 95% CI for the median via binomial order "
+        "statistics (two-phase global rank, no full sort)",
+    ),
     "label_noise_candidates": QuerySpec(
         _q_label_noise_candidates,
         _sql_label_noise_candidates(),
