@@ -981,6 +981,54 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# ols_slope_by_segment
+# --------------------------------------------------------------------------
+
+def _q_ols_slope_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment value-vs-time OLS trend — grouped closed-form
+    regression (many small fits in ONE aggregate pass, the grouped
+    counterpart of the corpus-level corr_price_quantity): slope =
+    (nΣtv − ΣtΣv)/(nΣtt − (Σt)²) per market segment, sums through
+    decimal so both engines add in any order.  One broadcast dim join +
+    one hash aggregate; no per-group iteration anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    pts = ev.join(F.broadcast(cust), "user_id").select(
+        "c_mktsegment",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("t"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    st = F.sum("t").cast("double")
+    sv = F.sum("v").cast("double")
+    stt = F.sum(F.col("t") * F.col("t")).cast("double")
+    stv = F.sum(F.col("t").cast("decimal(18,0)") * F.col("v")).cast("double")
+    return pts.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round((n * stv - st * sv) / (n * stt - st * st), 6).alias("slope_per_day"),
+    )
+
+
+_SQL_OLS_SLOPE_BY_SEGMENT = """
+WITH pts AS (
+  SELECT c.c_mktsegment,
+         epoch_us(ts) // 86400000000 AS t,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+)
+SELECT c_mktsegment, count(*) AS n_points,
+       round((count(*) * CAST(sum(CAST(t AS DECIMAL(18,0)) * v) AS DOUBLE)
+              - CAST(sum(t) AS DOUBLE) * CAST(sum(v) AS DOUBLE))
+             / (count(*) * CAST(sum(t * t) AS DOUBLE)
+                - CAST(sum(t) AS DOUBLE) * CAST(sum(t) AS DOUBLE)), 6)
+         AS slope_per_day
+FROM pts GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 # median_confidence_interval
 # --------------------------------------------------------------------------
 
@@ -1085,6 +1133,12 @@ WHERE p.pred_label <> e.label
 
 
 SPECS: dict[str, QuerySpec] = {
+    "ols_slope_by_segment": QuerySpec(
+        _q_ols_slope_by_segment,
+        _SQL_OLS_SLOPE_BY_SEGMENT,
+        "grouped closed-form OLS trend per market segment (many small "
+        "fits in one aggregate pass, decimal-exact sums)",
+    ),
     "median_confidence_interval": QuerySpec(
         _q_median_confidence_interval,
         _SQL_MEDIAN_CONFIDENCE_INTERVAL,
