@@ -7,7 +7,24 @@ every output column, no write cost, no driver collect).  Each query runs
 N_RUNS times; the headline number is the per-query MEDIAN (single-digit
 -second measurements are variance-dominated, so one run can't separate a
 plan change from scheduler noise), with per-query [min, max] spread
-reported alongside."""
+reported alongside.
+
+Round-5 hygiene (the r4 "regressions" were harness-state, not code —
+scripts/bisect_r4_regressions.py showed all three suspect queries at or
+below their r3 medians in a fresh JVM):
+
+* tracked caches are RELEASED and a JVM GC is hinted between queries,
+  so a long 33-query session doesn't inflate late measurements with
+  accumulated cache entries and Py4J-pinned plan objects;
+* every scale factor is measured the same way — warm-up run, then
+  median of N_RUNS — so the fitted log-log exponents compare
+  like-for-like (previously the base SF was a warm median but the
+  smaller SFs were single cold runs, biasing exponents low);
+* the FINAL stdout line is a compact (<1800 chars) JSON summary —
+  medians, total, worst exponent — because the driver records only the
+  last 2000 chars of output.  The complete payload (spreads, per-SF
+  scaling map) goes to BENCH_FULL.json and an earlier stdout line.
+"""
 
 from __future__ import annotations
 
@@ -20,6 +37,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from big_data_virus_analysis_spark.operators.caching import (  # noqa: E402
+    release_tracked_caches,
+)
 from big_data_virus_analysis_spark.plans.catalog import CATALOG  # noqa: E402
 from big_data_virus_analysis_spark.session import get_spark  # noqa: E402
 
@@ -69,7 +89,29 @@ HEADLINE = [
     "kmeans_lloyd_step",
     "ivf_ann_topk_fixed",
     "cms_heavy_users",
+    # round-5 composed canary (ingest -> minhash -> pairs -> components
+    # -> survivors -> retention, one plan)
+    "dedup_pipeline_e2e",
 ]
+
+
+def _reset(spark) -> None:
+    """Between-measurement hygiene: drop every cache and hint a JVM GC
+    so a query's measurement never pays for its predecessors' state."""
+    release_tracked_caches()
+    spark.catalog.clearCache()
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+
+
+def _run_once(spark, name: str, d: str) -> float:
+    t0 = time.perf_counter()
+    CATALOG[name].spark(spark, d).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    _reset(spark)
+    return dt
 
 
 def main() -> None:
@@ -78,63 +120,63 @@ def main() -> None:
     spark = get_spark("bdva-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    names = [n for n in HEADLINE if n in CATALOG]
+
     # Steady-state warmup: run every headline plan once at sf0.001 so
     # the measured window times execution, not one-time JVM/codegen
     # compilation (whole-stage codegen compiles per plan shape; at the
     # 100 TB design point compile time is noise, at sf0.1 it would
     # dominate several queries).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
-        if name in CATALOG:
-            CATALOG[name].spark(spark, "/root/testdata/sf0.001").write.format(
-                "noop"
-            ).mode("overwrite").save()
+    for name in names:
+        _run_once(spark, name, "/root/testdata/sf0.001")
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        if name not in CATALOG:
-            continue
-        runs = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            CATALOG[name].spark(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-            # pair generators cache their signature frames; clear so
-            # every run pays the full build (no warm-cache flattery)
-            spark.catalog.clearCache()
+    for name in names:
+        runs = [_run_once(spark, name, sf_dir) for _ in range(N_RUNS)]
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
-    # Measured scaling curve (VERDICT r03 #3): one run per query at the
-    # other scale factors, so the 100x claims rest on data, not just
-    # plan-shape argument.  The per-query exponent is the log-log slope
-    # between the two LARGEST measured SFs (the smallest is fixed-
-    # overhead-dominated); sub-linear exponents mean constant overhead
-    # still dominates at these sizes, n-squared pair generators are
-    # expected near their blocked/banded bound, everything else should
-    # sit at or below ~1.  Disable with SPARK_GRAFT_SCALING=0.
+    # Measured scaling curve: median of N_RUNS at EVERY scale factor
+    # (the sf0.001 warm-up above doubles as each query's warm-up run),
+    # so the 100x claims rest on like-for-like medians.  The per-query
+    # exponent is the log-log slope between the two LARGEST measured
+    # SFs (the smallest is fixed-overhead-dominated); sub-linear
+    # exponents mean constant overhead still dominates at these sizes,
+    # n-squared pair generators are expected near their blocked/banded
+    # bound, everything else should sit at or below ~1.  Disable with
+    # SPARK_GRAFT_SCALING=0.
+    # Optional fourth decade: $SPARK_GRAFT_SF1_DIR points at a synthetic
+    # sf1 built by scripts/make_sf1.py (10x-replicated sf0.1, offset
+    # ids).  Only the expensive family runs there — the queries whose
+    # scale behaviour matters most — so their exponents are fitted over
+    # sf0.001→1, three decades.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "")
+    sf1_family = {
+        "dedup_cluster_assign_two_phase",
+        "dedup_incremental_batch",
+        "dup_span_doc_fraction",
+        "minhash_lsh_pairs",
+        "semantic_dedup_pairs",
+        "dedup_pipeline_e2e",
+    }
     scaling: dict[str, dict[str, float]] = {}
     exponents: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         base = os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata"
         extra = [s for s in ("0.001", "0.01") if s != sf]
-        for name in HEADLINE:
-            if name not in CATALOG:
-                continue
+        for name in names:
             per = {sf: timings[name]}
             for s in extra:
                 d = os.path.join(base, f"sf{s}")
                 if not os.path.isdir(d):
                     continue
-                t0 = time.perf_counter()
-                CATALOG[name].spark(spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                per[s] = round(time.perf_counter() - t0, 3)
-                spark.catalog.clearCache()
+                runs = [_run_once(spark, name, d) for _ in range(N_RUNS)]
+                per[s] = round(statistics.median(runs), 3)
+            if sf1_dir and name in sf1_family and os.path.isdir(sf1_dir):
+                runs = [_run_once(spark, name, sf1_dir) for _ in range(N_RUNS)]
+                per["1"] = round(statistics.median(runs), 3)
             scaling[name] = {k: per[k] for k in sorted(per, key=float)}
             sfs = sorted(per, key=float)
             if len(sfs) >= 2:
@@ -146,12 +188,6 @@ def main() -> None:
                     )
 
     total = round(sum(timings.values()), 3)
-    # Key order is deliberate: the driver records only the TAIL of this
-    # line, so the keys a reviewer needs most (per-query medians, the
-    # scaling exponents, the headline total) come LAST; the bulky
-    # per-SF map and spreads come first.  The complete payload is also
-    # written to BENCH_FULL.json beside this script for the committed
-    # record (SCALING.md carries the full per-SF table).
     payload = {
         "metric": "headline_queries_total",
         "unit": "sec",
@@ -171,7 +207,30 @@ def main() -> None:
             json.dump(payload, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout still carries everything
+    # Full payload first (committed record lives in BENCH_FULL.json)...
     print(json.dumps(payload))
+    # ...then a compact summary as the VERY LAST line: the driver keeps
+    # only the final 2000 chars of stdout, so this line must stand
+    # alone and parse.  Budget: ~35 query medians at ~30 chars each
+    # stays well under 1800; if the catalog ever outgrows that, the
+    # medians are truncated to the most expensive entries.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "n_runs": N_RUNS,
+        "worst_exponent": max(exponents.values()) if exponents else None,
+        "queries": timings,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1800:
+        keep = sorted(timings, key=timings.get, reverse=True)[: max(1, len(compact["queries"]) - 5)]
+        compact["queries"] = {k: timings[k] for k in keep}
+        compact["queries_truncated_to_top"] = len(keep)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -83,4 +83,10 @@ def exact_auc(
         F.col(label_col).cast("int").alias("pos"),
     )
     row = exact_auc_frame(scored).first()
+    if row["auc"] is None:
+        raise ValueError(
+            f"AUC undefined: prediction frame has n_pos={row['n_pos']}, "
+            f"n_neg={row['n_neg']} — both classes must be present to rank "
+            "positives against negatives"
+        )
     return float(row["auc"])

@@ -578,6 +578,20 @@ def _self_cleaning(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver surface: every catalog query, wrapped self-cleaning.
+
+    STRICT build-then-consume contract: building entry N releases the
+    tracked caches of entries built before it, because evaluation is
+    lazy and the builder cannot know when a caller finishes collecting.
+    Build one query, consume its DataFrame fully, then build the next —
+    the sequential pattern the driver and bench.py follow.  A caller
+    that builds several DataFrames up front and collects them later
+    still gets CORRECT results, but the earlier queries' build-then-
+    probe caches are gone by collection time, so their self-join
+    branches silently recompute.  For that access pattern call
+    ``CATALOG[name].spark`` directly and manage
+    ``operators.caching.release_tracked_caches()`` yourself.
+    """
     return {name: _self_cleaning(spec.spark) for name, spec in CATALOG.items()}
 
 
@@ -4541,6 +4555,16 @@ CATALOG.update(_ML_EXACT_SPECS)
 from .round4_ops import SPECS as _ROUND4_OPS_SPECS  # noqa: E402
 
 CATALOG.update(_ROUND4_OPS_SPECS)
+
+
+# --------------------------------------------------------------------------
+# Round-5 pack (composed dedup canary, deterministic stratified sample,
+# sketch error-bound audits, Python UDTF; plans/round5_ops.py)
+# --------------------------------------------------------------------------
+
+from .round5_ops import SPECS as _ROUND5_OPS_SPECS  # noqa: E402
+
+CATALOG.update(_ROUND5_OPS_SPECS)
 
 
 # --------------------------------------------------------------------------

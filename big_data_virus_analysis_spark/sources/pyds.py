@@ -75,8 +75,11 @@ def _make_datasource():
 
 
 def register_synthetic_events(spark) -> None:
-    """Idempotent registration of the custom source."""
-    try:
-        spark.dataSource.register(_make_datasource())
-    except Exception:
-        pass  # already registered in this session
+    """Idempotent registration of the custom source.
+
+    ``spark.dataSource.register`` overwrites an existing registration
+    of the same name (verified against Spark 4.1), so re-registering is
+    naturally idempotent — genuine failures (API mismatch, pickling
+    errors) propagate instead of being masked as 'already registered'.
+    """
+    spark.dataSource.register(_make_datasource())

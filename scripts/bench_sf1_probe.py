@@ -18,18 +18,19 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
+from big_data_virus_analysis_spark.operators.caching import (  # noqa: E402
+    release_tracked_caches,
+)
 from big_data_virus_analysis_spark.plans.catalog import CATALOG  # noqa: E402
 from big_data_virus_analysis_spark.session import get_spark  # noqa: E402
-from big_data_virus_analysis_spark.sources.tables import load_table  # noqa: E402
+
+from make_sf1 import replicate_corpus  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/bdva_sf1"
@@ -46,46 +47,19 @@ PROBE = [
     "sessionize_events",
     "window_rank_parts",
     "cms_heavy_users",
+    # the 5 most expensive headline queries (VERDICT r04 #6): measured
+    # at sf1 so their exponents are fitted over three decades
+    "dedup_cluster_assign_two_phase",
+    "dedup_incremental_batch",
+    "dup_span_doc_fraction",
+    "minhash_lsh_pairs",
+    "semantic_dedup_pairs",
 ]
-
-#: id column to offset per replica so cardinality scales with the data
-ID_COLS = {
-    "documents": "doc_id",
-    "events": "user_id",  # users also scale: no artificial hot keys
-    "embeddings": "vec_id",
-    "orders": "o_orderkey",
-    "lineitem": "l_orderkey",
-    "customer": "c_custkey",
-    "part": "p_partkey",
-    "supplier": "s_suppkey",
-}
-OFFSET = 10_000_000
-
-
-def build_sf1(spark) -> None:
-    os.makedirs(DST, exist_ok=True)
-    for name in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        out = f"{DST}/{name}.parquet"
-        if os.path.exists(out):
-            shutil.rmtree(out, ignore_errors=True)
-        df = load_table(spark, SRC, name)
-        if name in ID_COLS:
-            copies = spark.range(FACTOR).select(F.col("id").alias("_copy"))
-            col = ID_COLS[name]
-            df = (
-                df.crossJoin(F.broadcast(copies))
-                .withColumn(col, F.col(col) + F.col("_copy") * OFFSET)
-                .drop("_copy")
-            )
-        df.write.mode("overwrite").parquet(out)
-
 
 def main() -> None:
     spark = get_spark("bdva-sf1-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    build_sf1(spark)
+    replicate_corpus(spark, SRC, DST, FACTOR)
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = json.load(open(os.path.join(repo_root, "BENCH_FULL.json")))
@@ -102,6 +76,7 @@ def main() -> None:
                 "overwrite"
             ).save()
             runs.append(time.perf_counter() - t0)
+            release_tracked_caches()
             spark.catalog.clearCache()
         t_sf1 = round(statistics.median(runs), 3)
         t_01 = base["queries"].get(name)

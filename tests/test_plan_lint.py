@@ -101,6 +101,9 @@ BNLJ_ALLOWED = {
     "semantic_dedup_pairs",
     "semantic_dedup_survivors",
     "semantic_dedup_pairs_fine",
+    # 1-row frequent-items sketch list broadcast crossed onto the exact
+    # heavy-user frame (containment audit)
+    "heavy_hitter_users_bounded",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still

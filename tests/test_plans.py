@@ -327,3 +327,31 @@ def test_exact_auc_groups_before_global_scan(plan_of):
     plan = plan_of("fixed_scorer_auc")
     assert "partial_sum" in plan
     assert "Window [" not in plan or "partitionBy" not in plan.lower()
+
+
+def test_e2e_pipeline_signature_materializes_once(spark):
+    """dedup_pipeline_e2e's pair stage (minhash k=16/4-band) must read
+    its cached signature frame from BOTH band-join branches — the
+    composed pipeline inherits the materialize-once contract across
+    stage boundaries (the round-4 regression suspect), so the signature
+    derivation may appear in the plan exactly once."""
+    from big_data_virus_analysis_spark.operators.dedup import minhash_lsh_pairs
+    from big_data_virus_analysis_spark.plans.round5_ops import _E2E_BANDS, _E2E_K
+    from big_data_virus_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    try:
+        pairs = minhash_lsh_pairs(docs, n=3, k=_E2E_K, bands=_E2E_BANDS)
+        plan = fmt_plan(pairs)
+        n = plan.count("InMemoryTableScan")
+        assert n >= 2, f"e2e pair stage: {n} InMemoryTableScan — cache dropped?"
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_udtf_chunk_windows_plan_shows_udtf(spark):
+    """The UDTF twin must actually execute through the Python UDTF
+    surface (BatchEvalPythonUDTF / ArrowEvalPythonUDTF operator), not
+    get rewritten away."""
+    plan = fmt_plan(CATALOG["udtf_chunk_windows"].spark(spark, SMOKE_SF_DIR))
+    assert "PythonUDTF" in plan, plan

@@ -502,3 +502,99 @@ def test_transform_with_state_matches_batch(spark, events_stream_dir, tmp_path):
     )
     cols = ["user_id", "n_events", "sum_value"]
     assert _canon(final, cols) == _canon(want, cols)
+
+
+def _restart_totals_phases(spark, tmp_path, build_query):
+    """Shared two-phase restart harness for the stateful running-totals
+    operators: phase-1 events drain and the query stops; phase-2 events
+    land; a RESTARTED query (same checkpoint) must emit totals that
+    INCLUDE the phase-1 counts — only the recovered state store can
+    supply them, since phase-1 files are never reprocessed (offset log).
+    Returns the final per-user totals emitted by the phase-2 run."""
+    landing = tmp_path / "totals_landing"
+    ckpt = str(tmp_path / "totals_ckpt")
+
+    def mkevents(ids, users, values):
+        return spark.createDataFrame(
+            [
+                (i, "2024-01-01 10:00:00", u, "view", v, "{}")
+                for i, u, v in zip(ids, users, values)
+            ],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = str(tmp_path / "totals_out")
+
+    def drain(phase):
+        # memory sink can't recover from a checkpoint; foreachBatch
+        # appending parquet is the fault-tolerant update-mode sink
+        stream = read_events_stream(spark, str(landing), max_files_per_trigger=1)
+
+        def sink_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            build_query(stream)
+            .writeStream.foreachBatch(sink_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out)
+
+    # phase 1: users 1 and 2, two events each (value 10.0)
+    mkevents([1, 2, 3, 4], [1, 1, 2, 2], [10.0] * 4).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(landing))
+    drain(1)
+
+    # phase 2: one more event per user + a brand-new user 3
+    mkevents([5, 6, 7], [1, 2, 3], [5.0] * 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(landing))
+    got = drain(2)
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.sum_value")
+    )
+    return {r.user_id: (r.n_events, r.sum_value) for r in final.collect()}
+
+
+def test_stateful_restart_carries_custom_state(spark, tmp_path):
+    """Checkpoint-restart THROUGH applyInPandasWithState: the phase-2
+    totals must include phase-1 events via the recovered custom state
+    tuple, not a reprocess (which the offset log forbids)."""
+    totals = _restart_totals_phases(spark, tmp_path, running_user_totals)
+    assert totals[1] == (3, 25.0)
+    assert totals[2] == (3, 25.0)
+    assert totals[3] == (1, 5.0)
+
+
+def test_tws_restart_carries_named_state(spark, tmp_path):
+    """The same restart contract through transformWithStateInPandas
+    (StatefulProcessor named value state).  SKIPPED without `protobuf`
+    (see requirements-optional.txt): TWS's state-server protocol
+    imports google.protobuf in the Python worker."""
+    pytest.importorskip("google.protobuf")
+    from big_data_virus_analysis_spark.streaming import running_user_totals_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        totals = _restart_totals_phases(spark, tmp_path, running_user_totals_tws)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    assert totals[1] == (3, 25.0)
+    assert totals[2] == (3, 25.0)
+    assert totals[3] == (1, 5.0)
