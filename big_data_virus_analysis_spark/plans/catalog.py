@@ -4566,6 +4566,10 @@ from .round5_ops import SPECS as _ROUND5_OPS_SPECS  # noqa: E402
 
 CATALOG.update(_ROUND5_OPS_SPECS)
 
+from .round5_ext import SPECS as _ROUND5_EXT_SPECS  # noqa: E402
+
+CATALOG.update(_ROUND5_EXT_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

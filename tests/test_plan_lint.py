@@ -62,6 +62,9 @@ BNLJ_ALLOWED = {
     "quantized_cosine_topk",
     # single-row corpus-total broadcast (like info_gain_topk)
     "tfidf_top_terms",
+    # single-row corpus-count broadcast feeding the relative df cutoff
+    # and idf (constant-key join folds to a nested loop over 1 row)
+    "tfidf_cosine_pairs",
     # single-row scalar-threshold broadcast (relative avg crossed onto
     # the aggregate, TPC-H Q20/Q22 shapes)
     "heavy_shipment_suppliers",
