@@ -4570,6 +4570,10 @@ from .round5_ext import SPECS as _ROUND5_EXT_SPECS  # noqa: E402
 
 CATALOG.update(_ROUND5_EXT_SPECS)
 
+from .round5_more import SPECS as _ROUND5_MORE_SPECS  # noqa: E402
+
+CATALOG.update(_ROUND5_MORE_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

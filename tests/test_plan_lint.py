@@ -107,6 +107,8 @@ BNLJ_ALLOWED = {
     # 1-row frequent-items sketch list broadcast crossed onto the exact
     # heavy-user frame (containment audit)
     "heavy_hitter_users_bounded",
+    # 1-row pair-total broadcast (share-of-all-pairs denominator)
+    "cross_source_dup_audit",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
