@@ -4552,9 +4552,19 @@ CATALOG.update(_ML_EXACT_SPECS)
 # plans/round4_ops.py)
 # --------------------------------------------------------------------------
 
+def _register_pack(specs) -> None:
+    """Merge a pack into CATALOG, refusing silent overwrites — a pack
+    entry colliding with an existing query name is a bug (it would
+    shadow an already-verified entry), not an update."""
+    dup = sorted(set(specs) & set(CATALOG))
+    if dup:
+        raise ValueError(f"catalog pack collides with existing entries: {dup}")
+    CATALOG.update(specs)
+
+
 from .round4_ops import SPECS as _ROUND4_OPS_SPECS  # noqa: E402
 
-CATALOG.update(_ROUND4_OPS_SPECS)
+_register_pack(_ROUND4_OPS_SPECS)
 
 
 # --------------------------------------------------------------------------
@@ -4564,15 +4574,19 @@ CATALOG.update(_ROUND4_OPS_SPECS)
 
 from .round5_ops import SPECS as _ROUND5_OPS_SPECS  # noqa: E402
 
-CATALOG.update(_ROUND5_OPS_SPECS)
+_register_pack(_ROUND5_OPS_SPECS)
 
 from .round5_ext import SPECS as _ROUND5_EXT_SPECS  # noqa: E402
 
-CATALOG.update(_ROUND5_EXT_SPECS)
+_register_pack(_ROUND5_EXT_SPECS)
 
 from .round5_more import SPECS as _ROUND5_MORE_SPECS  # noqa: E402
 
-CATALOG.update(_ROUND5_MORE_SPECS)
+_register_pack(_ROUND5_MORE_SPECS)
+
+from .round5_pq import SPECS as _ROUND5_PQ_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_PQ_SPECS)
 
 
 # --------------------------------------------------------------------------

@@ -109,6 +109,9 @@ BNLJ_ALLOWED = {
     "heavy_hitter_users_bounded",
     # 1-row pair-total broadcast (share-of-all-pairs denominator)
     "cross_source_dup_audit",
+    # bounded-horizon lag range-join over the per-DAY frame (rows =
+    # days, not events; both sides broadcastable at any corpus size)
+    "ewma_daily_value",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
