@@ -92,6 +92,10 @@ HEADLINE = [
     # round-5 composed canary (ingest -> minhash -> pairs -> components
     # -> survivors -> retention, one plan)
     "dedup_pipeline_e2e",
+    # round-5 similarity additions (weighted inverted-index pairs,
+    # PQ-ADC code search)
+    "tfidf_cosine_pairs",
+    "pq_adc_topk_fixed",
 ]
 
 

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.caching import tracked_cache
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 
@@ -149,10 +150,15 @@ def _q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    # terms feeds df counts AND the weighting join; weighted feeds the
+    # norm aggregate AND both sides of the pair join — cache each so
+    # the tokenize/shuffle stages run once (materialize-once contract,
+    # same as the MinHash signature frame)
     terms = (
         docs.select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(tracked_cache)
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
     df_tbl = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -175,6 +181,7 @@ def _q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_id", "term", "w")
+        .transform(tracked_cache)
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")

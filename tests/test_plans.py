@@ -355,3 +355,21 @@ def test_udtf_chunk_windows_plan_shows_udtf(spark):
     get rewritten away."""
     plan = fmt_plan(CATALOG["udtf_chunk_windows"].spark(spark, SMOKE_SF_DIR))
     assert "PythonUDTF" in plan, plan
+
+
+def test_tfidf_pairs_stage_materializes_once(spark):
+    """tfidf_cosine_pairs' weighted posting frame feeds the norm
+    aggregate and BOTH pair-join sides; the term frame feeds df counts
+    and the weighting join — each must come from cache (>=2
+    InMemoryTableScan), not a replayed tokenize/shuffle."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(CATALOG["tfidf_cosine_pairs"].spark(spark, SMOKE_SF_DIR))
+        n = plan.count("InMemoryTableScan")
+        assert n >= 3, f"tfidf pair stage: {n} InMemoryTableScan — cache dropped?"
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
