@@ -4588,6 +4588,10 @@ from .round5_pq import SPECS as _ROUND5_PQ_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_PQ_SPECS)
 
+from .round5_gov import SPECS as _ROUND5_GOV_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_GOV_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -373,3 +373,11 @@ def test_tfidf_pairs_stage_materializes_once(spark):
     finally:
         release_tracked_caches()
         spark.catalog.clearCache()
+
+
+def test_smj_hint_forces_sort_merge_join(plan_of):
+    """hint('merge') must override the optimizer's broadcast choice —
+    the plan the query exists to pin (TB-sized dimension regime)."""
+    plan = plan_of("smj_hint_rollup")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
