@@ -4592,6 +4592,10 @@ from .round5_gov import SPECS as _ROUND5_GOV_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_GOV_SPECS)
 
+from .round5_train import SPECS as _ROUND5_TRAIN_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_TRAIN_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

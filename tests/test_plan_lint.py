@@ -112,6 +112,9 @@ BNLJ_ALLOWED = {
     # bounded-horizon lag range-join over the per-DAY frame (rows =
     # days, not events; both sides broadcastable at any corpus size)
     "ewma_daily_value",
+    # 1-row weight-vector broadcast carried from step 1's aggregate
+    # onto the step-2 scan (full-batch GD weight carry)
+    "lr_gd_steps_exact",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
