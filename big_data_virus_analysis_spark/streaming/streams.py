@@ -380,3 +380,55 @@ def flag_incremental_dups(
             F.coalesce(F.col("_in_corpus"), F.lit(False)).alias("exact_dup"),
         )
     )
+
+
+def views_with_click_outcome(
+    events: DataFrame,
+    horizon_minutes: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view, with the
+    click that followed it within ``horizon_minutes`` — or NULLs if
+    none ever will.
+
+    The outer side is what distinguishes this from
+    :func:`clicks_after_views`: an unmatched view can only be emitted
+    once the watermark proves no future click can match
+    (click_ts <= view_ts + horizon and watermark has passed that
+    bound), so NULL rows trail the data by watermark + horizon.  That
+    is the state-EVICTION contract: join state for a view is dropped —
+    and the null row released — at exactly the moment the time bound
+    closes, keeping state O(events within horizon) instead of the full
+    history.  Same plan runs batch for the oracle comparison (the
+    batch twin emits every unmatched view immediately).
+
+    Output: ``(user_id, view_id, click_id?, gap_s?)``.
+    """
+    v = _with_watermark(events.where(F.col("event_type") == "view"), watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = _with_watermark(events.where(F.col("event_type") == "click"), watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"""v_user = c_user
+                AND click_ts > view_ts
+                AND click_ts <= view_ts + interval {horizon_minutes} minutes"""
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        ((F.unix_micros("click_ts") - F.unix_micros("view_ts")) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("gap_s"),
+        F.col("view_ts"),
+    )

@@ -598,3 +598,67 @@ def test_tws_restart_carries_named_state(spark, tmp_path):
     assert totals[1] == (3, 25.0)
     assert totals[2] == (3, 25.0)
     assert totals[3] == (1, 5.0)
+
+
+def test_stream_stream_left_outer_matches_batch(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: matched rows must equal
+    the batch twin, and every unmatched view must be RELEASED with
+    NULLs once the watermark proves no click can arrive — the state-
+    eviction contract.
+
+    Outer-side rows are only flushed by a LATER trigger's watermark, so
+    the landing dir ends with a far-future filler batch (one view + one
+    click a day past the data, each advancing its side's post-filter
+    watermark) that pushes the final watermark past every real view;
+    the filler view itself stays in state and is excluded by ts."""
+    import glob as _glob
+
+    from big_data_virus_analysis_spark.streaming.streams import (
+        views_with_click_outcome,
+    )
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    landing = tmp_path / "outer_landing"
+    (
+        batch.orderBy("ts")
+        .repartitionByRange(3, "ts")
+        .write.mode("append")
+        .parquet(str(landing))
+    )
+    max_us = batch.agg(F.max(F.unix_micros("ts"))).first()[0]
+    filler_ts = F.timestamp_micros(F.lit(max_us + 86_400_000_000))
+    filler = spark.createDataFrame(
+        [(10_000_001, 1, "view", 0.0, "{}"), (10_000_002, 1, "click", 0.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).select("event_id", filler_ts.alias("ts"), "user_id", "event_type", "value", "props")
+    # range files first IN RANGE ORDER (part-number order == ts order
+    # for repartitionByRange; parallel write mtimes are arbitrary),
+    # the filler file strictly last
+    range_files = sorted(_glob.glob(str(landing / "part-*")))
+    filler.coalesce(1).write.mode("append").parquet(str(landing))
+    filler_files = [
+        f for f in _glob.glob(str(landing / "part-*")) if f not in set(range_files)
+    ]
+    base = time.time()
+    for i, f in enumerate(range_files + filler_files):
+        os.utime(f, (base + i, base + i))
+
+    stream = read_events_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_stream(
+        spark, views_with_click_outcome(stream), "append", tmp_path
+    )
+    want = views_with_click_outcome(batch)
+    cols = ["user_id", "view_id", "click_id", "gap_s"]
+
+    def canon(df):
+        return sorted(
+            tuple(r)
+            for r in df.where(F.unix_micros("view_ts") <= max_us)
+            .select(*cols)
+            .collect()
+        )
+
+    got_rows, want_rows = canon(got), canon(want)
+    assert got_rows == want_rows
+    # the outer side actually fired: some views have no click
+    assert any(r[2] is None for r in want_rows)
