@@ -4596,6 +4596,10 @@ from .round5_train import SPECS as _ROUND5_TRAIN_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_TRAIN_SPECS)
 
+from .round5_cdc import SPECS as _ROUND5_CDC_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_CDC_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
