@@ -4600,6 +4600,10 @@ from .round5_cdc import SPECS as _ROUND5_CDC_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_CDC_SPECS)
 
+from .round5_ml3 import SPECS as _ROUND5_ML3_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_ML3_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

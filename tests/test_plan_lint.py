@@ -115,6 +115,10 @@ BNLJ_ALLOWED = {
     # 1-row weight-vector broadcast carried from step 1's aggregate
     # onto the step-2 scan (full-batch GD weight carry)
     "lr_gd_steps_exact",
+    # 1-row min/width bounds broadcast crossed onto the scan
+    # (equi-width histogram staging, like equidepth_price_histogram)
+    "decision_stump_gain_curve",
+    "calibration_bins_fixed",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
