@@ -4604,6 +4604,10 @@ from .round5_ml3 import SPECS as _ROUND5_ML3_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_ML3_SPECS)
 
+from .round5_layout import SPECS as _ROUND5_LAYOUT_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_LAYOUT_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

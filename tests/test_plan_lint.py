@@ -119,6 +119,11 @@ BNLJ_ALLOWED = {
     # (equi-width histogram staging, like equidepth_price_histogram)
     "decision_stump_gain_curve",
     "calibration_bins_fixed",
+    # 1-row band-bounds broadcast crossed onto the scan (Z-order banding)
+    "zorder_locality_buckets",
+    # 1-row global-bounds / 1-row bit-set-count broadcasts (layout audits)
+    "clustering_depth_by_column",
+    "bloom_semi_join_audit",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
