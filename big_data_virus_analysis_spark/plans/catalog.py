@@ -4608,6 +4608,10 @@ from .round5_layout import SPECS as _ROUND5_LAYOUT_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_LAYOUT_SPECS)
 
+from .round5_ts3 import SPECS as _ROUND5_TS3_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_TS3_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -124,6 +124,8 @@ BNLJ_ALLOWED = {
     # 1-row global-bounds / 1-row bit-set-count broadcasts (layout audits)
     "clustering_depth_by_column",
     "bloom_semi_join_audit",
+    # 5-row priority scaffold broadcast crossed onto the QI-group frame
+    "t_closeness_audit",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
