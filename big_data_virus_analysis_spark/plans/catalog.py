@@ -4612,6 +4612,10 @@ from .round5_ts3 import SPECS as _ROUND5_TS3_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_TS3_SPECS)
 
+from .round5_feat import SPECS as _ROUND5_FEAT_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_FEAT_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
