@@ -4616,6 +4616,10 @@ from .round5_feat import SPECS as _ROUND5_FEAT_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_FEAT_SPECS)
 
+from .round5_stats2 import SPECS as _ROUND5_STATS2_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_STATS2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
