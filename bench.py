@@ -96,6 +96,11 @@ HEADLINE = [
     # PQ-ADC code search)
     "tfidf_cosine_pairs",
     "pq_adc_topk_fixed",
+    # round-5 layout/ML/stats additions (double global-rank zone audit,
+    # one-plan NB train+score, prefix-sum rank test over a join)
+    "zone_map_pruning_audit",
+    "nb_gaussian_confusion",
+    "mann_whitney_u_test",
 ]
 
 

@@ -4620,6 +4620,10 @@ from .round5_stats2 import SPECS as _ROUND5_STATS2_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_STATS2_SPECS)
 
+from .round5_contain import SPECS as _ROUND5_CONTAIN_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_CONTAIN_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

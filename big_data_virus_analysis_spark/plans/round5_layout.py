@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vectors import zorder_value
 from ..operators.prefix_sum import global_row_number
 from ..sources.tables import load_table
 from .catalog import QuerySpec
@@ -79,14 +80,9 @@ def _banded_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(o_custkey - mn_ck) * {1 << _BITS} div rng_ck").alias("ck_band"),
         F.expr(f"(day - mn_dt) * {1 << _BITS} div rng_dt").alias("dt_band"),
     )
-    z = F.lit(0).cast("bigint")
-    for i in range(_BITS):
-        z = (
-            z
-            + F.shiftleft(F.shiftright("ck_band", i).bitwiseAND(F.lit(1)), 2 * i)
-            + F.shiftleft(F.shiftright("dt_band", i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return b.withColumn("z", z)
+    return b.withColumn(
+        "z", zorder_value(F.col("ck_band"), F.col("dt_band"), bits=_BITS)
+    )
 
 
 _SQL_BANDED = f"""
