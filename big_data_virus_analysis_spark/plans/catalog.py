@@ -4624,6 +4624,10 @@ from .round5_contain import SPECS as _ROUND5_CONTAIN_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_CONTAIN_SPECS)
 
+from .round5_ivm import SPECS as _ROUND5_IVM_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_IVM_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
