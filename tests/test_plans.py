@@ -381,3 +381,55 @@ def test_smj_hint_forces_sort_merge_join(plan_of):
     plan = plan_of("smj_hint_rollup")
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_bloom_prefilter_probe_is_broadcast_hash_join(plan_of):
+    """The Bloom bit-set is the broadcast side of the probe join — the
+    whole point of the prefilter is that the big (probe) side is never
+    shuffled, and membership never degenerates to a nested loop."""
+    plan = plan_of("bloom_semi_join_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_nb_stats_join_broadcasts(plan_of):
+    """Gaussian-NB scoring joins the (classes x dims) stats frame onto
+    the test elements via broadcast, with map-side partial aggregation
+    on the per-(vec, class) log-likelihood sum."""
+    plan = plan_of("nb_gaussian_confusion")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_containment_gram_index_materializes_once(spark):
+    """containment_pairs reads its cached shingle index from BOTH sides
+    of the inverted-index self-join (the dedup-family materialize-once
+    contract) instead of replaying tokenize+explode per branch."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(CATALOG["containment_pairs"].spark(spark, SMOKE_SF_DIR))
+        n = plan.count("InMemoryTableScan")
+        assert n >= 2, f"containment gram index: {n} InMemoryTableScan"
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
+
+
+def test_ivm_partition_filters_reach_scan(plan_of):
+    """IVM's base/delta split must prune at the parquet scan on BOTH
+    branches — at 100 TB this filter IS the optimization (the base
+    partition is the one you refuse to rescan)."""
+    plan = plan_of("ivm_merge_rollup")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_mann_whitney_keeps_partial_aggregation(plan_of):
+    """The rank test's distinct-value aggregation keeps map-side
+    partials; ranks then live on the (distinct values)-sized frame via
+    the two-phase prefix sum — corpus-sized data shuffles once."""
+    plan = plan_of("mann_whitney_u_test")
+    assert "partial_" in plan
