@@ -4628,6 +4628,10 @@ from .round5_ivm import SPECS as _ROUND5_IVM_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_IVM_SPECS)
 
+from .round5_sketch2 import SPECS as _ROUND5_SKETCH2_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_SKETCH2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

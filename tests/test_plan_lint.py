@@ -126,6 +126,9 @@ BNLJ_ALLOWED = {
     "bloom_semi_join_audit",
     # 5-row priority scaffold broadcast crossed onto the QI-group frame
     "t_closeness_audit",
+    # 1-row sketch/exact scalar frames crossed into the single summary
+    # row (estimate-vs-truth audit, like corpus_minhash_jaccard)
+    "theta_bottomk_set_ops",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
