@@ -499,6 +499,97 @@ FROM beta
 """
 
 
+# --------------------------------------------------------------------------
+# pca_power_iteration_exact
+# --------------------------------------------------------------------------
+
+
+def _q_pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps toward the top principal component,
+    computed RELATIONALLY against the DECIMAL-exact covariance cells
+    (ml/pca.py — the RowMatrix recipe): v_{t+1} = normalize(C·v_t) with
+    v_0 = 1/√d.  Each matvec is a d²-row join-aggregate; every staged
+    vector is rounded to 6 so both engines iterate on identical state.
+    This pins the iteration body of the driver-side eigensolve the same
+    way kmeans_lloyd_step pins Lloyd's — the honest oracle for
+    iterative linear algebra.  ``lambda_est`` = ‖C·v_1‖ (the Rayleigh
+    estimate for a normalized v_1)."""
+    from ..ml.pca import covariance_cells
+    from ..operators.caching import tracked_cache
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ut = covariance_cells(emb)
+    full = (
+        ut.unionByName(
+            ut.where(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+            )
+        )
+        # d² rows; cached so the corpus-sized covariance pass runs ONCE
+        # across both iterations
+        .transform(tracked_cache)
+    )
+    v = full.select(F.col("i").alias("pos")).distinct().select(
+        "pos", F.lit(1.0 / 8.0).alias("v")  # 1/sqrt(64), exact binary
+    )
+    lam = None
+    for _ in range(2):
+        w = (
+            full.join(F.broadcast(v), full.j == v.pos)
+            .groupBy(full.i)
+            .agg(F.round(F.sum(F.col("cov") * F.col("v")), 12).alias("w"))
+            .select(F.col("i").alias("pos"), "w")
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        lam = nrm
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "pos", F.round(F.col("w") / F.col("nrm"), 6).alias("v")
+        )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("pos").cast("int").alias("i"),
+        F.col("v").alias("v2"),
+        F.round("nrm", 6).alias("lambda_est"),
+    )
+
+
+_SQL_PCA_POWER_ITERATION_EXACT = f"""
+WITH cov_ut AS (
+  SELECT * FROM ({{cov}})
+), full_m AS (
+  SELECT i, j, cov FROM cov_ut
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cov_ut WHERE i < j
+), v0 AS (
+  SELECT DISTINCT i AS pos, 0.125 AS v FROM full_m
+), w1 AS (
+  SELECT m.i AS pos, round(sum(m.cov * v0.v), 12) AS w
+  FROM full_m m JOIN v0 ON m.j = v0.pos GROUP BY m.i
+), n1 AS (
+  SELECT sqrt(sum(w * w)) AS nrm FROM w1
+), v1 AS (
+  SELECT pos, round(w / nrm, 6) AS v FROM w1 CROSS JOIN n1
+), w2 AS (
+  SELECT m.i AS pos, round(sum(m.cov * v1.v), 12) AS w
+  FROM full_m m JOIN v1 ON m.j = v1.pos GROUP BY m.i
+), n2 AS (
+  SELECT sqrt(sum(w * w)) AS nrm FROM w2
+)
+SELECT CAST(w2.pos AS INT) AS i, round(w2.w / n2.nrm, 6) AS v2,
+       round(n2.nrm, 6) AS lambda_est
+FROM w2 CROSS JOIN n2
+"""
+
+
+def _pca_power_sql() -> str:
+    # late import: catalog defines the covariance oracle ABOVE its
+    # pack-registration block, so the constant exists when packs load
+    from .catalog import _SQL_EMBEDDING_COVARIANCE_CELLS
+
+    return _SQL_PCA_POWER_ITERATION_EXACT.format(
+        cov=_SQL_EMBEDDING_COVARIANCE_CELLS
+    )
+
+
 SPECS: dict[str, QuerySpec] = {
     "nb_gaussian_confusion": QuerySpec(
         _q_nb_gaussian_confusion,
@@ -531,5 +622,12 @@ SPECS: dict[str, QuerySpec] = {
         _SQL_RIDGE_CLOSED_FORM_BY_FLAG,
         "per-group ridge regression (2 features, λ=1) solved closed-form "
         "from exact DECIMAL moments via Cramer's rule",
+    ),
+    "pca_power_iteration_exact": QuerySpec(
+        _q_pca_power_iteration_exact,
+        _pca_power_sql(),
+        "two relational power-iteration steps toward the top principal "
+        "component over the DECIMAL-exact covariance cells — pins the "
+        "eigensolve's iteration body (cf. kmeans_lloyd_step)",
     ),
 }

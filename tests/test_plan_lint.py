@@ -129,6 +129,9 @@ BNLJ_ALLOWED = {
     # 1-row sketch/exact scalar frames crossed into the single summary
     # row (estimate-vs-truth audit, like corpus_minhash_jaccard)
     "theta_bottomk_set_ops",
+    # 1-row norm scalar broadcast onto the d-row vector (power-iteration
+    # normalization; d = embedding dim, broadcastable at any corpus size)
+    "pca_power_iteration_exact",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
