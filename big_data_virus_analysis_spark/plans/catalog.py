@@ -4632,6 +4632,10 @@ from .round5_sketch2 import SPECS as _ROUND5_SKETCH2_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_SKETCH2_SPECS)
 
+from .round5_text3 import SPECS as _ROUND5_TEXT3_SPECS  # noqa: E402
+
+_register_pack(_ROUND5_TEXT3_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

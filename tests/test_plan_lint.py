@@ -132,6 +132,11 @@ BNLJ_ALLOWED = {
     # 1-row norm scalar broadcast onto the d-row vector (power-iteration
     # normalization; d = embedding dim, broadcastable at any corpus size)
     "pca_power_iteration_exact",
+    # 1-row corpus-doc-count broadcast onto the 20-term frame (VMR
+    # zeros-included denominator)
+    "burstiness_top_terms",
+    # 1-row x 1-row entropy scalars crossed into the single summary row
+    "event_entropy_rate",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
