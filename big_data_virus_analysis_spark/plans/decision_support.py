@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.caching import tracked_cache
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 
@@ -405,19 +406,22 @@ ORDER BY custdist DESC, c_count DESC
 def _q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) whose quarterly shipment revenue
     equals the maximum.  The scalar subquery `WHERE revenue = (SELECT
-    max…)` decorrelates to ONE window max over the aggregated (small)
-    revenue table — the base fact is scanned and shuffled exactly once.
-    Comparison happens on the exact DECIMAL sum, not the rounded
-    double, so ties are bit-exact on both engines."""
+    max…)` becomes a 1-row max aggregate broadcast back onto the
+    aggregated revenue table (NOT a whole-frame window: the per-supplier
+    frame grows with the supplier dimension, and an unpartitioned
+    window would single-task it) — the base fact is scanned and
+    shuffled exactly once.  Comparison happens on the exact DECIMAL
+    sum, not the rounded double, so ties are bit-exact on both
+    engines."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    rev = (
+    rev = tracked_cache(
         li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev"))
     )
-    w = Window.orderBy(F.lit(1))
-    top = rev.withColumn("max_rev", F.max("total_rev").over(w)).where(
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
         F.col("total_rev") == F.col("max_rev")
     )
     return (

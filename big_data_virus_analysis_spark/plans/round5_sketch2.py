@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.caching import tracked_cache
+from ..operators.prefix_sum import global_row_number
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 
@@ -177,20 +179,26 @@ _SKEW_FACTOR = 1.2
 def _q_skew_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    kw = Window.partitionBy().orderBy("n", "l_partkey")
-    tot = Window.partitionBy()
+    counts = tracked_cache(counts)  # consumed twice: median probe + filter
+    # Lower-median of the per-key counts via the two-phase global rank
+    # (range shuffle + P-row driver exchange) — the per-key-count frame
+    # grows with key cardinality (~2B keys at 100 TB TPC-H), so no
+    # single-partition window may ever see it.  The rank/count pair
+    # locates the (n_keys+1)//2-th value; that 1-row frame broadcasts
+    # back onto the counts.
+    ranked = global_row_number(
+        counts,
+        [F.asc("n"), F.asc("l_partkey")],
+        out_col="rn",
+        n_col="n_keys",
+    )
     med = (
-        counts.withColumn("rn", F.row_number().over(kw))
-        .withColumn("n_keys", F.count(F.lit(1)).over(tot))
-        .withColumn(
-            "median_n",
-            F.max(
-                F.when(F.col("rn") == F.expr("(n_keys + 1) div 2"), F.col("n"))
-            ).over(tot),
-        )
+        ranked.where(F.col("rn") == F.expr("(n_keys + 1) div 2"))
+        .select(F.col("n").alias("median_n"))
     )
     return (
-        med.where(F.col("n") > _SKEW_FACTOR * F.col("median_n"))
+        counts.crossJoin(F.broadcast(med))  # 1-row broadcast
+        .where(F.col("n") > _SKEW_FACTOR * F.col("median_n"))
         .select(
             "l_partkey",
             "n",

@@ -119,10 +119,11 @@ def _q_burstiness_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("s1"),
         F.sum(F.col("c") * F.col("c")).alias("s2"),
     )
-    w = Window.partitionBy().orderBy(F.desc("df"), F.asc("tok"))
-    top = term.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= _BURST_TOP
-    )
+    # Top-N over the vocabulary-sized term frame via orderBy+limit:
+    # Catalyst plans this as TakeOrderedAndProject (per-partition local
+    # top-N, then a N-row merge on one reducer) — never a global sort of
+    # the whole vocabulary through a single-partition window.
+    top = term.orderBy(F.desc("df"), F.asc("tok")).limit(_BURST_TOP)
     # zeros included: mean/var against the full corpus doc count
     out = top.crossJoin(F.broadcast(n_docs))
     mean = F.col("s1").cast("double") / F.col("n_docs")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.caching import tracked_cache
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 
@@ -153,20 +154,21 @@ def _q_doc_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap analogue of perplexity filtering (high mean surprisal ⇒
     rare-token gibberish, very low ⇒ boilerplate).  One DAG, no driver
     actions: corpus frequencies aggregate to a vocabulary-sized frame,
-    the corpus total is a whole-frame window over THAT tiny frame (so
-    per-token surprisal is precomputed vocab-side), and the scored
-    vocabulary broadcast-joins back onto the token explode.  At 100 TB
-    the frequency table is vocabulary-sized (≪ corpus), still a
+    the corpus total is a 1-row aggregate of that frame broadcast back
+    onto it (NOT a whole-frame window: the vocabulary keeps growing
+    with data — ids, typos — and an unpartitioned window would funnel
+    every type through one task), and the scored vocabulary
+    broadcast-joins back onto the token explode.  At 100 TB the
+    frequency table is vocabulary-sized (≪ corpus), still a
     broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).where(F.length("tok") > 0)
-    wall = Window.orderBy(F.lit(1))
-    freqs = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("surprisal", -F.log2(F.col("tf") / F.sum("tf").over(wall)))
+    tf = tracked_cache(toks.groupBy("tok").agg(F.count("*").alias("tf")))
+    total = tf.agg(F.sum("tf").alias("_tot"))
+    freqs = tf.crossJoin(F.broadcast(total)).withColumn(
+        "surprisal", -F.log2(F.col("tf") / F.col("_tot"))
     )
     return (
         toks.join(F.broadcast(freqs.select("tok", "surprisal")), "tok")

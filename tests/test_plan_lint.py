@@ -1,7 +1,7 @@
 """Catalog-wide physical-plan lint.
 
 Every query in the catalog is compiled and its physical plan checked for
-the two shapes that do not survive scale:
+the three shapes that do not survive scale:
 
 * ``CartesianProduct`` — never allowed, for any query.
 * ``BroadcastNestedLoopJoin`` — allowed ONLY where the build side is a
@@ -10,6 +10,15 @@ the two shapes that do not survive scale:
   documented brute-force baseline next to an LSH/IVF scale path.  The
   allowlist is explicit so any NEW query that accidentally plans a
   nested loop fails here.
+* unpartitioned ``Window`` over a frame that is not provably bounded —
+  a ``Window.partitionBy().orderBy(...)`` (or whole-frame aggregate
+  window) single-tasks its entire input.  Windows whose input chain
+  passes through a ``GlobalLimit`` / ``TakeOrderedAndProject`` /
+  ``WindowGroupLimit`` are auto-recognized as bounded (≤k rows reach
+  the single partition — the repo's limit-then-rank discipline); every
+  other global window must be enumerated in ``GLOBAL_WINDOW_ALLOWED``
+  with its bounded-frame justification.  Detection:
+  big_data_virus_analysis_spark/plans/plan_lint.py.
 """
 
 from __future__ import annotations
@@ -17,6 +26,7 @@ from __future__ import annotations
 import pytest
 
 from big_data_virus_analysis_spark.plans.catalog import CATALOG
+from big_data_virus_analysis_spark.plans.plan_lint import global_window_findings
 
 from conftest import SMOKE_SF_DIR
 from test_plans import fmt_plan
@@ -137,6 +147,44 @@ BNLJ_ALLOWED = {
     "burstiness_top_terms",
     # 1-row x 1-row entropy scalars crossed into the single summary row
     "event_entropy_rate",
+    # 1-row lower-median broadcast onto the per-key counts (two-phase
+    # order-statistics median, no global window)
+    "skew_split_plan",
+    # 1-row max-revenue broadcast onto the per-supplier aggregate
+    "top_revenue_suppliers",
+    # 1-row corpus-token-total broadcast onto the vocabulary frame
+    "doc_token_surprisal",
+}
+
+#: queries whose unpartitioned Window is over a frame bounded by the
+#: DATA MODEL, not by an in-plan limit (those are auto-recognized) —
+#: each entry names the bounded frame so the next reviewer can re-vet
+GLOBAL_WINDOW_ALLOWED = {
+    # 9-row leading-digit frame (Benford marginals)
+    "benford_order_totals",
+    # |priorities| x |segments| contingency marginals (~25 rows)
+    "chisq_priority_segment",
+    # |languages|-row per-class count frame
+    "class_balance_plan",
+    # calendar-bounded per-DAY frame (days, not events)
+    "cusum_changepoint_daily",
+    "month_over_month_revenue",
+    # fixed equi-width histogram bucket frames (20-32 rows)
+    "decision_stump_gain_curve",
+    "ks_price_periods_grid",
+    "psi_price_drift",
+    # |event_type| marginals (5 rows) / 5x5 transition marginals
+    "event_entropy_rate",
+    "markov_two_step_dist",
+    # 10-row decile frame
+    "gains_by_score_decile",
+    # 25-nation / 5-region rollup frames
+    "revenue_share_by_nation",
+    "share_of_parent",
+    # |labels|-row per-class Gaussian stats frame
+    "nb_gaussian_confusion",
+    # 5-row order-priority distribution frame (t-closeness reference)
+    "t_closeness_audit",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
@@ -153,3 +201,9 @@ def test_no_unplanned_nested_loops(spark, name):
         assert (
             "BroadcastNestedLoopJoin" not in plan
         ), f"{name} plans an unallowlisted nested-loop join"
+    if name not in GLOBAL_WINDOW_ALLOWED:
+        findings = global_window_findings(plan)
+        assert not findings, (
+            f"{name} plans an unpartitioned window over an unbounded "
+            f"frame (single-task global sort at scale): {findings}"
+        )
