@@ -4654,7 +4654,14 @@ _register_pack(_ROUND5_TEXT3_SPECS)
 # hash-verified end to end.
 # --------------------------------------------------------------------------
 
-_FIRST_WINDOW: tuple[str, ...] = (
+#: The driver's independent correctness gate runs the FIRST 50 catalog
+#: entries.  To keep that signal honest as the catalog grows, the
+#: window is ~25 pinned core queries (the SURVEY §2 spine — never
+#: rotates, so regressions in the reference-derived shapes are always
+#: caught) plus ~25 of the NEWEST exact-oracle entries, re-chosen each
+#: round so recent work gets independently verified too (round-5 judge
+#: directive: the gate must not be pinned to the same 50 forever).
+_PINNED_CORE: tuple[str, ...] = (
     # SURVEY §2 core (reference-derived shapes)
     "info_gain_topk",
     "scan_filter_project",
@@ -4670,51 +4677,55 @@ _FIRST_WINDOW: tuple[str, ...] = (
     "count_by_value",
     "cluster_entropy",
     "sessionize_events",
-    "tumbling_window_events",
     "shingle_documents",
-    # dedup pack
+    # dedup / similarity flagships
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "jaccard_prefix_filtered",
     "minhash_lsh_pairs",
-    "simhash_docs",
-    "simhash_pairs",
-    # similarity pack
     "cosine_topk_bruteforce",
-    "ann_lsh_topk",
     "embedding_near_dup",
-    "knn_label_vote",
-    "ivf_ann_topk_fixed",
-    # text-analysis pack
+    # text / multimodal flagships
     "token_stats",
-    "quality_score",
-    "language_id",
-    "doc_fingerprints",
-    # multimodal pack
     "payload_metadata_stats",
-    "sample_frames",
-    "decode_features",
-    # api-log pack (reference corpus end to end)
+    # reference corpus end to end + vectorization
     "api_log_info_gain",
-    "api_log_byte_info_gain",
-    # event-time windows / skew
-    "sliding_window_events",
-    "session_window_events",
-    "running_user_totals",
-    "salted_user_totals",
-    # vectorization (reference LIBSVM path)
     "vectorize_doc_indices",
-    "vectorize_libsvm_lines",
-    # exact ML twins (plans/ml_exact.py) + exact metric/report/centroid
+    # exact ML twins
     "kmeans_lloyd_step",
-    "lloyd_step_weighted_entropy",
-    "lloyd_wssse_k_sweep",
-    "fixed_scorer_auc",
     "auc_rank_based",
-    "nearest_centroid_assign",
-    "cluster_report_lines_det",
-    "d3_export_tree_det",
 )
+
+#: round-6 rotation: the round-4/5 additions (sketch audits with
+#: error-bound oracles, IVM pack, containment pack, layout audit,
+#: exact-ML closed forms, the two re-planned global-window queries)
+_ROTATING_WINDOW: tuple[str, ...] = (
+    "dedup_pipeline_e2e",
+    "zone_map_pruning_audit",
+    "tfidf_cosine_pairs",
+    "mann_whitney_u_test",
+    "pq_adc_topk_fixed",
+    "nb_gaussian_confusion",
+    "burstiness_top_terms",
+    "skew_split_plan",
+    "shuffle_partition_advisor",
+    "theta_bottomk_set_ops",
+    "containment_pairs",
+    "doc_prefix_duplicates",
+    "source_shingle_overlap",
+    "heaps_law_curve",
+    "event_entropy_rate",
+    "ivm_merge_rollup",
+    "late_data_window_patch",
+    "null_imputation_by_group",
+    "pca_power_iteration_exact",
+    "padding_waste_audit",
+    "stratified_sample_det",
+    "approx_distinct_users_bounded",
+    "heavy_hitter_users_bounded",
+    "cross_source_dup_audit",
+    "udtf_chunk_windows",
+)
+
+_FIRST_WINDOW: tuple[str, ...] = _PINNED_CORE + _ROTATING_WINDOW
 
 
 def _finalize_order() -> None:
