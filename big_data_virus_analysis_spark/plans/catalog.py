@@ -4636,6 +4636,10 @@ from .round5_text3 import SPECS as _ROUND5_TEXT3_SPECS  # noqa: E402
 
 _register_pack(_ROUND5_TEXT3_SPECS)
 
+from .round6_suffix import SPECS as _ROUND6_SUFFIX_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_SUFFIX_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
