@@ -4640,6 +4640,10 @@ from .round6_suffix import SPECS as _ROUND6_SUFFIX_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_SUFFIX_SPECS)
 
+from .round6_planner import SPECS as _ROUND6_PLANNER_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_PLANNER_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

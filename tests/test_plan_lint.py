@@ -154,6 +154,8 @@ BNLJ_ALLOWED = {
     "top_revenue_suppliers",
     # 1-row corpus-token-total broadcast onto the vocabulary frame
     "doc_token_surprisal",
+    # 1-row x 1-row per-table stats crosses (six of them, unioned)
+    "join_strategy_advisor",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
