@@ -374,24 +374,32 @@ def _q_heavy_hitter_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     fully deterministic (both engines compute it); the sketch list is
     engine-specific, so only the containment boolean is emitted.
 
-    Support is 1.25/|users| (``freqItems`` needs a driver-side float,
-    so |users| and |events| come from one tiny aggregate — bounded
-    work, same at any corpus size; sketch state is |users|/1.25
-    counters, mergeable across partitions)."""
+    Support is 1.25/|users|.  EAGER-BUILD CAVEAT (documented contract):
+    ``freqItems`` takes a driver-side Python float, so building this
+    plan runs ONE 1-row aggregate job for |users| — the only eager
+    action; bounded work at any corpus size (sketch state is
+    |users|/1.25 counters, mergeable across partitions).  The exact
+    side's threshold stays fully relational: the same 1-row aggregate
+    is broadcast back onto the per-user counts, so the lazy part of
+    the plan is self-contained."""
     ev = load_table(spark, sf_dir, "events")
-    n_users, n_total = (
-        ev.agg(
-            F.count_distinct("user_id").alias("u"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]
+    stats = ev.agg(
+        F.count_distinct("user_id").alias("u"), F.count(F.lit(1)).alias("n")
     )
+    # the one unavoidable eager action: freqItems needs a float support
+    n_users = stats.collect()[0]["u"]
     support = _HH_SUPPORT_X_MEAN / float(n_users)
     sketch = ev.stat.freqItems(["user_id"], support=support)
     exact_heavy = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(stats))  # relational threshold, 1-row
         .where(
-            F.col("n_events").cast("double") > F.lit(support * float(n_total))
+            F.col("n_events").cast("double")
+            > F.lit(_HH_SUPPORT_X_MEAN) / F.col("u").cast("double")
+            * F.col("n").cast("double")
         )
+        .drop("u", "n")
     )
     return exact_heavy.crossJoin(F.broadcast(sketch)).select(
         "user_id",
@@ -519,7 +527,9 @@ def _build_specs() -> None:
                 _q_heavy_hitter_users_bounded,
                 _SQL_HEAVY_HITTER_USERS_BOUNDED,
                 "frequent-items sketch audited on no-false-negatives: every "
-                "exact heavy user must be contained in the sketch list",
+                "exact heavy user must be contained in the sketch list "
+                "(EAGER BUILD: freqItems needs a driver-side float support, "
+                "so compiling this entry runs one 1-row aggregate job)",
             ),
             "udtf_chunk_windows": QuerySpec(
                 _q_udtf_chunk_windows,

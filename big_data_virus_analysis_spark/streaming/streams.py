@@ -387,9 +387,12 @@ def views_with_click_outcome(
     horizon_minutes: int = 10,
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join: every view, with the
-    click that followed it within ``horizon_minutes`` — or NULLs if
-    none ever will.
+    """Stream-stream LEFT OUTER interval join: one row per
+    (view, click) pair where the click followed the view within
+    ``horizon_minutes`` — MULTI-MATCH semantics: a view followed by k
+    in-horizon clicks emits k rows (no earliest-click selection; add a
+    min-by-gap dedup downstream if one-row-per-view is needed) — or a
+    single row with NULL click columns if no click ever matches.
 
     The outer side is what distinguishes this from
     :func:`clicks_after_views`: an unmatched view can only be emitted
@@ -402,7 +405,9 @@ def views_with_click_outcome(
     history.  Same plan runs batch for the oracle comparison (the
     batch twin emits every unmatched view immediately).
 
-    Output: ``(user_id, view_id, click_id?, gap_s?)``.
+    Output: ``(user_id, view_id, click_id?, gap_s?, view_ts)`` —
+    ``view_ts`` rides along so downstream windowing/dedup can anchor
+    on the view's event time.
     """
     v = _with_watermark(events.where(F.col("event_type") == "view"), watermark).select(
         F.col("user_id").alias("v_user"),
