@@ -171,30 +171,50 @@ def main() -> None:
         "dedup_pipeline_e2e",
     }
     scaling: dict[str, dict[str, float]] = {}
+    scaling_spread: dict[str, dict[str, list[float]]] = {}
     exponents: dict[str, float] = {}
+    exponent_interval: dict[str, list[float]] = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         base = os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata"
         extra = [s for s in ("0.001", "0.01") if s != sf]
         for name in names:
             per = {sf: timings[name]}
+            per_spread = {sf: spread[name]}
             for s in extra:
                 d = os.path.join(base, f"sf{s}")
                 if not os.path.isdir(d):
                     continue
                 runs = [_run_once(spark, name, d) for _ in range(N_RUNS)]
                 per[s] = round(statistics.median(runs), 3)
+                per_spread[s] = [round(min(runs), 3), round(max(runs), 3)]
             if sf1_dir and name in sf1_family and os.path.isdir(sf1_dir):
                 runs = [_run_once(spark, name, sf1_dir) for _ in range(N_RUNS)]
                 per["1"] = round(statistics.median(runs), 3)
+                per_spread["1"] = [round(min(runs), 3), round(max(runs), 3)]
             scaling[name] = {k: per[k] for k in sorted(per, key=float)}
+            scaling_spread[name] = {
+                k: per_spread[k] for k in sorted(per_spread, key=float)
+            }
             sfs = sorted(per, key=float)
             if len(sfs) >= 2:
                 s1, s2 = sfs[-2], sfs[-1]
+                denom = math.log(float(s2) / float(s1))
                 if per[s1] > 0 and per[s2] > 0:
                     exponents[name] = round(
-                        math.log(per[s2] / per[s1]) / math.log(float(s2) / float(s1)),
-                        2,
+                        math.log(per[s2] / per[s1]) / denom, 2
                     )
+                    # r5 judge directive: one exponent number, WITH its
+                    # spread — the interval brackets the fit over the
+                    # run-to-run min/max at the two fitted SFs, so
+                    # round-over-round drift inside the interval is
+                    # noise, outside it is a finding
+                    lo1, hi1 = per_spread[s1]
+                    lo2, hi2 = per_spread[s2]
+                    if hi1 > 0 and lo2 > 0:
+                        exponent_interval[name] = [
+                            round(math.log(lo2 / hi1) / denom, 2),
+                            round(math.log(hi2 / lo1) / denom, 2),
+                        ]
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -203,8 +223,10 @@ def main() -> None:
         "n_runs": N_RUNS,
         "spread": spread,
         "scaling": scaling,
+        "scaling_spread": scaling_spread,
         "queries": timings,
         "scaling_exponent": exponents,
+        "exponent_interval": exponent_interval,
         "value": total,
         "sf": float(sf),
     }
@@ -231,6 +253,11 @@ def main() -> None:
         "n_queries": len(timings),
         "n_runs": N_RUNS,
         "worst_exponent": max(exponents.values()) if exponents else None,
+        "worst_exponent_interval": (
+            exponent_interval.get(max(exponents, key=exponents.get))
+            if exponents
+            else None
+        ),
         "queries": timings,
     }
     line = json.dumps(compact, separators=(",", ":"))
