@@ -4644,6 +4644,10 @@ from .round6_planner import SPECS as _ROUND6_PLANNER_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_PLANNER_SPECS)
 
+from .round6_ops import SPECS as _ROUND6_OPS_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_OPS_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -156,6 +156,8 @@ BNLJ_ALLOWED = {
     "doc_token_surprisal",
     # 1-row x 1-row per-table stats crosses (six of them, unioned)
     "join_strategy_advisor",
+    # 1-row node-count broadcast onto the degree frame (PageRank p0)
+    "pagerank_dup_graph_exact",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
