@@ -4648,6 +4648,10 @@ from .round6_ops import SPECS as _ROUND6_OPS_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_OPS_SPECS)
 
+from .round6_ml import SPECS as _ROUND6_ML_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_ML_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

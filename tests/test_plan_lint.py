@@ -158,6 +158,12 @@ BNLJ_ALLOWED = {
     "join_strategy_advisor",
     # 1-row node-count broadcast onto the degree frame (PageRank p0)
     "pagerank_dup_graph_exact",
+    # 1-row F0/stump/MSE scalar broadcasts (boosting step carry)
+    "gbdt_stump_steps_exact",
+    # 1-row x 1-row per-side stats + actual-count crosses (3 unioned)
+    "join_cardinality_audit",
+    # 1-row exact x 1-row median-estimate cross (sketch audit)
+    "ams_f2_moment_bounded",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
@@ -189,6 +195,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "nb_gaussian_confusion",
     # 5-row order-priority distribution frame (t-closeness reference)
     "t_closeness_audit",
+    # <=50-row quantity histogram (bounded domain) prefix sums
+    "gbdt_stump_steps_exact",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
