@@ -101,6 +101,10 @@ HEADLINE = [
     "zone_map_pruning_audit",
     "nb_gaussian_confusion",
     "mann_whitney_u_test",
+    # round-6 additions (ExactSubstr span dedup over the gram inverted
+    # index; PageRank iterations over the shingle-overlap graph)
+    "suffix_dedup_spans",
+    "pagerank_dup_graph_exact",
 ]
 
 

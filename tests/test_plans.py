@@ -473,3 +473,38 @@ def test_join_strategy_advisor_matches_catalyst(spark):
                 )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_suffix_dedup_spans_stays_partitioned(plan_of):
+    """The ExactSubstr span recovery must never global-sort: the gram
+    count is a partial-aggregated hash agg and the islands window is
+    PARTITIONED by doc (the catalog-wide global-window lint enforces
+    the absence of unpartitioned windows; this pins the partial agg)."""
+    plan = plan_of("suffix_dedup_spans")
+    assert "partial_" in plan
+
+
+def test_topk_queries_plan_take_ordered(plan_of):
+    """Every round-6 top-k ends in TakeOrderedAndProject (per-partition
+    partial top-k, k-row merge) — not a global sort."""
+    for name in ("weighted_sample_det", "suffix_lcp_topk"):
+        assert "TakeOrderedAndProject" in plan_of(name), name
+
+
+def test_pagerank_edges_materialize_once(spark):
+    """The symmetric edge list feeds the degree aggregate and BOTH
+    iterations; tracked_cache must make it materialize once (>=2
+    InMemoryTableScan consumers in the physical plan), or each
+    iteration replays the full inverted-index pair join."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(
+            CATALOG["pagerank_dup_graph_exact"].spark(spark, SMOKE_SF_DIR)
+        )
+        assert plan.count("InMemoryTableScan") >= 2
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
