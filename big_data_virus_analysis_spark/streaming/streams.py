@@ -437,3 +437,37 @@ def views_with_click_outcome(
         .alias("gap_s"),
         F.col("view_ts"),
     )
+
+
+def debounce_bursts(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming burst collapse — the stream twin of the catalog's
+    ``event_debounce``: consecutive same (user, type) events within
+    ``gap_seconds`` merge into one output row via ``session_window``
+    keyed on (user_id, event_type).
+
+    State is per (user, type, open burst) and the watermark closes and
+    evicts bursts once no in-horizon event can extend them — bounded
+    state at any stream rate.  Boundary semantics are session_window's
+    half-open ``[t, t+gap)`` (an event exactly ``gap`` later starts a
+    new burst), where the batch catalog query's islands test uses
+    ``next - prev > gap`` — identical except at exact-gap boundaries,
+    same caveat as :func:`session_window_agg` documents.
+
+    Output: ``(user_id, event_type, first_us, n_collapsed)``.
+    """
+    sw = F.session_window("ts", f"{gap_seconds} seconds")
+    return (
+        _with_watermark(events, watermark)
+        .groupBy(sw.alias("w"), "user_id", "event_type")
+        .agg(F.count("*").alias("n_collapsed"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("first_us"),
+            "n_collapsed",
+        )
+    )

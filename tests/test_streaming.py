@@ -711,3 +711,21 @@ def test_tws_gate_cannot_rot():
             "TWS tests are skipping without the documented "
             "requirements-optional.txt justification"
         )
+
+
+def test_streaming_debounce_matches_batch(spark, events_stream_dir, tmp_path):
+    """Stream-vs-batch parity for the burst-collapse operator (the
+    catalog's event_debounce as a stateful stream): same session-window
+    plan both modes, complete output equality, and conservation — the
+    collapsed rows must account for every input event exactly once."""
+    from big_data_virus_analysis_spark.streaming.streams import debounce_bursts
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, debounce_bursts(stream, watermark=None), "complete", tmp_path
+    )
+    want = debounce_bursts(batch, watermark=None)
+    cols = ["user_id", "event_type", "first_us", "n_collapsed"]
+    assert _canon(got, cols) == _canon(want, cols)
+    assert want.agg(F.sum("n_collapsed")).first()[0] == batch.count()
