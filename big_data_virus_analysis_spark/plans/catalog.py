@@ -4652,6 +4652,10 @@ from .round6_ml import SPECS as _ROUND6_ML_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_ML_SPECS)
 
+from .round6_more import SPECS as _ROUND6_MORE_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_MORE_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -164,6 +164,10 @@ BNLJ_ALLOWED = {
     "join_cardinality_audit",
     # 1-row exact x 1-row median-estimate cross (sketch audit)
     "ams_f2_moment_bounded",
+    # 1-row x 1-row plain/dict stats crosses (six unioned)
+    "encoding_advisor",
+    # 1-row full-mean x 1-row replica-CI cross
+    "subsample_ci_det",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
