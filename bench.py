@@ -102,9 +102,11 @@ HEADLINE = [
     "nb_gaussian_confusion",
     "mann_whitney_u_test",
     # round-6 additions (ExactSubstr span dedup over the gram inverted
-    # index; PageRank iterations over the shingle-overlap graph)
+    # index; PageRank iterations over the shingle-overlap graph; the
+    # composed curation canary)
     "suffix_dedup_spans",
     "pagerank_dup_graph_exact",
+    "corpus_curation_e2e",
 ]
 
 
