@@ -4714,10 +4714,25 @@ _PINNED_CORE: tuple[str, ...] = (
     "auc_rank_based",
 )
 
-#: round-6 rotation: the round-4/5 additions (sketch audits with
-#: error-bound oracles, IVM pack, containment pack, layout audit,
-#: exact-ML closed forms, the two re-planned global-window queries)
+#: round-6 rotation: the newest exact-oracle entries — the round-6
+#: packs (substring dedup, planner, ops, ML/audit, extras) plus the
+#: round-4/5 additions the judge has not yet seen driver-verified
+#: (sketch audits with error-bound oracles, IVM pack, containment
+#: pack, exact-ML closed forms, the two re-planned global-window
+#: queries)
 _ROTATING_WINDOW: tuple[str, ...] = (
+    # round 6
+    "suffix_dedup_spans",
+    "suffix_lcp_topk",
+    "join_strategy_advisor",
+    "pagerank_dup_graph_exact",
+    "entity_resolution_pairs",
+    "event_debounce",
+    "weighted_sample_det",
+    "gbdt_stump_steps_exact",
+    "kfold_auc_fixed_scorer",
+    "corpus_curation_e2e",
+    # rounds 4-5
     "dedup_pipeline_e2e",
     "zone_map_pruning_audit",
     "tfidf_cosine_pairs",
@@ -4726,23 +4741,13 @@ _ROTATING_WINDOW: tuple[str, ...] = (
     "nb_gaussian_confusion",
     "burstiness_top_terms",
     "skew_split_plan",
-    "shuffle_partition_advisor",
     "theta_bottomk_set_ops",
     "containment_pairs",
-    "doc_prefix_duplicates",
-    "source_shingle_overlap",
     "heaps_law_curve",
-    "event_entropy_rate",
     "ivm_merge_rollup",
-    "late_data_window_patch",
-    "null_imputation_by_group",
     "pca_power_iteration_exact",
-    "padding_waste_audit",
     "stratified_sample_det",
-    "approx_distinct_users_bounded",
     "heavy_hitter_users_bounded",
-    "cross_source_dup_audit",
-    "udtf_chunk_windows",
 )
 
 _FIRST_WINDOW: tuple[str, ...] = _PINNED_CORE + _ROTATING_WINDOW
