@@ -4656,6 +4656,10 @@ from .round6_more import SPECS as _ROUND6_MORE_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_MORE_SPECS)
 
+from .round6_ir import SPECS as _ROUND6_IR_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_IR_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -168,6 +168,8 @@ BNLJ_ALLOWED = {
     "encoding_advisor",
     # 1-row full-mean x 1-row replica-CI cross
     "subsample_ci_det",
+    # 1-row triangle x edge-count x node-count crosses
+    "triangle_count_dup_graph",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
