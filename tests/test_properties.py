@@ -109,3 +109,95 @@ def test_exact_auc_matches_bruteforce(spark, rows):
         len(pos) * len(neg)
     )
     assert got == pytest.approx(want, abs=1e-6)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@_prop
+def test_oriented_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-ordered wedge-join triangle counting == brute-force
+    enumeration on small random graphs (self-loops dropped, edges
+    deduped) — the orientation trick must not lose or double-count
+    triangles under hubs, ties, or duplicate input edges."""
+    uniq = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not uniq:
+        return
+    adj: dict[int, set[int]] = {}
+    for u, v in uniq:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = sum(
+        1
+        for u, v in uniq
+        for w in adj[u] & adj[v]
+        if w > v  # each triangle counted once: u < v < w
+    )
+
+    df = spark.createDataFrame(uniq, "u int, v int")
+    both = df.unionByName(df.selectExpr("v as u", "u as v"))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.selectExpr("u", "deg as du")
+    dv = deg.selectExpr("u as v", "deg as dv")
+    ranked = df.join(du, "u").join(dv, "v")
+    oriented = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("e")
+    ).select("e.s", "e.t")
+    a = oriented.selectExpr("s", "t as w1")
+    b = oriented.selectExpr("s", "t as w2")
+    wedges = a.join(b, "s").where(F.col("w1") < F.col("w2"))
+    closing = oriented.selectExpr("s as w1", "t as w2")
+    got = wedges.join(closing, ["w1", "w2"]).count()
+    assert got == want
+
+
+@given(
+    positions=st.lists(
+        st.integers(min_value=1, max_value=30), min_size=1, max_size=25
+    ),
+    span_l=st.integers(min_value=2, max_value=5),
+)
+@_prop
+def test_islands_merge_matches_bruteforce(spark, positions, span_l):
+    """Islands-and-gaps span merging (the suffix_dedup_spans core) ==
+    brute-force run detection: consecutive duplicated window positions
+    must merge into maximal [start, start+L-1 .. end] spans."""
+    pos = sorted(set(positions))
+    runs = []
+    start = prev = pos[0]
+    for p in pos[1:]:
+        if p == prev + 1:
+            prev = p
+            continue
+        runs.append((start, prev + span_l - 1, prev - start + 1))
+        start = prev = p
+    runs.append((start, prev + span_l - 1, prev - start + 1))
+    want = sorted(runs)
+
+    df = spark.createDataFrame([(p,) for p in pos], "pos int")
+    w = Window.partitionBy().orderBy("pos")  # single doc in this test
+    isl = df.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    got = sorted(
+        (r["s"], r["e"], r["nw"])
+        for r in isl.groupBy("grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + span_l - 1).alias("e"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+        .collect()
+    )
+    assert got == want
