@@ -471,3 +471,55 @@ def debounce_bursts(
             "n_collapsed",
         )
     )
+
+
+def view_click_full_outer(
+    events: DataFrame,
+    horizon_minutes: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the two-sided
+    completion of :func:`views_with_click_outcome`: matched
+    (view, click) pairs within the horizon, PLUS views no click ever
+    answered (NULL click columns) PLUS clicks no in-horizon view
+    preceded (NULL view columns).
+
+    Both sides' state obeys the same eviction contract: an unmatched
+    row on EITHER side is released exactly when the watermark proves
+    its time bound closed, so full-outer costs the same bounded state
+    as left-outer — the join type changes which evictions emit, not
+    how much state is held.  Multi-match semantics as in the
+    left-outer form.
+
+    Output: ``(user_id, view_id?, view_ts?, click_id?, click_ts?,
+    gap_s?)``.
+    """
+    v = _with_watermark(events.where(F.col("event_type") == "view"), watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = _with_watermark(events.where(F.col("event_type") == "click"), watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"""v_user = c_user
+                AND click_ts > view_ts
+                AND click_ts <= view_ts + interval {horizon_minutes} minutes"""
+        ),
+        "fullOuter",
+    )
+    return joined.select(
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        "view_id",
+        "view_ts",
+        "click_id",
+        "click_ts",
+        ((F.unix_micros("click_ts") - F.unix_micros("view_ts")) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("gap_s"),
+    )

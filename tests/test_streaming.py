@@ -729,3 +729,56 @@ def test_streaming_debounce_matches_batch(spark, events_stream_dir, tmp_path):
     cols = ["user_id", "event_type", "first_us", "n_collapsed"]
     assert _canon(got, cols) == _canon(want, cols)
     assert want.agg(F.sum("n_collapsed")).first()[0] == batch.count()
+
+
+def test_stream_stream_full_outer_matches_batch(spark, tmp_path):
+    """Stream-stream FULL OUTER interval join: matched rows equal the
+    batch twin and BOTH outer sides release their unmatched rows with
+    NULLs on watermark close — views that no click answered AND clicks
+    that no in-horizon view preceded."""
+    import glob as _glob
+
+    from big_data_virus_analysis_spark.streaming.streams import (
+        view_click_full_outer,
+    )
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    landing = tmp_path / "fo_landing"
+    (
+        batch.orderBy("ts")
+        .repartitionByRange(3, "ts")
+        .write.mode("append")
+        .parquet(str(landing))
+    )
+    max_us = batch.agg(F.max(F.unix_micros("ts"))).first()[0]
+    filler_ts = F.timestamp_micros(F.lit(max_us + 86_400_000_000))
+    filler = spark.createDataFrame(
+        [(10_000_001, 1, "view", 0.0, "{}"), (10_000_002, 1, "click", 0.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).select("event_id", filler_ts.alias("ts"), "user_id", "event_type", "value", "props")
+    range_files = sorted(_glob.glob(str(landing / "part-*")))
+    filler.coalesce(1).write.mode("append").parquet(str(landing))
+    filler_files = [
+        f for f in _glob.glob(str(landing / "part-*")) if f not in set(range_files)
+    ]
+    base = time.time()
+    for i, f in enumerate(range_files + filler_files):
+        os.utime(f, (base + i, base + i))
+
+    stream = read_events_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_stream(spark, view_click_full_outer(stream), "append", tmp_path)
+    want = view_click_full_outer(batch)
+    cols = ["user_id", "view_id", "click_id", "gap_s"]
+
+    def canon(df):
+        real = F.coalesce(F.unix_micros("view_ts"), F.unix_micros("click_ts")) <= max_us
+        return sorted(
+            (tuple(r) for r in df.where(real).select(*cols).collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    got_rows, want_rows = canon(got), canon(want)
+    assert got_rows == want_rows
+    # both outer sides actually fired
+    assert any(r[2] is None for r in want_rows), "no unmatched views"
+    assert any(r[1] is None for r in want_rows), "no unmatched clicks"
