@@ -4660,6 +4660,10 @@ from .round6_ir import SPECS as _ROUND6_IR_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_IR_SPECS)
 
+from .round6_eval import SPECS as _ROUND6_EVAL_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_EVAL_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

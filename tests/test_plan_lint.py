@@ -170,6 +170,10 @@ BNLJ_ALLOWED = {
     "subsample_ci_det",
     # 1-row triangle x edge-count x node-count crosses
     "triangle_count_dup_graph",
+    # 1-row temperature-normalizer broadcast onto the per-source frame
+    "mixture_temperature_sweep",
+    # brute-force exact leg inherits cosine_topk's broadcast-panel join
+    "ann_recall_audit",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
