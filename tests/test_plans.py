@@ -508,3 +508,40 @@ def test_pagerank_edges_materialize_once(spark):
     finally:
         release_tracked_caches()
         spark.catalog.clearCache()
+
+
+def test_phrase_index_materializes_once(spark):
+    """The positional index feeds three posting-list filters; the
+    tracked cache must make it materialize once (>=3 InMemoryTableScan
+    consumers), or each phrase term re-explodes the corpus."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(
+            CATALOG["phrase_search_positional"].spark(spark, SMOKE_SF_DIR)
+        )
+        assert plan.count("InMemoryTableScan") >= 3
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
+
+
+def test_triangle_oriented_edges_materialize_once(spark):
+    """The oriented edge list is consumed by the wedge join twice and
+    the closing join once; both the undirected edges and the oriented
+    frame are tracked-cached so the inverted-index pair join runs
+    exactly once."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(
+            CATALOG["triangle_count_dup_graph"].spark(spark, SMOKE_SF_DIR)
+        )
+        assert plan.count("InMemoryTableScan") >= 3
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
