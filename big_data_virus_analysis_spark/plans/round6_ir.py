@@ -91,6 +91,9 @@ FROM hits GROUP BY doc_id
 
 _TRI_GRAM_L = 8
 _TRI_MIN_SHARED = 5
+#: hot-gram cutoff (same rationale and value as the PageRank twin):
+#: boilerplate grams contribute quadratically many candidate pairs
+_TRI_DF_CAP = 64
 
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +104,7 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_toks") >= _TRI_GRAM_L,
         F.sequence(F.lit(1), F.size("_toks") - _TRI_GRAM_L + 1),
     ).otherwise(F.array().cast("array<int>"))
-    grams = (
+    grams = tracked_cache(
         toks.select("doc_id", F.explode(positions).alias("pos"), "_toks")
         .select(
             "doc_id",
@@ -109,9 +112,16 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    cool = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .where(F.col("gdf") <= _TRI_DF_CAP)
+        .select("gram")
+    )
+    capped = grams.join(cool, "gram")
     return (
-        grams.alias("a")
-        .join(grams.alias("b"), "gram")
+        capped.alias("a")
+        .join(capped.alias("b"), "gram")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -126,9 +136,13 @@ WITH t AS (
 ), g AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_TRI_GRAM_L}-1], ' ') AS gram
   FROM t, UNNEST(range(1, greatest(len(toks) - {_TRI_GRAM_L} + 2, 1))) AS u(i)
+), cool AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) <= {_TRI_DF_CAP}
+), gc AS (
+  SELECT g.doc_id, g.gram FROM g JOIN cool USING (gram)
 ), pr AS (
   SELECT a.doc_id AS u, b.doc_id AS v
-  FROM g a JOIN g b USING (gram)
+  FROM gc a JOIN gc b USING (gram)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
   HAVING count(*) >= {_TRI_MIN_SHARED}

@@ -66,6 +66,10 @@ from .catalog import QuerySpec
 _PR_GRAM_L = 8
 _PR_MIN_SHARED = 5
 _PR_D = 0.85
+#: hot-gram cutoff: a gram appearing in more than this many documents
+#: contributes quadratically many pairs (boilerplate) — drop it before
+#: pairing, the same discipline as the dedup family's hot-shingle cap
+_PR_DF_CAP = 64
 
 
 def _q_pagerank_dup_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +79,7 @@ def _q_pagerank_dup_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_toks") >= _PR_GRAM_L,
         F.sequence(F.lit(1), F.size("_toks") - _PR_GRAM_L + 1),
     ).otherwise(F.array().cast("array<int>"))
-    grams = (
+    grams = tracked_cache(
         toks.select("doc_id", F.explode(positions).alias("pos"), "_toks")
         .select(
             "doc_id",
@@ -83,9 +87,16 @@ def _q_pagerank_dup_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    cool = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .where(F.col("gdf") <= _PR_DF_CAP)
+        .select("gram")
+    )
+    capped = grams.join(cool, "gram")
     pairs = (
-        grams.alias("a")
-        .join(grams.alias("b"), "gram")
+        capped.alias("a")
+        .join(capped.alias("b"), "gram")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -137,9 +148,13 @@ WITH t AS (
 ), g AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_PR_GRAM_L}-1], ' ') AS gram
   FROM t, UNNEST(range(1, greatest(len(toks) - {_PR_GRAM_L} + 2, 1))) AS u(i)
+), cool AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) <= {_PR_DF_CAP}
+), gc AS (
+  SELECT g.doc_id, g.gram FROM g JOIN cool USING (gram)
 ), pr AS (
   SELECT a.doc_id AS u, b.doc_id AS v
-  FROM g a JOIN g b USING (gram)
+  FROM gc a JOIN gc b USING (gram)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
   HAVING count(*) >= {_PR_MIN_SHARED}
