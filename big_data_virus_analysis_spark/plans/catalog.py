@@ -4664,6 +4664,14 @@ from .round6_eval import SPECS as _ROUND6_EVAL_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_EVAL_SPECS)
 
+from .round6_graph2 import SPECS as _ROUND6_GRAPH2_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_GRAPH2_SPECS)
+
+from .round6_stats3 import SPECS as _ROUND6_STATS3_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_STATS3_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

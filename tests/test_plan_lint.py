@@ -174,6 +174,9 @@ BNLJ_ALLOWED = {
     "mixture_temperature_sweep",
     # brute-force exact leg inherits cosine_topk's broadcast-panel join
     "ann_recall_audit",
+    # calendar-bounded day-pair self-join (<=366 x <=366 day rows) plus
+    # the 1-row OLS x median cross
+    "theil_sen_daily_revenue",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
@@ -207,6 +210,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "t_closeness_audit",
     # <=50-row quantity histogram (bounded domain) prefix sums
     "gbdt_stump_steps_exact",
+    # calendar-bounded day-grain frame (<=366 rows): centered 7-day MA
+    "seasonal_decompose_dow",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
