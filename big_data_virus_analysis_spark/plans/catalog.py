@@ -4672,6 +4672,10 @@ from .round6_stats3 import SPECS as _ROUND6_STATS3_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_STATS3_SPECS)
 
+from .round6_scale2 import SPECS as _ROUND6_SCALE2_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_SCALE2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -174,9 +174,17 @@ BNLJ_ALLOWED = {
     "mixture_temperature_sweep",
     # brute-force exact leg inherits cosine_topk's broadcast-panel join
     "ann_recall_audit",
+    # both legs (full + truncated) are cosine_topk broadcast-panel joins
+    "dim_truncation_recall",
     # calendar-bounded day-pair self-join (<=366 x <=366 day rows) plus
     # the 1-row OLS x median cross
     "theil_sen_daily_revenue",
+    # 1-row min/max calibration range + 1-row totals broadcasts
+    "brier_decomposition_fixed",
+    # per-round 1-row node-count x edge-count crosses (3 rounds)
+    "kcore_peel_rounds",
+    # 1-row bad/good totals broadcast onto the 10-bin frame
+    "woe_iv_price_bins",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
