@@ -4676,6 +4676,10 @@ from .round6_scale2 import SPECS as _ROUND6_SCALE2_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_SCALE2_SPECS)
 
+from .round6_analytics import SPECS as _ROUND6_ANALYTICS_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_ANALYTICS_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

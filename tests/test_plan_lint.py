@@ -185,6 +185,12 @@ BNLJ_ALLOWED = {
     "kcore_peel_rounds",
     # 1-row bad/good totals broadcast onto the 10-bin frame
     "woe_iv_price_bins",
+    # 1-row bigram-total broadcast (same pattern as bigram_pmi_top)
+    "collocation_g2_top",
+    # 1-row year-totals broadcast onto the |priorities|-row frame
+    "js_divergence_priorities",
+    # ranking leg inherits cosine_topk's broadcast-panel join
+    "ndcg_fixed_ranking",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
