@@ -191,6 +191,11 @@ BNLJ_ALLOWED = {
     "js_divergence_priorities",
     # ranking leg inherits cosine_topk's broadcast-panel join
     "ndcg_fixed_ranking",
+    # 1-row corpus-totals + 1-row relevant-set-size broadcasts (plus
+    # bm25_scores' own 1-row totals cross, same as bm25_search)
+    "rocchio_expansion",
+    # 1-row weight-normalizer and leftover/residual-mass broadcasts
+    "mixture_capped_allocation",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
