@@ -107,6 +107,10 @@ HEADLINE = [
     "suffix_dedup_spans",
     "pagerank_dup_graph_exact",
     "corpus_curation_e2e",
+    # round-6 session-2 additions (wedge-join link prediction over the
+    # min-support graph; the bucketed epsilon-band join primitive)
+    "adamic_adar_linkpred",
+    "band_join_prices",
 ]
 
 

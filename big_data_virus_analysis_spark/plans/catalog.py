@@ -4684,6 +4684,10 @@ from .round6_curation2 import SPECS as _ROUND6_CURATION2_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_CURATION2_SPECS)
 
+from .round6_bi import SPECS as _ROUND6_BI_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_BI_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -545,3 +545,51 @@ def test_triangle_oriented_edges_materialize_once(spark):
     finally:
         release_tracked_caches()
         spark.catalog.clearCache()
+
+
+def test_adamic_adar_frames_materialize_once(spark):
+    """The support-edge frame is consumed by the adjacency union (twice)
+    and the non-edge anti-join; the adjacency is consumed by the degree
+    agg and both wedge-join sides.  Both are tracked-cached, so neither
+    the (order, part) pair join nor the min-support agg replays."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(
+            CATALOG["adamic_adar_linkpred"].spark(spark, SMOKE_SF_DIR)
+        )
+        assert plan.count("InMemoryTableScan") >= 4
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
+
+
+def test_band_join_is_hash_join_on_bucket(spark):
+    """The epsilon-band join must plan as a HASH equi-join on the
+    bucket key (neighbor-bucket fan-out + residual filter), never a
+    nested loop over the band predicate."""
+    plan = fmt_plan(CATALOG["band_join_prices"].spark(spark, SMOKE_SF_DIR))
+    assert any(
+        j in plan
+        for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rocchio_relevant_set_materializes_once(spark):
+    """The BM25 top-10 relevant set feeds both the tf join and the
+    1-row set-size aggregate; the tracked cache must stop the second
+    consumer from replaying the whole BM25 scoring chain."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(CATALOG["rocchio_expansion"].spark(spark, SMOKE_SF_DIR))
+        assert plan.count("InMemoryTableScan") >= 2
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
