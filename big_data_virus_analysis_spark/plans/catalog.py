@@ -4688,6 +4688,10 @@ from .round6_bi import SPECS as _ROUND6_BI_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_BI_SPECS)
 
+from .round6_quant import SPECS as _ROUND6_QUANT_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_QUANT_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

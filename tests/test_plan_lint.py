@@ -196,6 +196,11 @@ BNLJ_ALLOWED = {
     "rocchio_expansion",
     # 1-row weight-normalizer and leftover/residual-mass broadcasts
     "mixture_capped_allocation",
+    # 3-row quantile-target frame crossed onto the bounded 512-row
+    # merged sketch (cumw >= q*n residual filter)
+    "quantile_merge_audit",
+    # 10-row user panel broadcast onto the part-popularity frame
+    "negative_sampling_popularity",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
@@ -231,6 +236,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "gbdt_stump_steps_exact",
     # calendar-bounded day-grain frame (<=366 rows): centered 7-day MA
     "seasonal_decompose_dow",
+    # bounded 512-row merged sketch union (16 shards x 32 bins):
+    # cumulative-weight scan over the sketch, never over data rows
+    "quantile_merge_audit",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep are still
