@@ -523,3 +523,58 @@ def view_click_full_outer(
         .cast("bigint")
         .alias("gap_s"),
     )
+
+
+def conversion_counts_windows(
+    events: DataFrame,
+    horizon_minutes: int = 10,
+    watermark: str = "10 minutes",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """CHAINED stateful operators: a stream-stream INNER interval join
+    (clicks answering views within ``horizon_minutes``) feeding a
+    tumbling event-time window aggregation on the view timestamp —
+    two stateful operators in ONE streaming query (join state + window
+    state), the multiple-stateful-operator pipeline Spark supports in
+    append mode since 3.5/4.x.
+
+    The join emits matched pairs as soon as both sides arrive; the
+    downstream window closes (and emits its count) once the watermark
+    — already delayed by the join's own horizon bound — passes the
+    window end.  So end-to-end emission latency is watermark + horizon
+    past the window end, and state stays bounded on both operators:
+    join rows are evicted at their time bound, window partials at
+    window close.
+
+    Output: ``(window_start, window_end, n_conversions)`` — one row
+    per closed window with at least one conversion.  The SAME plan
+    runs on a batch frame as the parity oracle
+    (tests/test_streaming.py::test_chained_join_window_matches_batch).
+    """
+    v = _with_watermark(events.where(F.col("event_type") == "view"), watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = _with_watermark(events.where(F.col("event_type") == "click"), watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"""v_user = c_user
+                AND click_ts > view_ts
+                AND click_ts <= view_ts + interval {horizon_minutes} minutes"""
+        ),
+        "inner",
+    )
+    win = joined.groupBy(F.window("view_ts", window_len)).agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    return win.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_conversions",
+    )

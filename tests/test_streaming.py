@@ -782,3 +782,61 @@ def test_stream_stream_full_outer_matches_batch(spark, tmp_path):
     # both outer sides actually fired
     assert any(r[2] is None for r in want_rows), "no unmatched views"
     assert any(r[1] is None for r in want_rows), "no unmatched clicks"
+
+
+def test_chained_join_window_matches_batch(spark, tmp_path):
+    """TWO stateful operators in one streaming query (stream-stream
+    inner interval join -> tumbling window agg): closed windows must
+    match the batch twin exactly.  Uses the filler-batch technique
+    from the outer-join tests: a far-future view+click pair advances
+    both sides' watermarks a day past the data so every real window is
+    provably closed and emitted; the filler pair itself cannot convert
+    (its click is not strictly after its view) and is excluded from
+    the comparison by timestamp."""
+    import glob as _glob
+
+    from big_data_virus_analysis_spark.streaming.streams import (
+        conversion_counts_windows,
+    )
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    landing = tmp_path / "chain_landing"
+    (
+        batch.orderBy("ts")
+        .repartitionByRange(3, "ts")
+        .write.mode("append")
+        .parquet(str(landing))
+    )
+    max_us = batch.agg(F.max(F.unix_micros("ts"))).first()[0]
+    filler_ts = F.timestamp_micros(F.lit(max_us + 86_400_000_000))
+    filler = spark.createDataFrame(
+        [(20_000_001, 1, "view", 0.0, "{}"), (20_000_002, 1, "click", 0.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", filler_ts.alias("ts"), "user_id", "event_type", "value", "props"
+    )
+    range_files = sorted(_glob.glob(str(landing / "part-*")))
+    filler.coalesce(1).write.mode("append").parquet(str(landing))
+    filler_files = [
+        f for f in _glob.glob(str(landing / "part-*")) if f not in set(range_files)
+    ]
+    base = time.time()
+    for i, f in enumerate(range_files + filler_files):
+        os.utime(f, (base + i, base + i))
+
+    stream = read_events_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_stream(spark, conversion_counts_windows(stream), "append", tmp_path)
+    want = conversion_counts_windows(batch)
+    cols = ["window_start", "window_end", "n_conversions"]
+
+    def canon(df):
+        return sorted(
+            tuple(r)
+            for r in df.where(F.unix_micros("window_start") <= max_us)
+            .select(*cols)
+            .collect()
+        )
+
+    got_rows, want_rows = canon(got), canon(want)
+    assert got_rows == want_rows
+    assert len(want_rows) > 0  # conversions actually happened
