@@ -4692,6 +4692,10 @@ from .round6_quant import SPECS as _ROUND6_QUANT_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_QUANT_SPECS)
 
+from .round6_causal import SPECS as _ROUND6_CAUSAL_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_CAUSAL_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

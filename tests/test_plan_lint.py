@@ -201,6 +201,9 @@ BNLJ_ALLOWED = {
     "quantile_merge_audit",
     # 10-row user panel broadcast onto the part-popularity frame
     "negative_sampling_popularity",
+    # 10-row fixed price-bin frame: PAVA minimax needs the j<=k / j<=i<=k
+    # range joins, all sides bounded by the bin count
+    "isotonic_calibration_deciles",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
