@@ -4696,6 +4696,10 @@ from .round6_causal import SPECS as _ROUND6_CAUSAL_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_CAUSAL_SPECS)
 
+from .round6_stats4 import SPECS as _ROUND6_STATS4_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_STATS4_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -204,6 +204,10 @@ BNLJ_ALLOWED = {
     # 10-row fixed price-bin frame: PAVA minimax needs the j<=k / j<=i<=k
     # range joins, all sides bounded by the bin count
     "isotonic_calibration_deciles",
+    # 1-row grand-totals broadcast crossed onto the 5-row group frame
+    "anova_f_by_segment",
+    # 5-row x 5-row segment self-join (both sides broadcast)
+    "cohens_d_segment_pairs",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
