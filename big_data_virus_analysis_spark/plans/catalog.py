@@ -4700,6 +4700,10 @@ from .round6_stats4 import SPECS as _ROUND6_STATS4_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_STATS4_SPECS)
 
+from .round6_quality2 import SPECS as _ROUND6_QUALITY2_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_QUALITY2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

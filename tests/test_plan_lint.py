@@ -208,6 +208,10 @@ BNLJ_ALLOWED = {
     "anova_f_by_segment",
     # 5-row x 5-row segment self-join (both sides broadcast)
     "cohens_d_segment_pairs",
+    # 1-row weight-total broadcast crossed onto the 5-row stratum frame
+    "neyman_allocation_plan",
+    # 1-row exact-count broadcast crossed onto the 1-row sample-stats row
+    "chao1_cardinality_audit",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
