@@ -4704,6 +4704,10 @@ from .round6_quality2 import SPECS as _ROUND6_QUALITY2_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_QUALITY2_SPECS)
 
+from .round6_embed3 import SPECS as _ROUND6_EMBED3_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_EMBED3_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
