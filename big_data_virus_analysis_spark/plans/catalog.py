@@ -4708,6 +4708,10 @@ from .round6_embed3 import SPECS as _ROUND6_EMBED3_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_EMBED3_SPECS)
 
+from .round6_ts4 import SPECS as _ROUND6_TS4_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_TS4_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

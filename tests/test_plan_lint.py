@@ -122,6 +122,8 @@ BNLJ_ALLOWED = {
     # bounded-horizon lag range-join over the per-DAY frame (rows =
     # days, not events; both sides broadcastable at any corpus size)
     "ewma_daily_value",
+    # trailing-7-day band join over the same per-DAY frame
+    "rolling_mad_anomaly_daily",
     # 1-row weight-vector broadcast carried from step 1's aggregate
     # onto the step-2 scan (full-batch GD weight carry)
     "lr_gd_steps_exact",
