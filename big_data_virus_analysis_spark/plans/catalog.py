@@ -4712,6 +4712,10 @@ from .round6_ts4 import SPECS as _ROUND6_TS4_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_TS4_SPECS)
 
+from .round6_media2 import SPECS as _ROUND6_MEDIA2_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_MEDIA2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
