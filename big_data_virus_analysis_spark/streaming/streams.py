@@ -578,3 +578,40 @@ def conversion_counts_windows(
         F.col("window.end").alias("window_end"),
         "n_conversions",
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    minutes: int = 360,
+    watermark: str | None = DEFAULT_WATERMARK,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Approximate distinct users per tumbling window — the streaming
+    cardinality sketch (HyperLogLog++ via ``approx_count_distinct``,
+    the only distinct aggregate Spark supports under streaming
+    aggregation; exact ``countDistinct`` would need unbounded
+    per-window sets).
+
+    The sketch is deterministic for a given input multiset, so the
+    SAME plan over a batch frame is an exact parity oracle
+    (tests/test_streaming.py::test_windowed_distinct_users_matches_batch),
+    and the batch exact count bounds the estimate at ~rsd.
+
+    Output: (window_start_us, n_users_approx, n_events).
+    State per window is one fixed-size HLL register set — bounded
+    regardless of user cardinality, the whole point at 100 TB/day.
+    """
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        _with_watermark(events, watermark)
+        .groupBy(win.alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_users_approx",
+            "n_events",
+        )
+    )

@@ -840,3 +840,34 @@ def test_chained_join_window_matches_batch(spark, tmp_path):
     got_rows, want_rows = canon(got), canon(want)
     assert got_rows == want_rows
     assert len(want_rows) > 0  # conversions actually happened
+
+
+def test_windowed_distinct_users_matches_batch(spark, events_stream_dir, tmp_path):
+    """Streaming HLL cardinality per window: the sketch is
+    deterministic per input multiset, so the streaming result equals
+    the same plan on the batch frame exactly; the estimate must also
+    sit within 3x the configured rsd of the exact per-window count."""
+    from big_data_virus_analysis_spark.streaming.streams import (
+        windowed_distinct_users,
+    )
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, windowed_distinct_users(stream, watermark=None), "complete", tmp_path
+    )
+    want = windowed_distinct_users(batch, watermark=None)
+    cols = ["window_start_us", "n_users_approx", "n_events"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+    exact = (
+        batch.groupBy(F.window("ts", "360 minutes").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "n_exact")
+    )
+    joined = {r[0]: r[1] for r in exact.collect()}
+    for ws, approx, _ in _canon(got, cols):
+        exact_n = joined[ws]
+        assert abs(approx - exact_n) <= max(2, 0.15 * exact_n), (
+            ws, approx, exact_n,
+        )
