@@ -4716,6 +4716,10 @@ from .round6_media2 import SPECS as _ROUND6_MEDIA2_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_MEDIA2_SPECS)
 
+from .round6_ir3 import SPECS as _ROUND6_IR3_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_IR3_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -214,6 +214,10 @@ BNLJ_ALLOWED = {
     "neyman_allocation_plan",
     # 1-row exact-count broadcast crossed onto the 1-row sample-stats row
     "chao1_cardinality_audit",
+    # 1-row corpus-token-total broadcast (background LM denominator)
+    "dirichlet_ql_retrieval",
+    # 1-row corpus-token-total broadcast (PMI global denominator)
+    "keyword_extraction_pmi",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
