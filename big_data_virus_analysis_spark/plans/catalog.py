@@ -4720,6 +4720,10 @@ from .round6_ir3 import SPECS as _ROUND6_IR3_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_IR3_SPECS)
 
+from .round6_graph3 import SPECS as _ROUND6_GRAPH3_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_GRAPH3_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -218,6 +218,8 @@ BNLJ_ALLOWED = {
     "dirichlet_ql_retrieval",
     # 1-row corpus-token-total broadcast (PMI global denominator)
     "keyword_extraction_pmi",
+    # 1-row triangle-count x 1-row wedge-count cross (summary row)
+    "global_transitivity",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
