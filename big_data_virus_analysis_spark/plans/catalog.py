@@ -4724,6 +4724,10 @@ from .round6_graph3 import SPECS as _ROUND6_GRAPH3_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_GRAPH3_SPECS)
 
+from .round6_scale3 import SPECS as _ROUND6_SCALE3_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_SCALE3_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
