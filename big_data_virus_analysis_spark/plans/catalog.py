@@ -4728,6 +4728,10 @@ from .round6_scale3 import SPECS as _ROUND6_SCALE3_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_SCALE3_SPECS)
 
+from .round6_text4 import SPECS as _ROUND6_TEXT4_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_TEXT4_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

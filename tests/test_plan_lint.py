@@ -220,6 +220,8 @@ BNLJ_ALLOWED = {
     "keyword_extraction_pmi",
     # 1-row triangle-count x 1-row wedge-count cross (summary row)
     "global_transitivity",
+    # |sources| x vocab smoothing grid + 1-row vocab-total broadcast
+    "source_token_kl",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
