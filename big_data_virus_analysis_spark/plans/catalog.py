@@ -4732,6 +4732,10 @@ from .round6_text4 import SPECS as _ROUND6_TEXT4_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_TEXT4_SPECS)
 
+from .round6_audit3 import SPECS as _ROUND6_AUDIT3_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_AUDIT3_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

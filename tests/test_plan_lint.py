@@ -222,6 +222,8 @@ BNLJ_ALLOWED = {
     "global_transitivity",
     # |sources| x vocab smoothing grid + 1-row vocab-total broadcast
     "source_token_kl",
+    # 1-row build/probe-count broadcasts crossed onto the 1-row FP count
+    "bloom_fpr_curve",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
