@@ -4736,6 +4736,10 @@ from .round6_audit3 import SPECS as _ROUND6_AUDIT3_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_AUDIT3_SPECS)
 
+from .round6_recsys import SPECS as _ROUND6_RECSYS_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_RECSYS_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -224,6 +224,8 @@ BNLJ_ALLOWED = {
     "source_token_kl",
     # 1-row build/probe-count broadcasts crossed onto the 1-row FP count
     "bloom_fpr_curve",
+    # 1-row part-count / max-exposure broadcasts onto the 1-row summary
+    "rec_catalog_coverage",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
