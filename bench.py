@@ -111,6 +111,12 @@ HEADLINE = [
     # min-support graph; the bucketed epsilon-band join primitive)
     "adamic_adar_linkpred",
     "band_join_prices",
+    # round-6 session-3 additions (market-basket self-join CF; LM
+    # retrieval over the inverted index; rank-stat test via two
+    # prefix-sum passes + value joins)
+    "item_item_topk_recs",
+    "dirichlet_ql_retrieval",
+    "spearman_price_quantity",
 ]
 
 

@@ -4803,39 +4803,40 @@ _PINNED_CORE: tuple[str, ...] = (
 )
 
 #: round-6 rotation: the newest exact-oracle entries — the round-6
-#: packs (substring dedup, planner, ops, ML/audit, extras) plus the
-#: round-4/5 additions the judge has not yet seen driver-verified
-#: (sketch audits with error-bound oracles, IVM pack, containment
-#: pack, exact-ML closed forms, the two re-planned global-window
-#: queries)
+#: directive work (substring dedup, planner, judge-directed re-plans)
+#: plus the round-6 widening packs (causal/factor models, multi-group
+#: inference, profiling, embeddings geometry, changepoints, IR, CF,
+#: OLAP ordered statistics), with a few round-4/5 canaries kept so the
+#: driver's gate always re-verifies the composed pipelines.
 _ROTATING_WINDOW: tuple[str, ...] = (
-    # round 6
+    # round-6 directive work
     "suffix_dedup_spans",
     "suffix_lcp_topk",
     "join_strategy_advisor",
     "pagerank_dup_graph_exact",
     "entity_resolution_pairs",
-    "event_debounce",
-    "weighted_sample_det",
     "gbdt_stump_steps_exact",
     "kfold_auc_fixed_scorer",
     "corpus_curation_e2e",
-    # rounds 4-5
+    # round-6 widening packs (newest first-time-driver-verified)
+    "als_step_exact",
+    "gmm_em_step_exact",
+    "logrank_two_segment",
+    "isotonic_calibration_deciles",
+    "anova_f_by_segment",
+    "kruskal_wallis_segments",
+    "spearman_price_quantity",
+    "chao1_cardinality_audit",
+    "binseg_changepoint_daily",
+    "jl_projection_audit",
+    "dirichlet_ql_retrieval",
+    "item_item_topk_recs",
+    "abc_analysis_parts",
+    # rounds 4-5 composed-pipeline canaries
     "dedup_pipeline_e2e",
     "zone_map_pruning_audit",
-    "tfidf_cosine_pairs",
     "mann_whitney_u_test",
     "pq_adc_topk_fixed",
-    "nb_gaussian_confusion",
-    "burstiness_top_terms",
-    "skew_split_plan",
-    "theta_bottomk_set_ops",
-    "containment_pairs",
-    "heaps_law_curve",
-    "ivm_merge_rollup",
-    "pca_power_iteration_exact",
-    "stratified_sample_det",
-    "heavy_hitter_users_bounded",
 )
 
 _FIRST_WINDOW: tuple[str, ...] = _PINNED_CORE + _ROTATING_WINDOW
