@@ -4744,6 +4744,10 @@ from .round6_olap2 import SPECS as _ROUND6_OLAP2_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_OLAP2_SPECS)
 
+from .round6_bi2 import SPECS as _ROUND6_BI2_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_BI2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

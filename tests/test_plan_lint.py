@@ -226,6 +226,8 @@ BNLJ_ALLOWED = {
     "bloom_fpr_curve",
     # 1-row part-count / max-exposure broadcasts onto the 1-row summary
     "rec_catalog_coverage",
+    # 1-row grand-total/day-count broadcast onto the per-DAY frame
+    "max_drawdown_daily_revenue",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
