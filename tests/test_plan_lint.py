@@ -243,6 +243,7 @@ GLOBAL_WINDOW_ALLOWED = {
     # calendar-bounded per-DAY frame (days, not events)
     "cusum_changepoint_daily",
     "month_over_month_revenue",
+    "max_drawdown_daily_revenue",
     # fixed equi-width histogram bucket frames (20-32 rows)
     "decision_stump_gain_curve",
     "ks_price_periods_grid",
