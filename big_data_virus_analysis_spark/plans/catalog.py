@@ -4748,6 +4748,10 @@ from .round6_bi2 import SPECS as _ROUND6_BI2_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_BI2_SPECS)
 
+from .round6_stats5 import SPECS as _ROUND6_STATS5_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_STATS5_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

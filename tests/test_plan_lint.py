@@ -228,6 +228,8 @@ BNLJ_ALLOWED = {
     "rec_catalog_coverage",
     # 1-row grand-total/day-count broadcast onto the per-DAY frame
     "max_drawdown_daily_revenue",
+    # 1-row grand-moments broadcast onto the 7-row day-of-week frame
+    "dow_seasonality_strength",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
