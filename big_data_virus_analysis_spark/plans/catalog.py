@@ -4752,6 +4752,10 @@ from .round6_stats5 import SPECS as _ROUND6_STATS5_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_STATS5_SPECS)
 
+from .round6_spark4 import SPECS as _ROUND6_SPARK4_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_SPARK4_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
