@@ -230,6 +230,8 @@ BNLJ_ALLOWED = {
     "max_drawdown_daily_revenue",
     # 1-row grand-moments broadcast onto the 7-row day-of-week frame
     "dow_seasonality_strength",
+    # 1-row x 1-row dashboard-leg combines (composed canary)
+    "bi_dashboard_e2e",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
@@ -246,6 +248,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "cusum_changepoint_daily",
     "month_over_month_revenue",
     "max_drawdown_daily_revenue",
+    "bi_dashboard_e2e",
     # fixed equi-width histogram bucket frames (20-32 rows)
     "decision_stump_gain_curve",
     "ks_price_periods_grid",
