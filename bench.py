@@ -117,6 +117,8 @@ HEADLINE = [
     "item_item_topk_recs",
     "dirichlet_ql_retrieval",
     "spearman_price_quantity",
+    # composed canary #3 (five dashboard legs in one plan)
+    "bi_dashboard_e2e",
 ]
 
 

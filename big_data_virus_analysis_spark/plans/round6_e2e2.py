@@ -107,21 +107,34 @@ WHERE a.o_orderkey < b.o_orderkey
 
 
 def _q_bi_dashboard_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_cache
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
 
-    # leg 1: grand totals
-    totals = orders.agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_revenue"),
+    # ONE fact scan feeds totals, the monthly frame, and the drawdown
+    # curve: everything re-derives from the cached per-DAY rollup (the
+    # only second scan is the nation leg, which needs the customer key)
+    daily = tracked_cache(
+        orders.select(
+            F.to_date("o_orderdate").alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("rev"))
+    )
+
+    # leg 1: grand totals (from the day frame, no second scan)
+    totals = daily.agg(
+        F.sum("n").alias("n_orders"),
+        F.sum("rev").alias("total_revenue"),
     )
 
     # leg 2: last month-over-month revenue delta (month frame bounded)
     monthly = (
-        orders.select(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+        daily.select(
+            (F.year("day") * 12 + F.month("day")).alias("m"), "rev"
         )
         .groupBy("m")
         .agg(F.sum("rev").alias("rev"))
@@ -151,15 +164,8 @@ def _q_bi_dashboard_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # leg 4: max drawdown trough day (detrended cumulative daily curve)
-    daily = (
-        orders.select(
-            F.to_date("o_orderdate").alias("day"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
-        )
-        .groupBy("day")
-        .agg(F.sum("rev").alias("rev"))
-    )
+    # leg 4: max drawdown trough day (detrended cumulative daily curve,
+    # reusing the cached day frame)
     dtot = daily.agg(F.sum("rev").alias("tot"), F.count(F.lit(1)).alias("n_days"))
     detr = daily.crossJoin(F.broadcast(dtot)).select(
         "day",

@@ -36,8 +36,14 @@ _CF_TOPK = 3
 
 
 def _rec_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_cache
+
     lineitem = load_table(spark, sf_dir, "lineitem")
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket frame feeds the self-join (twice) and the
+    # marginals — cache it so the distinct shuffle runs ONCE
+    items = tracked_cache(
+        lineitem.select("l_orderkey", "l_partkey").distinct()
+    )
     a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
     b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("j"))
     co = (
