@@ -593,3 +593,42 @@ def test_rocchio_relevant_set_materializes_once(spark):
     finally:
         release_tracked_caches()
         spark.catalog.clearCache()
+
+
+def test_recsys_basket_frame_materializes_once(spark):
+    """The distinct (order, part) basket frame feeds the self-join
+    twice and the marginals once; the tracked cache must serve all
+    three (>=3 InMemoryTableScan consumers) or the distinct shuffle
+    replays per consumer."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(CATALOG["item_item_topk_recs"].spark(spark, SMOKE_SF_DIR))
+        assert plan.count("InMemoryTableScan") >= 3
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
+
+
+def test_bi_dashboard_single_fact_scan_per_grain(spark):
+    """The dashboard canary derives totals, the monthly frame, and the
+    drawdown curve from ONE cached per-day rollup: >=3 InMemoryTableScan
+    consumers, and at most TWO scans of the orders parquet in the whole
+    plan (the day rollup + the nation leg, which needs the customer
+    key)."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(CATALOG["bi_dashboard_e2e"].spark(spark, SMOKE_SF_DIR))
+        assert plan.count("InMemoryTableScan") >= 3
+        assert plan.count("orders.parquet") <= 2, (
+            "dashboard legs re-scan the fact table instead of reusing "
+            "the cached day frame"
+        )
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
