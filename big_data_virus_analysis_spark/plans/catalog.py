@@ -4760,6 +4760,10 @@ from .round6_e2e2 import SPECS as _ROUND6_E2E2_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_E2E2_SPECS)
 
+from .round6_pct import SPECS as _ROUND6_PCT_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_PCT_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
