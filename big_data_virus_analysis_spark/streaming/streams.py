@@ -580,6 +580,47 @@ def conversion_counts_windows(
     )
 
 
+def views_answered_semi(
+    events: DataFrame,
+    horizon_minutes: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the fourth join type in
+    the family (inner: ``clicks_after_views``; left outer:
+    ``views_with_click_outcome``; full outer: ``view_click_full_outer``):
+    emit each view AT MOST ONCE as soon as ANY click answers it within
+    the horizon, with no click columns leaking into the output (the
+    dedup-free way to ask "which impressions converted?").
+
+    State stays bounded exactly as in the inner join: views are evicted
+    once the watermark passes view_ts + horizon.  Output:
+    (user_id, view_id, view_ts).
+    """
+    v = _with_watermark(events.where(F.col("event_type") == "view"), watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = _with_watermark(events.where(F.col("event_type") == "click"), watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"""v_user = c_user
+                AND click_ts > view_ts
+                AND click_ts <= view_ts + interval {horizon_minutes} minutes"""
+        ),
+        "left_semi",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        F.unix_micros("view_ts").alias("view_us"),
+    )
+
+
 def windowed_distinct_users(
     events: DataFrame,
     minutes: int = 360,

@@ -871,3 +871,22 @@ def test_windowed_distinct_users_matches_batch(spark, events_stream_dir, tmp_pat
         assert abs(approx - exact_n) <= max(2, 0.15 * exact_n), (
             ws, approx, exact_n,
         )
+
+
+def test_stream_stream_semi_join_matches_batch(spark, events_stream_dir, tmp_path):
+    """Stream-stream LEFT SEMI interval join: answered views equal the
+    batch twin, each view appears at most once, and no click column
+    leaks into the output schema."""
+    from big_data_virus_analysis_spark.streaming.streams import views_answered_semi
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got = _run_stream(spark, views_answered_semi(stream), "append", tmp_path)
+    want = views_answered_semi(batch)
+    cols = ["user_id", "view_id", "view_us"]
+    assert set(got.columns) == set(cols)
+    got_rows, want_rows = _canon(got, cols), _canon(want, cols)
+    assert got_rows == want_rows
+    assert len(want_rows) > 0
+    view_ids = [r[1] for r in got_rows]
+    assert len(view_ids) == len(set(view_ids)), "semi join emitted a view twice"
