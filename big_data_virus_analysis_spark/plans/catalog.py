@@ -4764,6 +4764,10 @@ from .round6_pct import SPECS as _ROUND6_PCT_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_PCT_SPECS)
 
+from .round6_ts5 import SPECS as _ROUND6_TS5_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_TS5_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

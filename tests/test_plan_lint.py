@@ -232,6 +232,12 @@ BNLJ_ALLOWED = {
     "dow_seasonality_strength",
     # 1-row x 1-row dashboard-leg combines (composed canary)
     "bi_dashboard_e2e",
+    # calendar-bounded day-frame self-join (pairwise tau definition)
+    "kendall_tau_daily",
+    # 1-row median broadcast onto the day frame
+    "runs_test_daily",
+    # 1-row mean/c0 broadcasts + 7-row lag scaffold onto the day frame
+    "ljung_box_daily",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
@@ -249,6 +255,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "month_over_month_revenue",
     "max_drawdown_daily_revenue",
     "bi_dashboard_e2e",
+    "runs_test_daily",
     # fixed equi-width histogram bucket frames (20-32 rows)
     "decision_stump_gain_curve",
     "ks_price_periods_grid",
