@@ -4768,6 +4768,10 @@ from .round6_ts5 import SPECS as _ROUND6_TS5_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_TS5_SPECS)
 
+from .round6_eval2 import SPECS as _ROUND6_EVAL2_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_EVAL2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -1,0 +1,351 @@
+"""Round-6 eval pack 2 — calibration, survival-summary, and off-policy
+evaluation metrics (the three eval families the catalog did not yet
+summarize as single numbers).
+
+* ``expected_calibration_error`` — ECE of the fixed LCG-hyperplane
+  scorer squashed through a sigmoid: 10 equal-width probability bins,
+  ECE = Σ (n_b/N)·|acc_b − conf_b|.  Probabilities are quantized to
+  integer 1e-6 units (``floor(p*1e6+0.5)``) so per-bin confidence
+  sums are decimal-exact and bin membership cannot straddle engines.
+  The one-number summary on top of ``calibration_bins_fixed``.
+* ``rmst_signup_purchase`` — restricted mean survival time at
+  τ = 30 days of the signup→purchase KM curve (same cohort/censoring
+  as ``km_signup_to_purchase``).  Durations are integer days, so
+  RMST(τ) = Σ_{j=0}^{τ-1} S(j) exactly — a 30-row day grid
+  band-joined to the KM step function (exp-sum-log product via the
+  two-phase prefix sum).  "How many of the first 30 days does the
+  average user spend unconverted."
+* ``ips_policy_value`` — off-policy evaluation: the logged
+  "behavior policy" is the empirical priority distribution per
+  segment; the target policy is a fixed segment→priority rule.  IPS
+  value = mean(reward·1{a=π(x)}/p̂(a|x)) and the self-normalized
+  SNIPS variant, with the logged mean beside them.  The
+  counterfactual-eval primitive for recommendation/curation policy
+  changes, exact from two hash aggregates.
+
+100 TB shape: ECE and IPS are one/two hash aggregates; RMST's ordered
+pass is the KM prefix sum over the bounded distinct-duration frame and
+a 30-row grid join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.prefix_sum import global_prefix_sum
+from ..operators.similarity import DIM, _plane_weight
+from ..sources.tables import load_table
+from .catalog import QuerySpec
+
+# --------------------------------------------------------------------------
+# expected_calibration_error
+# --------------------------------------------------------------------------
+
+
+def _q_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    plane = F.array(*[F.lit(_plane_weight(0, d)) for d in range(DIM)])
+    score = F.aggregate(
+        F.zip_with(F.col("embedding"), plane, lambda x, wt: x.cast("double") * wt),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    prob6 = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))) * 1e6 + 0.5
+    ).cast("bigint")
+    staged = emb.select(
+        prob6.alias("p6"),
+        (F.col("label") < 5).cast("bigint").alias("y"),
+    ).select(
+        "p6",
+        "y",
+        F.least(F.floor(F.col("p6") / 100000), F.lit(9)).cast("int").alias("bin"),
+    )
+    bins = staged.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("y").alias("pos_b"),
+        F.sum("p6").alias("conf6_b"),
+    )
+    tot = bins.agg(F.sum("n_b").alias("n"))
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (
+            F.col("n_b").cast("double")
+            * F.abs(
+                F.col("pos_b").cast("double") / F.col("n_b").cast("double")
+                - F.col("conf6_b").cast("double")
+                / (F.col("n_b").cast("double") * 1e6)
+            )
+        ).alias("term"),
+    )
+    return terms.groupBy("n").agg(
+        F.round(F.sum("term") / F.col("n").cast("double"), 6).alias("ece")
+    ).select(F.col("n").alias("n_examples"), "ece")
+
+
+_ECE_W_VALUES = ", ".join(f"({d + 1}, {_plane_weight(0, d)!r})" for d in range(DIM))
+
+_SQL_EXPECTED_CALIBRATION_ERROR = f"""
+WITH w(i, wt) AS (VALUES {_ECE_W_VALUES}),
+elems AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i)
+), scored AS (
+  SELECT e.vec_id, sum(e.x * w.wt) AS score,
+         CASE WHEN l.label < 5 THEN 1 ELSE 0 END AS y
+  FROM elems e JOIN w USING (i) JOIN embeddings l ON e.vec_id = l.vec_id
+  GROUP BY e.vec_id, l.label
+), staged AS (
+  SELECT CAST(floor((1.0 / (1.0 + exp(-score))) * 1e6 + 0.5) AS BIGINT) AS p6,
+         y
+  FROM scored
+), binned AS (
+  SELECT CAST(least(floor(p6 / 100000), 9) AS INT) AS bin, p6, y FROM staged
+), bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(y) AS BIGINT) AS pos_b,
+         CAST(sum(p6) AS BIGINT) AS conf6_b
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n_b) AS BIGINT) AS n FROM bins
+)
+SELECT n AS n_examples,
+       round(sum(CAST(n_b AS DOUBLE)
+                 * abs(CAST(pos_b AS DOUBLE) / n_b
+                       - CAST(conf6_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1e6)))
+             / CAST(n AS DOUBLE), 6) AS ece
+FROM bins CROSS JOIN tot
+GROUP BY n
+"""
+
+
+# --------------------------------------------------------------------------
+# rmst_signup_purchase
+# --------------------------------------------------------------------------
+
+_RMST_TAU = 30
+_DAY_US = 86_400_000_000
+
+
+def _q_rmst_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts")) / _DAY_US).cast("long").alias("day"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("day"))).alias("s0"),
+        F.max("day").alias("last_day"),
+    )
+    first_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("p0"))
+    )
+    cohort = (
+        per_user.join(first_purchase, "user_id", "left")
+        .where(F.col("s0").isNotNull())
+        .select(
+            F.when(
+                F.col("p0").isNotNull() & (F.col("p0") >= F.col("s0")),
+                F.col("p0") - F.col("s0"),
+            )
+            .otherwise(F.col("last_day") - F.col("s0"))
+            .alias("duration"),
+            (F.col("p0").isNotNull() & (F.col("p0") >= F.col("s0")))
+            .cast("int")
+            .alias("event"),
+        )
+    )
+    times = cohort.groupBy("duration").agg(
+        F.sum("event").alias("d"), F.count("*").alias("c")
+    )
+    with_risk = global_prefix_sum(
+        times, "duration", "c", "n_risk", order_exprs=[F.col("duration").desc()]
+    )
+    km = global_prefix_sum(
+        with_risk.where(F.col("d") > 0).withColumn(
+            "logterm", F.log(1.0 - F.col("d") / F.col("n_risk").cast("double"))
+        ),
+        "duration",
+        "logterm",
+        "cumlog",
+    ).select("duration", "cumlog")
+    grid = spark.range(_RMST_TAU).select(F.col("id").alias("j"))
+    # S(j) = exp(max cumlog among event times <= j); 1.0 if none
+    joined = (
+        grid.join(F.broadcast(km), F.col("duration") <= F.col("j"), "left")
+        .groupBy("j")
+        .agg(F.max("cumlog").alias("ml"))
+    )
+    s_j = F.when(F.col("ml").isNull(), F.lit(1.0)).otherwise(F.exp(F.col("ml")))
+    return joined.agg(
+        F.lit(_RMST_TAU).alias("tau_days"),
+        F.round(F.sum(s_j), 6).alias("rmst_days"),
+    )
+
+
+_SQL_RMST_SIGNUP_PURCHASE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) // {_DAY_US} AS day FROM events
+), per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN day END) AS s0,
+         max(day) AS last_day
+  FROM ev GROUP BY user_id
+), first_purchase AS (
+  SELECT user_id, min(day) AS p0 FROM ev WHERE event_type = 'purchase'
+  GROUP BY user_id
+), cohort AS (
+  SELECT CASE WHEN f.p0 IS NOT NULL AND f.p0 >= p.s0 THEN f.p0 - p.s0
+              ELSE p.last_day - p.s0 END AS duration,
+         CASE WHEN f.p0 IS NOT NULL AND f.p0 >= p.s0 THEN 1 ELSE 0 END AS event
+  FROM per_user p LEFT JOIN first_purchase f ON p.user_id = f.user_id
+  WHERE p.s0 IS NOT NULL
+), times AS (
+  SELECT duration, sum(event) AS d, count(*) AS c FROM cohort GROUP BY duration
+), with_risk AS (
+  SELECT duration, d,
+         sum(c) OVER (ORDER BY duration DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM times
+), km AS (
+  SELECT duration,
+         sum(ln(1.0 - d / CAST(n_risk AS DOUBLE)))
+           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS cumlog
+  FROM with_risk
+  WHERE d > 0
+), grid AS (
+  SELECT unnest(range({_RMST_TAU})) AS j
+), joined AS (
+  SELECT g.j, max(k.cumlog) AS ml
+  FROM grid g LEFT JOIN km k ON k.duration <= g.j
+  GROUP BY g.j
+)
+SELECT {_RMST_TAU} AS tau_days,
+       round(sum(CASE WHEN ml IS NULL THEN 1.0 ELSE exp(ml) END), 6)
+         AS rmst_days
+FROM joined
+"""
+
+
+# --------------------------------------------------------------------------
+# ips_policy_value
+# --------------------------------------------------------------------------
+
+# fixed target policy: segment -> the priority class it "should" get
+_TARGET_POLICY = {
+    "AUTOMOBILE": 1,
+    "BUILDING": 2,
+    "FURNITURE": 1,
+    "HOUSEHOLD": 3,
+    "MACHINERY": 2,
+}
+
+
+def _q_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    target = F.create_map(
+        *[F.lit(v) for kv in _TARGET_POLICY.items() for v in kv]
+    )
+    base = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("arm"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("r"),
+    )
+    # empirical behavior policy per (segment, arm), exact integer counts
+    cells = base.groupBy("seg", "arm").agg(
+        F.count(F.lit(1)).alias("n_sa"), F.sum("r").alias("r_sa")
+    )
+    seg_tot = cells.groupBy("seg").agg(F.sum("n_sa").alias("n_s"))
+    matched = (
+        cells.join(F.broadcast(seg_tot), "seg")
+        .where(F.col("arm") == target[F.col("seg")])
+        .select(
+            # Σ r·(n_s/n_sa) over matched cells = Σ_cells r_sa·n_s/n_sa
+            (
+                F.col("r_sa").cast("double")
+                * F.col("n_s").cast("double")
+                / F.col("n_sa").cast("double")
+            ).alias("wr"),
+            (F.col("n_s").cast("double")).alias("wn"),
+            F.col("n_sa"),
+        )
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("n"), F.sum("r").alias("r_all"))
+    agg = matched.agg(
+        F.sum("wr").alias("swr"),
+        F.sum("wn").alias("swn"),
+        F.sum("n_sa").alias("n_matched"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "n_matched",
+        F.round(F.col("r_all").cast("double") / F.col("n").cast("double"), 4).alias(
+            "logged_mean_reward"
+        ),
+        F.round(F.col("swr") / F.col("n").cast("double"), 4).alias("ips_value"),
+        F.round(F.col("swr") / F.col("swn"), 4).alias("snips_value"),
+    )
+
+
+_IPS_TARGET_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _TARGET_POLICY.items()
+)
+
+_SQL_IPS_POLICY_VALUE = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(substr(o.o_orderpriority, 1, 1) AS INT) AS arm,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), cells AS (
+  SELECT seg, arm, CAST(count(*) AS BIGINT) AS n_sa, sum(r) AS r_sa
+  FROM base GROUP BY 1, 2
+), seg_tot AS (
+  SELECT seg, CAST(sum(n_sa) AS BIGINT) AS n_s FROM cells GROUP BY 1
+), matched AS (
+  SELECT CAST(c.r_sa AS DOUBLE) * s.n_s / c.n_sa AS wr,
+         CAST(s.n_s AS DOUBLE) AS wn,
+         c.n_sa
+  FROM cells c JOIN seg_tot s ON c.seg = s.seg
+  WHERE c.arm = (CASE c.seg {_IPS_TARGET_CASE} END)
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(r) AS r_all FROM base
+), agg AS (
+  SELECT sum(wr) AS swr, sum(wn) AS swn,
+         CAST(sum(n_sa) AS BIGINT) AS n_matched
+  FROM matched
+)
+SELECT n, n_matched,
+       round(CAST(r_all AS DOUBLE) / n, 4) AS logged_mean_reward,
+       round(swr / n, 4) AS ips_value,
+       round(swr / swn, 4) AS snips_value
+FROM agg CROSS JOIN tot
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "expected_calibration_error": QuerySpec(
+        _q_expected_calibration_error,
+        _SQL_EXPECTED_CALIBRATION_ERROR,
+        "ECE of the fixed sigmoid scorer over 10 probability bins "
+        "(1e-6-quantized confidences, decimal-exact bin sums)",
+    ),
+    "rmst_signup_purchase": QuerySpec(
+        _q_rmst_signup_purchase,
+        _SQL_RMST_SIGNUP_PURCHASE,
+        "restricted mean survival time at 30 days from the KM curve "
+        "(integer-day identity RMST = sum of S(j) over the day grid)",
+    ),
+    "ips_policy_value": QuerySpec(
+        _q_ips_policy_value,
+        _SQL_IPS_POLICY_VALUE,
+        "off-policy IPS and SNIPS value of a fixed segment->priority "
+        "target policy against the empirical behavior distribution",
+    ),
+}

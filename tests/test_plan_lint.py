@@ -238,6 +238,12 @@ BNLJ_ALLOWED = {
     "runs_test_daily",
     # 1-row mean/c0 broadcasts + 7-row lag scaffold onto the day frame
     "ljung_box_daily",
+    # 1-row example-count broadcast onto the 10-row bin frame
+    "expected_calibration_error",
+    # 30-row day grid band-joined to the bounded KM step frame
+    "rmst_signup_purchase",
+    # 1-row logged-total broadcast onto the matched-cell aggregate
+    "ips_policy_value",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
