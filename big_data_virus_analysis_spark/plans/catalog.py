@@ -4772,6 +4772,10 @@ from .round6_eval2 import SPECS as _ROUND6_EVAL2_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_EVAL2_SPECS)
 
+from .round6_dq3 import SPECS as _ROUND6_DQ3_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_DQ3_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
