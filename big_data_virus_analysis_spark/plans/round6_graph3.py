@@ -43,19 +43,33 @@ def _oriented_and_deg(spark: SparkSession, sf_dir: str):
         F.when(
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            F.struct(
+                F.col("u").alias("s"), F.col("v").alias("t"), F.col("dv").alias("dt")
+            ),
         )
-        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .otherwise(
+            F.struct(
+                F.col("v").alias("s"), F.col("u").alias("t"), F.col("du").alias("dt")
+            )
+        )
         .alias("e")
-    ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    ).select(
+        F.col("e.s").alias("s"), F.col("e.t").alias("t"), F.col("e.dt").alias("dt")
+    )
     return tracked_cache(oriented), deg
 
 
 def _triangles(oriented: DataFrame) -> DataFrame:
-    """Closed triangles as (s, w1, w2) corner rows."""
-    a = oriented.select(F.col("s"), F.col("t").alias("w1"))
-    b = oriented.select(F.col("s"), F.col("t").alias("w2"))
-    wedges = a.join(b, "s").where(F.col("w1") < F.col("w2"))
+    """Closed triangles as (s, w1, w2) corner rows.  The wedge pair is
+    ordered by the SAME (deg, id) rank the orientation uses — id-only
+    ordering loses triangles whose closing edge runs rank-upward but
+    id-downward (tests/test_properties.py caught the original bug)."""
+    a = oriented.select(F.col("s"), F.col("t").alias("w1"), F.col("dt").alias("d1"))
+    b = oriented.select(F.col("s"), F.col("t").alias("w2"), F.col("dt").alias("d2"))
+    wedges = a.join(b, "s").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
+    )
     closing = oriented.select(F.col("s").alias("w1"), F.col("t").alias("w2"))
     return wedges.join(closing, ["w1", "w2"])
 
@@ -102,12 +116,15 @@ _SQL_LOCAL_CLUSTERING_TOPK = _SQL_DUP_EDGES + f"""
   SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
               THEN p.u ELSE p.v END AS s,
          CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
-              THEN p.v ELSE p.u END AS t
+              THEN p.v ELSE p.u END AS t,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+              THEN dv.deg ELSE du.deg END AS dt
   FROM pr p JOIN deg du ON p.u = du.u JOIN deg dv ON p.v = dv.u
 ), tri AS (
   SELECT a.s, a.t AS w1, b.t AS w2
   FROM oriented a
-  JOIN oriented b ON a.s = b.s AND a.t < b.t
+  JOIN oriented b ON a.s = b.s
+    AND (a.dt < b.dt OR (a.dt = b.dt AND a.t < b.t))
   JOIN oriented o ON o.s = a.t AND o.t = b.t
 ), corners AS (
   SELECT s AS node FROM tri
@@ -163,12 +180,15 @@ _SQL_GLOBAL_TRANSITIVITY = _SQL_DUP_EDGES + """
   SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
               THEN p.u ELSE p.v END AS s,
          CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
-              THEN p.v ELSE p.u END AS t
+              THEN p.v ELSE p.u END AS t,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+              THEN dv.deg ELSE du.deg END AS dt
   FROM pr p JOIN deg du ON p.u = du.u JOIN deg dv ON p.v = dv.u
 ), tri AS (
   SELECT CAST(count(*) AS BIGINT) AS n_triangles
   FROM oriented a
-  JOIN oriented b ON a.s = b.s AND a.t < b.t
+  JOIN oriented b ON a.s = b.s
+    AND (a.dt < b.dt OR (a.dt = b.dt AND a.t < b.t))
   JOIN oriented o ON o.s = a.t AND o.t = b.t
 ), wedges AS (
   SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg

@@ -165,16 +165,31 @@ def _q_triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            F.struct(
+                F.col("u").alias("s"), F.col("v").alias("t"), F.col("dv").alias("dt")
+            ),
         )
-        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .otherwise(
+            F.struct(
+                F.col("v").alias("s"), F.col("u").alias("t"), F.col("du").alias("dt")
+            )
+        )
         .alias("e")
-    ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    ).select(
+        F.col("e.s").alias("s"), F.col("e.t").alias("t"), F.col("e.dt").alias("dt")
+    )
     oriented = tracked_cache(oriented)
-    # wedges from the common source, closed by a third oriented edge
-    a = oriented.select(F.col("s"), F.col("t").alias("w1"))
-    b = oriented.select(F.col("s"), F.col("t").alias("w2"))
-    wedges = a.join(b, "s").where(F.col("w1") < F.col("w2"))
+    # wedges from the common source, closed by a third oriented edge.
+    # The wedge pair must be ordered by the SAME (deg, id) rank the
+    # orientation uses — ordering by node id alone loses triangles
+    # whose closing edge runs rank-upward but id-downward (caught by
+    # tests/test_properties.py::test_oriented_triangle_count_...).
+    a = oriented.select(F.col("s"), F.col("t").alias("w1"), F.col("dt").alias("d1"))
+    b = oriented.select(F.col("s"), F.col("t").alias("w2"), F.col("dt").alias("d2"))
+    wedges = a.join(b, "s").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
+    )
     closing = oriented.select(
         F.col("s").alias("w1"), F.col("t").alias("w2")
     )
@@ -199,14 +214,16 @@ _SQL_TRIANGLE_COUNT_DUP_GRAPH = _SQL_DUP_EDGES + """
   SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
               THEN e.u ELSE e.v END AS s,
          CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
-              THEN e.v ELSE e.u END AS t
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN dv.deg ELSE du.deg END AS dt
   FROM pr e
   JOIN deg du ON du.u = e.u
   JOIN deg dv ON dv.u = e.v
 ), wedges AS (
   SELECT a.s, a.t AS w1, b.t AS w2
   FROM oriented a JOIN oriented b USING (s)
-  WHERE a.t < b.t
+  WHERE a.dt < b.dt OR (a.dt = b.dt AND a.t < b.t)
 ), tri AS (
   SELECT count(*) AS n_triangles
   FROM wedges w JOIN oriented o ON o.s = w.w1 AND o.t = w.w2

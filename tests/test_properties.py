@@ -151,14 +151,26 @@ def test_oriented_triangle_count_matches_bruteforce(spark, edges):
         F.when(
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            F.struct(
+                F.col("u").alias("s"), F.col("v").alias("t"), F.col("dv").alias("dt")
+            ),
         )
-        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .otherwise(
+            F.struct(
+                F.col("v").alias("s"), F.col("u").alias("t"), F.col("du").alias("dt")
+            )
+        )
         .alias("e")
-    ).select("e.s", "e.t")
-    a = oriented.selectExpr("s", "t as w1")
-    b = oriented.selectExpr("s", "t as w2")
-    wedges = a.join(b, "s").where(F.col("w1") < F.col("w2"))
+    ).select("e.s", "e.t", "e.dt")
+    # wedge pair ordered by the SAME (deg, id) rank as the orientation —
+    # this test originally ordered by id alone and caught the real bug
+    # in the catalog's degree-ordered triangle queries
+    a = oriented.selectExpr("s", "t as w1", "dt as d1")
+    b = oriented.selectExpr("s", "t as w2", "dt as d2")
+    wedges = a.join(b, "s").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
+    )
     closing = oriented.selectExpr("s as w1", "t as w2")
     got = wedges.join(closing, ["w1", "w2"]).count()
     assert got == want
@@ -201,3 +213,168 @@ def test_islands_merge_matches_bruteforce(spark, positions, span_l):
         .collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Formulation identities shared by BOTH engines (pure Python — these guard
+# against the one failure mode the dual-engine oracle CANNOT catch: a wrong
+# mathematical rewrite that Spark and DuckDB would both faithfully compute)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),   # n_i (weight)
+            st.integers(min_value=0, max_value=50),   # pos_i <= n_i enforced below
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_isotonic_minimax_identity_matches_pava(bins):
+    """round6_causal.isotonic_calibration_deciles computes the isotonic
+    fit via fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k]).  Verify that
+    identity against the classic pool-adjacent-violators loop."""
+    n = [b[0] for b in bins]
+    pos = [min(b[1], b[0]) for b in bins]
+    m = len(bins)
+
+    def seg_mean(j, k):
+        return sum(pos[j : k + 1]) / sum(n[j : k + 1])
+
+    minimax = [
+        max(min(seg_mean(j, k) for k in range(i, m)) for j in range(i + 1))
+        for i in range(m)
+    ]
+
+    # reference PAVA: merge adjacent violating pools
+    pools = [[n[i], pos[i], 1] for i in range(m)]  # [weight, pos, n_bins]
+    i = 0
+    while i < len(pools) - 1:
+        if pools[i][1] / pools[i][0] > pools[i + 1][1] / pools[i + 1][0] + 1e-12:
+            pools[i][0] += pools[i + 1][0]
+            pools[i][1] += pools[i + 1][1]
+            pools[i][2] += pools[i + 1][2]
+            del pools[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    fitted = []
+    for w_total, p_total, n_bins in pools:
+        fitted.extend([p_total / w_total] * n_bins)
+    assert len(fitted) == m
+    for a, b in zip(minimax, fitted):
+        assert abs(a - b) < 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=3, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_binseg_gain_matches_bruteforce_sse(ys):
+    """round6_ts4.binseg_changepoint_daily scores each split with
+    gain = SST - (SSE_left + SSE_right) from prefix sums.  Verify the
+    prefix-sum algebra against directly computed SSEs."""
+    n = len(ys)
+
+    def sse(seg):
+        if not seg:
+            return 0.0
+        mu = sum(seg) / len(seg)
+        return sum((v - mu) ** 2 for v in seg)
+
+    sst = sse(ys)
+    # prefix-sum formulation
+    best_prefix = None
+    cn = cs = cq = 0
+    ts_, tq = sum(ys), sum(v * v for v in ys)
+    for k in range(n - 1):
+        cn += 1
+        cs += ys[k]
+        cq += ys[k] * ys[k]
+        nl, nr = cn, n - cn
+        sl, sr = cs, ts_ - cs
+        ql, qr = cq, tq - cq
+        gain = (tq - ts_ * ts_ / n) - ((ql - sl * sl / nl) + (qr - sr * sr / nr))
+        direct = sst - (sse(ys[: k + 1]) + sse(ys[k + 1 :]))
+        assert abs(gain - direct) < 1e-6 * max(1.0, abs(direct))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=1.0, max_value=50.0),  # demand size
+            st.integers(min_value=1, max_value=30),    # interval
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_croston_fold_matches_loop(pairs):
+    """round6_ts4.croston_intermittent_demand folds (size, interval)
+    pairs with the seed = first pair (DuckDB list_reduce has no init).
+    Verify against the explicit smoothing loop."""
+    a = 0.1
+    z, q = pairs[0]
+    for d, i in pairs[1:]:
+        z = a * d + (1 - a) * z
+        q = a * i + (1 - a) * q
+    # fold formulation (same recurrence, acc seeded from element 1)
+    acc = [pairs[0][0], float(pairs[0][1])]
+    for d, i in pairs[1:]:
+        acc = [a * d + (1 - a) * acc[0], a * i + (1 - a) * acc[1]]
+    assert abs(acc[0] - z) < 1e-12 and abs(acc[1] - q) < 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=29),  # event time (days)
+            st.booleans(),                           # event vs censored
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_rmst_day_grid_identity(durations):
+    """round6_eval2.rmst_signup_purchase uses the integer-day identity
+    RMST(tau) = sum_{j<tau} S(j).  Verify it equals the stepwise
+    integral of the KM curve computed directly."""
+    tau = 30
+    times = sorted(set(d for d, _ in durations))
+    n_total = len(durations)
+
+    def at_risk(t):
+        return sum(1 for d, _ in durations if d >= t)
+
+    # KM step function
+    surv = 1.0
+    s_at = {}
+    for t in times:
+        d_t = sum(1 for d, e in durations if d == t and e)
+        n_t = at_risk(t)
+        if d_t and n_t:
+            surv *= 1.0 - d_t / n_t
+        s_at[t] = surv
+
+    def S(u):
+        out = 1.0
+        for t in times:
+            if t <= u:
+                out = s_at[t]
+        return out
+
+    grid_sum = sum(S(j) for j in range(tau))
+    # classic RMST: integral of the step function segmented at the
+    # (integer) event times — independent of the per-day grid walk
+    # the KM step drops AT each event time t (S(u) includes the drop
+    # for u >= t), so the constant segments are [t_i, t_{i+1})
+    knots = sorted(set([0] + [t for t in times if 0 < t < tau] + [tau]))
+    integral = 0.0
+    for lo, hi in zip(knots, knots[1:]):
+        integral += S(lo) * (hi - lo)
+    assert abs(grid_sum - integral) < 1e-9
