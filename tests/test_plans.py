@@ -632,3 +632,27 @@ def test_bi_dashboard_single_fact_scan_per_grain(spark):
     finally:
         release_tracked_caches()
         spark.catalog.clearCache()
+
+
+def test_observe_metrics_piggyback(spark):
+    """df.observe(Observation, ...) collects row-level metrics ON the
+    same action (accumulator-style) — the zero-extra-pass way to get
+    ingest counters next to a query's own result.  The observed count
+    must equal the action's count, and the sum must match a directly
+    computed aggregate."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_stats")
+    base = CATALOG["scan_filter_project"].spark(spark, SMOKE_SF_DIR)
+    watched = base.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length(F.col(base.columns[0]).cast("string"))).alias("key_bytes"),
+    )
+    n = watched.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    direct = base.agg(
+        F.sum(F.length(F.col(base.columns[0]).cast("string")))
+    ).first()[0]
+    assert got["key_bytes"] == direct
