@@ -4776,6 +4776,10 @@ from .round6_dq3 import SPECS as _ROUND6_DQ3_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_DQ3_SPECS)
 
+from .round6_final import SPECS as _ROUND6_FINAL_SPECS  # noqa: E402
+
+_register_pack(_ROUND6_FINAL_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

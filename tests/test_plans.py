@@ -656,3 +656,14 @@ def test_observe_metrics_piggyback(spark):
         F.sum(F.length(F.col(base.columns[0]).cast("string")))
     ).first()[0]
     assert got["key_bytes"] == direct
+
+
+def test_star_join_all_dims_broadcast(spark):
+    """The 4-table star rollup must broadcast EVERY dimension: one fact
+    scan, zero shuffle joins (BroadcastHashJoin only), no
+    SortMergeJoin / ShuffledHashJoin anywhere in the plan."""
+    plan = fmt_plan(CATALOG["star_join_region_priority"].spark(spark, SMOKE_SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("orders.parquet") == 1
