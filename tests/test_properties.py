@@ -378,3 +378,100 @@ def test_rmst_day_grid_identity(durations):
     for lo, hi in zip(knots, knots[1:]):
         integral += S(lo) * (hi - lo)
     assert abs(grid_sum - integral) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=1000),  # price (distinct-able)
+            st.integers(min_value=1, max_value=20),    # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_weighted_lower_median_rule(rows):
+    """round6_olap2.weighted_median_by_brand picks min{price : 2*cumw >=
+    total} over the value-grouped frame.  Verify against the direct
+    definition on the EXPANDED multiset (smallest x whose cumulative
+    weight reaches half the total)."""
+    from collections import defaultdict
+
+    agg = defaultdict(int)
+    for p, w in rows:
+        agg[p] += w
+    prices = sorted(agg)
+    total = sum(agg.values())
+    # rule under test
+    cum = 0
+    rule = None
+    for p in prices:
+        cum += agg[p]
+        if 2 * cum >= total:
+            rule = p
+            break
+    # direct definition on the expanded values
+    expanded = sorted(p for p, w in rows for _ in range(w))
+    cum2 = 0
+    direct = None
+    for x in expanded:
+        cum2 += 1
+        if 2 * cum2 >= total:
+            direct = x
+            break
+    assert rule == direct
+
+
+@given(st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_tied_rank2_identity(vals):
+    """The shared 2x-average-rank trick (mann_whitney_u_test,
+    kruskal_wallis_segments, spearman_price_quantity): for each
+    distinct value, rank2 = (cum - cnt + 1) + cum must equal twice the
+    average of the positions its ties occupy in the sorted order."""
+    from collections import Counter
+
+    cnt = Counter(vals)
+    ordered = sorted(cnt)
+    cum = 0
+    for v in ordered:
+        c = cnt[v]
+        cum += c
+        rank2 = (cum - c + 1) + cum
+        # direct: positions are (cum-c+1)..cum in the sorted multiset
+        positions = list(range(cum - c + 1, cum + 1))
+        avg = sum(positions) / len(positions)
+        assert rank2 == int(2 * avg)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_abc_prefix_share_classification(revs):
+    """round6_olap2.abc_analysis_parts classifies by cumulative revenue
+    share thresholds over the (rev desc, key) order.  Verify the
+    prefix-share rule reproduces the direct greedy classification."""
+    items = sorted(enumerate(revs), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(revs)
+    if total == 0:
+        return
+    cum = 0
+    classes = {}
+    for key, rev in items:
+        cum += rev
+        share = cum / total
+        classes[key] = "A" if share <= 0.70 else ("B" if share <= 0.90 else "C")
+    # direct greedy: walk until 70% covered -> A, until 90% -> B, rest C
+    cum2 = 0
+    direct = {}
+    for key, rev in items:
+        cum2 += rev
+        if cum2 <= 0.70 * total:
+            direct[key] = "A"
+        elif cum2 <= 0.90 * total:
+            direct[key] = "B"
+        else:
+            direct[key] = "C"
+    assert classes == direct
