@@ -53,11 +53,16 @@ _PASS_THROUGH = {
     # cached plan is linted separately via the detail sections
 }
 
-#: nodes that cap the row count flowing upward at a constant k
+#: nodes that cap the row count flowing upward at a constant k.
+#: LocalLimit is deliberately ABSENT: it only caps rows per partition
+#: (k × numPartitions, which grows with input splits), so a bare
+#: LocalLimit between a Window and its source is NOT a bound.  Catalyst
+#: always pairs LocalLimit with a GlobalLimit / CollectLimit /
+#: TakeOrderedAndProject in the shapes we emit, and those are the
+#: entries that clear the window.  (Round-6 ADVICE low.)
 _BOUNDING = {
     "TakeOrderedAndProject",
     "GlobalLimit",
-    "LocalLimit",
     "CollectLimit",
     "WindowGroupLimit",
 }

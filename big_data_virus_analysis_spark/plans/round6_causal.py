@@ -576,9 +576,18 @@ def _q_logrank_two_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_micros("ts").alias("pu")
     )
     horizon = events.agg(F.max(F.unix_micros("ts")).alias("hz"))
+    # The post-signup predicate must live in the JOIN CONDITION, not a
+    # post-join filter: a bare left join + where(pu.isNull() | pu > su)
+    # DROPS users whose purchases all precede signup (every matched row
+    # fails the filter), while the SQL twin keeps them as censored.
+    # (Round-6 ADVICE medium.)
     timed = (
-        su.join(pu, "user_id", "left")
-        .where(F.col("pu").isNull() | (F.col("pu") > F.col("su")))
+        su.join(
+            pu,
+            (su["user_id"] == pu["user_id"]) & (pu["pu"] > su["su"]),
+            "left",
+        )
+        .select(su["user_id"], su["su"], pu["pu"])
         .groupBy("user_id", "su")
         .agg(F.min("pu").alias("first_pu"))
         .crossJoin(F.broadcast(horizon))

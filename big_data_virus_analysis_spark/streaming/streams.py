@@ -594,7 +594,8 @@ def views_answered_semi(
 
     State stays bounded exactly as in the inner join: views are evicted
     once the watermark passes view_ts + horizon.  Output:
-    (user_id, view_id, view_ts).
+    (user_id, view_id, view_us) — view_us is the view timestamp in unix
+    microseconds.
     """
     v = _with_watermark(events.where(F.col("event_type") == "view"), watermark).select(
         F.col("user_id").alias("v_user"),

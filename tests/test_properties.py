@@ -383,6 +383,67 @@ def test_rmst_day_grid_identity(durations):
 @given(
     st.lists(
         st.tuples(
+            st.integers(min_value=0, max_value=29),  # event time (days)
+            st.booleans(),                           # event vs censored
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_rmst_plan_aggregation_identity(durations):
+    """Mirror the EXACT aggregation round6_eval2.rmst_signup_purchase
+    performs — cumlog prefix sum over event times, then per grid day j
+    take ``min(cumlog)`` among event times <= j (NOT max: cumlog is
+    strictly decreasing in duration, so max picks the EARLIEST factor
+    and overstates S(j); the round-6 ADVICE-high bug).  Compare to the
+    direct KM step function."""
+    import math
+
+    tau = 30
+    times = sorted(set(d for d, _ in durations))
+
+    # direct KM
+    surv, s_at = 1.0, {}
+    for t in times:
+        d_t = sum(1 for d, e in durations if d == t and e)
+        n_t = sum(1 for d, _ in durations if d >= t)
+        if d_t and n_t:
+            surv *= 1.0 - d_t / n_t
+        s_at[t] = surv
+
+    def S_direct(u):
+        out = 1.0
+        for t in times:
+            if t <= u:
+                out = s_at[t]
+        return out
+
+    # plan's formulation: cumlog rows only where d > 0, min(cumlog <= j)
+    cum, km_rows = 0.0, []
+    for t in times:
+        d_t = sum(1 for d, e in durations if d == t and e)
+        n_t = sum(1 for d, _ in durations if d >= t)
+        if d_t > 0:
+            if d_t == n_t:
+                # S hits exactly 0; ln(0) = -inf represents that step
+                cum = -math.inf
+            else:
+                cum += math.log(1.0 - d_t / n_t)
+            km_rows.append((t, cum))
+
+    def S_plan(j):
+        cands = [c for t, c in km_rows if t <= j]
+        return math.exp(min(cands)) if cands else 1.0
+
+    rmst_plan = sum(S_plan(j) for j in range(tau))
+    rmst_direct = sum(S_direct(j) for j in range(tau))
+    assert abs(rmst_plan - rmst_direct) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
             st.integers(min_value=1, max_value=1000),  # price (distinct-able)
             st.integers(min_value=1, max_value=20),    # weight
         ),
