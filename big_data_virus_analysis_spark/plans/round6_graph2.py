@@ -10,8 +10,10 @@ production fix (it is also what makes the association-rule family
 tractable): at sf0.01 it leaves 3.4k edges with max degree 13 and 13.4k
 wedges.  At 100 TB the same knob holds — the first aggregation is a
 partial-agg ``(order, part)`` pair count whose output shrinks with the
-threshold, and an explicit degree cap on the wedge pivot can be added
-on top for adversarial hubs.
+threshold, and the wedge pivot additionally carries an explicit
+degree cap (``_AA_HUB_CAP``) for adversarial hubs the threshold alone
+cannot stop — excluded hub mass is reported in the output's audit
+columns so the approximation is observable, not silent.
 
 * ``adamic_adar_linkpred`` — Adamic–Adar link prediction scores for
   NON-adjacent pairs: AA(x,y) = sum over common neighbors z of
@@ -50,6 +52,16 @@ from .catalog import QuerySpec
 
 _MIN_COORDERS = 2
 _AA_TOPK = 20
+#: hub-degree cap on the wedge pivot: a common neighbor z with
+#: deg(z) > _AA_HUB_CAP would emit deg(z)^2 wedges while contributing
+#: only 1/ln(deg(z)) <= 1/ln(65) ~ 0.24 per pair — negligible mass for
+#: quadratic cost, and under adversarial skew (a part co-ordered with
+#: everything) the min-support threshold alone does not stop the
+#: densification.  Same df-cap discipline as ``_PR_DF_CAP = 64`` in
+#: plans/round6_ops.py.  The excluded mass is reported in the output's
+#: ``capped_hubs`` / ``capped_mass_ub`` audit columns (a 1-row
+#: broadcast), so a consumer can see exactly what the cap dropped.
+_AA_HUB_CAP = 64
 _KCORE_K = 3
 _KCORE_ROUNDS = 3
 
@@ -102,13 +114,37 @@ def _q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     ).transform(tracked_cache)
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    deg = tracked_cache(adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     # z-centered wedge join: (z -> x) x (z -> y), x < y; contribution
-    # 1/ln(deg(z)) rides along as exact decimal
-    pivot = adj.join(deg, "node").select(
+    # 1/ln(deg(z)) rides along as exact decimal.  Hub pivots
+    # (deg > _AA_HUB_CAP) are excluded BEFORE pairing — they cost
+    # deg^2 wedges for <=1/ln(cap+1) mass each — and their total mass
+    # is surfaced as an audit column instead.
+    pivot = adj.join(deg, "node").where(F.col("deg") <= _AA_HUB_CAP).select(
         "node",
         "nbr",
         (F.lit(1.0) / F.log(F.col("deg").cast("double"))).cast(_AA_DEC).alias("contrib"),
+    )
+    # 1-row audit: how many pivots the cap removed and the max score
+    # mass (upper bound) any single pair could have lost
+    cap_audit = deg.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("deg") > _AA_HUB_CAP, F.lit(1))), F.lit(0)
+        ).alias("capped_hubs"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("deg") > _AA_HUB_CAP,
+                        (F.lit(1.0) / F.log(F.col("deg").cast("double"))).cast(
+                            _AA_DEC
+                        ),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("capped_mass_ub"),
     )
     wedges = (
         pivot.alias("a")
@@ -132,11 +168,14 @@ def _q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         non_edges.orderBy(F.col("score_dec").desc(), F.asc("x"), F.asc("y"))
         .limit(_AA_TOPK)
+        .crossJoin(F.broadcast(cap_audit))
         .select(
             "x",
             "y",
             "n_common",
             F.round(F.col("score_dec").cast("double"), 6).alias("aa_score"),
+            "capped_hubs",
+            "capped_mass_ub",
         )
     )
 
@@ -149,10 +188,19 @@ _SQL_ADAMIC_ADAR_LINKPRED = (
   SELECT v AS node, u AS nbr FROM e
 ), deg AS (
   SELECT node, count(*) AS deg FROM adj GROUP BY node
+), cap_audit AS (
+  -- pivots the hub cap removed + the max per-pair mass they carried
+  SELECT CAST(coalesce(sum(CASE WHEN deg > {_AA_HUB_CAP} THEN 1 END), 0)
+              AS BIGINT) AS capped_hubs,
+         round(coalesce(CAST(sum(CASE WHEN deg > {_AA_HUB_CAP} THEN
+                 CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(28,12))
+               END) AS DOUBLE), 0.0), 6) AS capped_mass_ub
+  FROM deg
 ), piv AS (
   SELECT adj.node, adj.nbr,
          CAST(1.0 / ln(CAST(deg.deg AS DOUBLE)) AS DECIMAL(28,12)) AS contrib
   FROM adj JOIN deg USING (node)
+  WHERE deg.deg <= {_AA_HUB_CAP}
 ), wedges AS (
   SELECT a.nbr AS x, b.nbr AS y, a.contrib
   FROM piv a JOIN adj b ON a.node = b.node
@@ -165,8 +213,9 @@ _SQL_ADAMIC_ADAR_LINKPRED = (
   WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.x AND e.v = c.y)
 )
 SELECT x, y, CAST(n_common AS BIGINT) AS n_common,
-       round(CAST(score_dec AS DOUBLE), 6) AS aa_score
-FROM non_edges
+       round(CAST(score_dec AS DOUBLE), 6) AS aa_score,
+       capped_hubs, capped_mass_ub
+FROM non_edges CROSS JOIN cap_audit
 ORDER BY score_dec DESC, x ASC, y ASC
 LIMIT {_AA_TOPK}
 """

@@ -81,6 +81,8 @@ BNLJ_ALLOWED = {
     "idle_customer_balance",
     # single-row basket-total broadcast (like info_gain_topk)
     "association_rules_parts",
+    # single-row hub-cap audit broadcast crossed onto the top-20 rows
+    "adamic_adar_linkpred",
     # single-row corpus-scalars broadcast (N, avgdl)
     "bm25_search",
     # single-row corpus-count broadcast (relative df threshold)
