@@ -9,21 +9,30 @@ N_RUNS times; the headline number is the per-query MEDIAN (single-digit
 plan change from scheduler noise), with per-query [min, max] spread
 reported alongside.
 
-Round-5 hygiene (the r4 "regressions" were harness-state, not code —
-scripts/bisect_r4_regressions.py showed all three suspect queries at or
-below their r3 medians in a fresh JVM):
+Round-7 restructure (r6 VERDICT directive #1): the headline is split
+into GROUPS of <= _GROUP_SIZE queries, each group measured in its OWN
+subprocess JVM.  The r4 and r6 bisects (scripts/bisect_r4_regressions
+.py, scripts/bisect_r6_drift.py + BISECT_R6_DRIFT.json) both proved
+that a long single-JVM session taxes late measurements by 25-45%
+(code-cache/JIT/heap state), and the tax GREW with the headline count
+(33 -> 48 queries r5 -> r6 drove a +18% phantom "regression" with zero
+plan changes).  Fixed-order grouping means new headline entries only
+perturb the last group; every earlier query keeps its fresh-JVM
+timing basis round over round.  Set SPARK_GRAFT_BENCH_SINGLE_JVM=1 to
+force the old in-process path (debugging).
 
-* tracked caches are RELEASED and a JVM GC is hinted between queries,
-  so a long 33-query session doesn't inflate late measurements with
-  accumulated cache entries and Py4J-pinned plan objects;
+Round-5 hygiene retained inside each worker:
+
+* tracked caches are RELEASED and a JVM GC is hinted between queries;
 * every scale factor is measured the same way — warm-up run, then
   median of N_RUNS — so the fitted log-log exponents compare
-  like-for-like (previously the base SF was a warm median but the
-  smaller SFs were single cold runs, biasing exponents low);
+  like-for-like;
 * the FINAL stdout line is a compact (<1800 chars) JSON summary —
   medians, total, worst exponent — because the driver records only the
   last 2000 chars of output.  The complete payload (spreads, per-SF
-  scaling map) goes to BENCH_FULL.json and an earlier stdout line.
+  scaling map) goes to BENCH_FULL.json (UNTRACKED as of r7 — the
+  driver's reruns overwrite it; the round's committed record is the
+  BENCH_FULL_r{N}.json snapshot) and an earlier stdout line.
 """
 
 from __future__ import annotations
@@ -32,18 +41,16 @@ import json
 import math
 import os
 import statistics
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from big_data_virus_analysis_spark.operators.caching import (  # noqa: E402
-    release_tracked_caches,
-)
-from big_data_virus_analysis_spark.plans.catalog import CATALOG  # noqa: E402
-from big_data_virus_analysis_spark.session import get_spark  # noqa: E402
-
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+#: max queries measured per subprocess JVM
+_GROUP_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_GROUP_SIZE", "12"))
 
 HEADLINE = [
     # reference-parity core
@@ -121,73 +128,75 @@ HEADLINE = [
     "bi_dashboard_e2e",
 ]
 
-
-def _reset(spark) -> None:
-    """Between-measurement hygiene: drop every cache and hint a JVM GC
-    so a query's measurement never pays for its predecessors' state."""
-    release_tracked_caches()
-    spark.catalog.clearCache()
-    try:
-        spark._jvm.System.gc()
-    except Exception:
-        pass
-
-
-def _run_once(spark, name: str, d: str) -> float:
-    t0 = time.perf_counter()
-    CATALOG[name].spark(spark, d).write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t0
-    _reset(spark)
-    return dt
+#: queries with an extra synthetic-sf1 scaling leg when
+#: $SPARK_GRAFT_SF1_DIR is set (scripts/make_sf1.py)
+SF1_FAMILY = {
+    "dedup_cluster_assign_two_phase",
+    "dedup_incremental_batch",
+    "dup_span_doc_fraction",
+    "minhash_lsh_pairs",
+    "semantic_dedup_pairs",
+    "dedup_pipeline_e2e",
+}
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+# --------------------------------------------------------------------------
+# worker: measure one group of queries in THIS process's JVM
+# --------------------------------------------------------------------------
+
+
+def _measure_group(names: list[str], sf_dir: str, sf: str) -> dict:
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+    from big_data_virus_analysis_spark.plans.catalog import CATALOG
+    from big_data_virus_analysis_spark.session import get_spark
+
     spark = get_spark("bdva-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in CATALOG]
+    def _reset() -> None:
+        release_tracked_caches()
+        spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
-    # Steady-state warmup: run every headline plan once at sf0.001 so
-    # the measured window times execution, not one-time JVM/codegen
+    def _run_once(name: str, d: str) -> float:
+        t0 = time.perf_counter()
+        CATALOG[name].spark(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        _reset()
+        return dt
+
+    names = [n for n in names if n in CATALOG]
+
+    # Steady-state warmup: run every plan once at sf0.001 so the
+    # measured window times execution, not one-time JVM/codegen
     # compilation (whole-stage codegen compiles per plan shape; at the
     # 100 TB design point compile time is noise, at sf0.1 it would
     # dominate several queries).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for name in names:
-        _run_once(spark, name, "/root/testdata/sf0.001")
+        _run_once(name, "/root/testdata/sf0.001")
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
-        runs = [_run_once(spark, name, sf_dir) for _ in range(N_RUNS)]
+        runs = [_run_once(name, sf_dir) for _ in range(N_RUNS)]
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     # Measured scaling curve: median of N_RUNS at EVERY scale factor
-    # (the sf0.001 warm-up above doubles as each query's warm-up run),
-    # so the 100x claims rest on like-for-like medians.  The per-query
-    # exponent is the log-log slope between the two LARGEST measured
-    # SFs (the smallest is fixed-overhead-dominated); sub-linear
-    # exponents mean constant overhead still dominates at these sizes,
-    # n-squared pair generators are expected near their blocked/banded
-    # bound, everything else should sit at or below ~1.  Disable with
+    # (the sf0.001 warm-up above doubles as each query's warm-up run).
+    # The per-query exponent is the log-log slope between the two
+    # LARGEST measured SFs; the interval brackets the fit over the
+    # run-to-run min/max at the two fitted SFs.  Disable with
     # SPARK_GRAFT_SCALING=0.
-    # Optional fourth decade: $SPARK_GRAFT_SF1_DIR points at a synthetic
-    # sf1 built by scripts/make_sf1.py (10x-replicated sf0.1, offset
-    # ids).  Only the expensive family runs there — the queries whose
-    # scale behaviour matters most — so their exponents are fitted over
-    # sf0.001→1, three decades.
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "")
-    sf1_family = {
-        "dedup_cluster_assign_two_phase",
-        "dedup_incremental_batch",
-        "dup_span_doc_fraction",
-        "minhash_lsh_pairs",
-        "semantic_dedup_pairs",
-        "dedup_pipeline_e2e",
-    }
     scaling: dict[str, dict[str, float]] = {}
     scaling_spread: dict[str, dict[str, list[float]]] = {}
     exponents: dict[str, float] = {}
@@ -202,11 +211,11 @@ def main() -> None:
                 d = os.path.join(base, f"sf{s}")
                 if not os.path.isdir(d):
                     continue
-                runs = [_run_once(spark, name, d) for _ in range(N_RUNS)]
+                runs = [_run_once(name, d) for _ in range(N_RUNS)]
                 per[s] = round(statistics.median(runs), 3)
                 per_spread[s] = [round(min(runs), 3), round(max(runs), 3)]
-            if sf1_dir and name in sf1_family and os.path.isdir(sf1_dir):
-                runs = [_run_once(spark, name, sf1_dir) for _ in range(N_RUNS)]
+            if sf1_dir and name in SF1_FAMILY and os.path.isdir(sf1_dir):
+                runs = [_run_once(name, sf1_dir) for _ in range(N_RUNS)]
                 per["1"] = round(statistics.median(runs), 3)
                 per_spread["1"] = [round(min(runs), 3), round(max(runs), 3)]
             scaling[name] = {k: per[k] for k in sorted(per, key=float)}
@@ -221,11 +230,6 @@ def main() -> None:
                     exponents[name] = round(
                         math.log(per[s2] / per[s1]) / denom, 2
                     )
-                    # r5 judge directive: one exponent number, WITH its
-                    # spread — the interval brackets the fit over the
-                    # run-to-run min/max at the two fitted SFs, so
-                    # round-over-round drift inside the interval is
-                    # noise, outside it is a finding
                     lo1, hi1 = per_spread[s1]
                     lo2, hi2 = per_spread[s2]
                     if hi1 > 0 and lo2 > 0:
@@ -234,35 +238,130 @@ def main() -> None:
                             round(math.log(hi2 / lo1) / denom, 2),
                         ]
 
-    total = round(sum(timings.values()), 3)
-    payload = {
-        "metric": "headline_queries_total",
-        "unit": "sec",
-        "n_runs": N_RUNS,
+    return {
         "spread": spread,
         "scaling": scaling,
         "scaling_spread": scaling_spread,
         "queries": timings,
         "scaling_exponent": exponents,
         "exponent_interval": exponent_interval,
+    }
+
+
+def _worker_main(out_path: str) -> None:
+    names = os.environ["SPARK_GRAFT_BENCH_NAMES"].split(",")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = _measure_group(names, sf_dir, sf)
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+# --------------------------------------------------------------------------
+# parent: spawn one JVM per group, merge, print
+# --------------------------------------------------------------------------
+
+
+def _merge(parts: list[dict]) -> dict:
+    merged: dict = {
+        "spread": {},
+        "scaling": {},
+        "scaling_spread": {},
+        "queries": {},
+        "scaling_exponent": {},
+        "exponent_interval": {},
+    }
+    for p in parts:
+        for key in merged:
+            merged[key].update(p.get(key, {}))
+    return merged
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker-out":
+        _worker_main(sys.argv[2])
+        return
+
+    names = list(HEADLINE)
+    # triage hook: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the headline
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        chosen = set(only.split(","))
+        names = [n for n in names if n in chosen]
+    groups = [
+        names[i : i + _GROUP_SIZE] for i in range(0, len(names), _GROUP_SIZE)
+    ]
+
+    parts: list[dict] = []
+    if os.environ.get("SPARK_GRAFT_BENCH_SINGLE_JVM", "") == "1":
+        parts.append(_measure_group(names, sf_dir, sf))
+    else:
+        here = os.path.abspath(__file__)
+        for gi, group in enumerate(groups):
+            with tempfile.NamedTemporaryFile(
+                suffix=f".bench_g{gi}.json", delete=False
+            ) as tf:
+                out_path = tf.name
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_NAMES"] = ",".join(group)
+            proc = subprocess.run(
+                [sys.executable, here, "--worker-out", out_path],
+                env=env,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            ok = proc.returncode == 0 and os.path.getsize(out_path) > 0
+            if ok:
+                with open(out_path) as f:
+                    parts.append(json.load(f))
+            else:
+                # fall back to measuring this group in-process so one
+                # bad worker can't zero out a twelfth of the headline
+                print(
+                    f"bench: worker group {gi} failed rc={proc.returncode}; "
+                    "re-measuring in-process",
+                    file=sys.stderr,
+                )
+                parts.append(_measure_group(group, sf_dir, sf))
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+
+    merged = _merge(parts)
+    timings = merged["queries"]
+    exponents = merged["scaling_exponent"]
+    exponent_interval = merged["exponent_interval"]
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "n_runs": N_RUNS,
+        "group_size": _GROUP_SIZE,
+        "n_groups": len(parts),
+        **merged,
         "value": total,
         "sf": float(sf),
     }
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            ),
             "w",
         ) as f:
             json.dump(payload, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout still carries everything
-    # Full payload first (committed record lives in BENCH_FULL.json)...
+    # Full payload first (untracked working record in BENCH_FULL.json;
+    # the committed round record is the BENCH_FULL_r{N}.json snapshot)...
     print(json.dumps(payload))
     # ...then a compact summary as the VERY LAST line: the driver keeps
     # only the final 2000 chars of stdout, so this line must stand
-    # alone and parse.  Budget: ~35 query medians at ~30 chars each
-    # stays well under 1800; if the catalog ever outgrows that, the
-    # medians are truncated to the most expensive entries.
+    # alone and parse.
     compact = {
         "metric": "headline_queries_total",
         "value": total,
@@ -270,6 +369,7 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "n_runs": N_RUNS,
+        "jvm_groups": len(parts),
         "worst_exponent": max(exponents.values()) if exponents else None,
         "worst_exponent_interval": (
             exponent_interval.get(max(exponents, key=exponents.get))
@@ -280,7 +380,9 @@ def main() -> None:
     }
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1800:
-        keep = sorted(timings, key=timings.get, reverse=True)[: max(1, len(compact["queries"]) - 5)]
+        keep = sorted(timings, key=timings.get, reverse=True)[
+            : max(1, len(compact["queries"]) - 5)
+        ]
         compact["queries"] = {k: timings[k] for k in keep}
         compact["queries_truncated_to_top"] = len(keep)
         line = json.dumps(compact, separators=(",", ":"))
