@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 from ..operators.caching import tracked_cache
 from .catalog import QuerySpec
-from .round6_ir import _dup_edges, _SQL_DUP_EDGES
+from ..operators.graph_edges import dup_graph_edges as _dup_edges
+from ..operators.graph_edges import dup_graph_edges_ctes
+
+_SQL_DUP_EDGES = dup_graph_edges_ctes()
 
 _LC_TOPK = 10
 

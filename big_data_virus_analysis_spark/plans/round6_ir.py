@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.caching import tracked_cache
+from ..operators.graph_edges import dup_graph_edges, dup_graph_edges_ctes
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 
@@ -89,64 +90,11 @@ FROM hits GROUP BY doc_id
 # shared near-dup graph (same construction as pagerank_dup_graph_exact)
 # --------------------------------------------------------------------------
 
-_TRI_GRAM_L = 8
-_TRI_MIN_SHARED = 5
-#: hot-gram cutoff (same rationale and value as the PageRank twin):
-#: boilerplate grams contribute quadratically many candidate pairs
-_TRI_DF_CAP = 64
-
-
-def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected near-dup edge list (u < v), one row per edge."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("_toks"))
-    positions = F.when(
-        F.size("_toks") >= _TRI_GRAM_L,
-        F.sequence(F.lit(1), F.size("_toks") - _TRI_GRAM_L + 1),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = tracked_cache(
-        toks.select("doc_id", F.explode(positions).alias("pos"), "_toks")
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("_toks", F.col("pos"), _TRI_GRAM_L)).alias("gram"),
-        )
-        .distinct()
-    )
-    cool = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("gdf"))
-        .where(F.col("gdf") <= _TRI_DF_CAP)
-        .select("gram")
-    )
-    capped = grams.join(cool, "gram")
-    return (
-        capped.alias("a")
-        .join(capped.alias("b"), "gram")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= _TRI_MIN_SHARED)
-        .select("u", "v")
-    )
-
-
-_SQL_DUP_EDGES = f"""
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-), g AS (
-  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_TRI_GRAM_L}-1], ' ') AS gram
-  FROM t, UNNEST(range(1, greatest(len(toks) - {_TRI_GRAM_L} + 2, 1))) AS u(i)
-), cool AS (
-  SELECT gram FROM g GROUP BY gram HAVING count(*) <= {_TRI_DF_CAP}
-), gc AS (
-  SELECT g.doc_id, g.gram FROM g JOIN cool USING (gram)
-), pr AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM gc a JOIN gc b USING (gram)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-  HAVING count(*) >= {_TRI_MIN_SHARED}
-)"""
+# r7: the edge derivation moved to operators/graph_edges.py (one
+# builder, three consumers — r6 VERDICT directive #3); these aliases
+# keep this pack's query bodies and downstream imports unchanged.
+_dup_edges = dup_graph_edges
+_SQL_DUP_EDGES = dup_graph_edges_ctes()
 
 
 def _q_triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

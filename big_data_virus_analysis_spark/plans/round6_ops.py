@@ -55,6 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import graph_edges
 from ..operators.caching import tracked_cache
 from ..sources.tables import load_table
 from .catalog import QuerySpec
@@ -63,46 +64,18 @@ from .catalog import QuerySpec
 # pagerank_dup_graph_exact
 # --------------------------------------------------------------------------
 
-_PR_GRAM_L = 8
-_PR_MIN_SHARED = 5
+# r7: gram length / hot-gram cap / min-shared support now live in
+# operators/graph_edges.py (GRAM_L=8, DF_CAP=64, MIN_SHARED=5 — one
+# builder, three consumers; r6 VERDICT directive #3).  The historical
+# names stay as aliases because docstrings/tests cite them.
+_PR_GRAM_L = graph_edges.GRAM_L
+_PR_MIN_SHARED = graph_edges.MIN_SHARED
 _PR_D = 0.85
-#: hot-gram cutoff: a gram appearing in more than this many documents
-#: contributes quadratically many pairs (boilerplate) — drop it before
-#: pairing, the same discipline as the dedup family's hot-shingle cap
-_PR_DF_CAP = 64
+_PR_DF_CAP = graph_edges.DF_CAP
 
 
 def _q_pagerank_dup_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("_toks"))
-    positions = F.when(
-        F.size("_toks") >= _PR_GRAM_L,
-        F.sequence(F.lit(1), F.size("_toks") - _PR_GRAM_L + 1),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = tracked_cache(
-        toks.select("doc_id", F.explode(positions).alias("pos"), "_toks")
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("_toks", F.col("pos"), _PR_GRAM_L)).alias("gram"),
-        )
-        .distinct()
-    )
-    cool = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("gdf"))
-        .where(F.col("gdf") <= _PR_DF_CAP)
-        .select("gram")
-    )
-    capped = grams.join(cool, "gram")
-    pairs = (
-        capped.alias("a")
-        .join(capped.alias("b"), "gram")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= _PR_MIN_SHARED)
-        .select("u", "v")
-    )
+    pairs = graph_edges.dup_graph_edges(spark, sf_dir)
     # symmetric edge list, cached: consumed by degree agg + 2 iterations
     edges = tracked_cache(
         pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -142,23 +115,7 @@ def _q_pagerank_dup_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_PAGERANK_DUP_GRAPH_EXACT = f"""
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-), g AS (
-  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_PR_GRAM_L}-1], ' ') AS gram
-  FROM t, UNNEST(range(1, greatest(len(toks) - {_PR_GRAM_L} + 2, 1))) AS u(i)
-), cool AS (
-  SELECT gram FROM g GROUP BY gram HAVING count(*) <= {_PR_DF_CAP}
-), gc AS (
-  SELECT g.doc_id, g.gram FROM g JOIN cool USING (gram)
-), pr AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM gc a JOIN gc b USING (gram)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-  HAVING count(*) >= {_PR_MIN_SHARED}
-), edges AS (
+_SQL_PAGERANK_DUP_GRAPH_EXACT = graph_edges.dup_graph_edges_ctes() + f""", edges AS (
   SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr
 ), deg AS (
   SELECT u, count(*) AS deg FROM edges GROUP BY u
