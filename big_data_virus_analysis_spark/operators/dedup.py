@@ -35,6 +35,8 @@ from .caching import tracked_cache
 # LCG-style mixing constants (Knuth/Numerical-Recipes lineage, public)
 _SCRAMBLE = 2654435761  # Fibonacci hashing multiplier
 _M31 = 2147483648  # 2^31
+#: odd per-position multipliers (< 2^31) for the md5_compose gram fold
+_COMPOSE_A = tuple(((_SCRAMBLE * (2 * j + 3)) % _M31) | 1 for j in range(8))
 _P31 = 2147483647  # Mersenne prime 2^31-1
 
 
@@ -227,8 +229,41 @@ def _minhash_mins(
                 lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
             ).alias("_tids"),
         )
+    elif hash_method == "md5_compose":
+        # Deterministic twin of the xxhash64 fast path's STRUCTURE
+        # (r6 VERDICT directive #6): tokens are hashed ONCE each and a
+        # gram's id is an arithmetic fold of its n token hashes — no
+        # gram strings are ever built, exactly like the scale path —
+        # but the token hash is the md5-prefix bigint and the fold is
+        # odd-multiplier polynomial arithmetic mod 2^31, both of which
+        # DuckDB reproduces bit-for-bit (xxhash64 does not exist
+        # there).  Overflow-safe in BOTH engines: every product is
+        # (a < 2^31)·(x < 2^31) < 2^62, reduced mod 2^31 before the
+        # 3-term sum (< 2^33).
+        tok_hashes = F.transform(
+            F.col("_toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % _M31,
+        )
+        with_tids = staged.select("doc_id", tok_hashes.alias("_th")).select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("_th") - (n - 1)),
+                lambda i: sum(
+                    (
+                        F.lit(_COMPOSE_A[j]).cast("bigint")
+                        * F.element_at(F.col("_th"), i + j)
+                    )
+                    % _M31
+                    for j in range(n)
+                )
+                % _M31,
+            ).alias("_tids"),
+        )
     else:
-        raise ValueError("hash_method must be 'md5' or 'xxhash64'")
+        raise ValueError(
+            "hash_method must be 'md5', 'xxhash64', or 'md5_compose'"
+        )
     with_s = with_tids.select(
         "doc_id", F.transform(F.col("_tids"), _scramble).alias("_s")
     )

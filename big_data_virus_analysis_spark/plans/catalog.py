@@ -603,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 from ..operators.dedup import (  # noqa: E402
+    _COMPOSE_A,
     exact_dedup,
     jaccard_prefix_filtered,
     minhash_lsh_pairs,
@@ -681,10 +682,11 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, k=32, bands=8)
 
 
-def _minhash_lsh_sql(k: int, rows_per_band: int) -> str:
-    """Parameterized MinHash+LSH oracle (mirrors
-    operators/dedup.py::_family exactly — mask, not mod; no division)."""
-    return _SQL_SHINGLE_IDS + f"""
+def _minhash_band_sql(k: int, rows_per_band: int) -> str:
+    """Signature + banding suffix over an ``ids(doc_id, s)`` CTE
+    (mirrors operators/dedup.py::_family exactly — mask, not mod; no
+    division)."""
+    return f"""
 , sig AS (
   -- odd-multiplier linear permutation mod 2^31
   SELECT doc_id, i,
@@ -704,6 +706,11 @@ GROUP BY doc_a, doc_b
 """
 
 
+def _minhash_lsh_sql(k: int, rows_per_band: int) -> str:
+    """Parameterized MinHash+LSH oracle over md5 STRING grams."""
+    return _SQL_SHINGLE_IDS + _minhash_band_sql(k, rows_per_band)
+
+
 _SQL_MINHASH_LSH_PAIRS = _minhash_lsh_sql(32, 4)
 
 
@@ -721,11 +728,55 @@ def _q_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench/scale path (one JVM intrinsic per gram vs md5 digest +
     hex-decode).  No DuckDB oracle (xxhash64 isn't reproducible there);
     rows-only check + the planted-duplicate collision test in
-    tests/test_operators.py."""
+    tests/test_operators.py + the ``minhash_lsh_pairs_fast_det`` exact
+    sibling, which pins the fast path's composed-token-hash STRUCTURE
+    bit-for-bit with a DuckDB-reproducible hash."""
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n=3, k=32, bands=8,
         hash_method="xxhash64",
     )
+
+
+def _q_minhash_lsh_pairs_fast_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact twin of the xxhash64 fast path's STRUCTURE (r6
+    VERDICT directive #6): identical plan shape — tokens hashed ONCE
+    each, a gram's id an arithmetic fold of its n token hashes, no
+    gram strings ever built, same k=32/8-band LSH — with the
+    engine-specific xxhash64 swapped for md5-prefix token hashes +
+    odd-multiplier polynomial fold mod 2^31, which DuckDB reproduces
+    bit-for-bit.  The ONLY difference vs ``minhash_lsh_pairs_fast`` is
+    the hash family constants, so band membership (the part a
+    rows-only check can't pin) is oracle-verified here."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, k=32, bands=8,
+        hash_method="md5_compose",
+    )
+
+
+#: ids(doc_id, s) prefix for the composed-token-hash family: mirrors
+#: operators/dedup.py::_minhash_mins(hash_method="md5_compose") —
+#: token hash = md5-prefix bigint mod 2^31, gram id = sum_j
+#: (A_j·th[i+j] mod 2^31) mod 2^31, then the Fibonacci scramble.
+_SQL_COMPOSE_IDS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(tokens,
+           t -> (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483648)
+         ) AS ths
+  FROM toks WHERE len(tokens) >= 3
+), ids AS (
+  SELECT doc_id,
+         (((({_COMPOSE_A[0]} * ths[i]) % 2147483648)
+           + (({_COMPOSE_A[1]} * ths[i + 1]) % 2147483648)
+           + (({_COMPOSE_A[2]} * ths[i + 2]) % 2147483648)) % 2147483648
+          * 2654435761) % 2147483648 AS s
+  FROM th, UNNEST(generate_series(1, len(ths) - 2)) AS u(i)
+)
+"""
+
+_SQL_MINHASH_LSH_PAIRS_FAST_DET = _SQL_COMPOSE_IDS + _minhash_band_sql(32, 4)
 
 
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,6 +838,13 @@ CATALOG.update(
             _q_minhash_lsh_pairs_fast,
             None,
             "same plan, xxhash64 gram family — the bench/scale path",
+        ),
+        "minhash_lsh_pairs_fast_det": QuerySpec(
+            _q_minhash_lsh_pairs_fast_det,
+            _SQL_MINHASH_LSH_PAIRS_FAST_DET,
+            "exact twin of the fast path's composed-token-hash structure "
+            "(md5-prefix token hashes + polynomial gram fold, no gram "
+            "strings) — pins band membership the rows-only check can't",
         ),
         "minhash_lsh_pairs_k16": QuerySpec(
             _q_minhash_lsh_pairs_k16,
