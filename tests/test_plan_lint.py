@@ -289,10 +289,79 @@ GLOBAL_WINDOW_ALLOWED = {
     "quantile_merge_audit",
 }
 
-#: model-fitting queries too slow to compile in a lint sweep are still
-#: covered: their plan prefix (the IG pipeline) is linted via the
-#: cheaper queries above, and their ML stage is a pyspark.ml transform
+#: model-fitting queries too slow to compile in a lint sweep (each
+#: fits 4-14 models).  NOT exempt from linting: every entry's
+#: relational body is linted via ONE representative fit in
+#: test_skip_slow_grids_single_fit_linted below (r6 VERDICT #7) —
+#: kmeans_k_sweep via a single k=5 assign plan, the three AUC grids
+#: via one depth-1 tree / one regParam fit + the exact-AUC frame.
 SKIP_SLOW = {"kmeans_k_sweep", "dt_auc_grid", "svm_auc_grid", "lr_auc_grid"}
+
+
+def _lint_plan(name: str, plan: str, bnlj_ok: bool = False) -> None:
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if not bnlj_ok:
+        assert (
+            "BroadcastNestedLoopJoin" not in plan
+        ), f"{name} plans an unallowlisted nested-loop join"
+    findings = global_window_findings(plan)
+    assert not findings, (
+        f"{name} plans an unpartitioned window over an unbounded "
+        f"frame (single-task global sort at scale): {findings}"
+    )
+
+
+def test_skip_slow_grids_single_fit_linted(spark):
+    """The 4 SKIP_SLOW grid queries are fit-loops whose final output is
+    a driver-built LocalTableScan; their LINTABLE surface is the
+    relational body each fit executes.  Lint that body via ONE
+    representative fit per grid (r6 VERDICT directive #7): a future
+    nested loop or global window in the split construction, the
+    prediction pipeline, or the exact-AUC frame now fails this test
+    instead of hiding behind the sweep exemption."""
+    from pyspark.ml.classification import (
+        DecisionTreeClassifier,
+        LinearSVC,
+        LogisticRegression,
+    )
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from big_data_virus_analysis_spark.ml.metrics import exact_auc_frame
+    from big_data_virus_analysis_spark.ml.pipeline import kmeans_assign
+    from big_data_virus_analysis_spark.operators.entropy_score import (
+        weighted_average_entropy,
+    )
+    from big_data_virus_analysis_spark.plans.catalog import (
+        _document_feature_vectors,
+        _embedding_splits,
+    )
+
+    train, cv, _ = _embedding_splits(spark, SMOKE_SF_DIR)
+    single_fit = {
+        "dt_auc_grid": DecisionTreeClassifier(
+            impurity="entropy", maxDepth=1, labelCol="label", seed=13
+        ),
+        "svm_auc_grid": LinearSVC(regParam=0.1, maxIter=2, labelCol="label"),
+        "lr_auc_grid": LogisticRegression(
+            regParam=0.1, maxIter=2, labelCol="label"
+        ),
+    }
+    for name, clf in single_fit.items():
+        preds = clf.fit(train).transform(cv)
+        scored = preds.select(
+            F.round(vector_to_array("rawPrediction")[1], 9).alias("score"),
+            F.col("label").cast("int").alias("pos"),
+        )
+        _lint_plan(name, fmt_plan(exact_auc_frame(scored)))
+    # kmeans_k_sweep: one k=5 fit over the IG-pipeline document vectors
+    # (whose 1-row totals broadcast is the allowlisted BNLJ), scored by
+    # the same weighted-entropy aggregate each sweep step runs
+    vec = _document_feature_vectors(spark, SMOKE_SF_DIR)
+    score = weighted_average_entropy(
+        kmeans_assign(vec, k=5), "cluster", "label"
+    )
+    _lint_plan("kmeans_k_sweep", fmt_plan(score), bnlj_ok=True)
 
 
 @pytest.mark.parametrize("name", sorted(set(CATALOG) - SKIP_SLOW))
