@@ -4838,6 +4838,10 @@ from .round6_final import SPECS as _ROUND6_FINAL_SPECS  # noqa: E402
 
 _register_pack(_ROUND6_FINAL_SPECS)
 
+from .round7_stats import SPECS as _ROUND7_STATS_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_STATS_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -83,6 +83,13 @@ BNLJ_ALLOWED = {
     "association_rules_parts",
     # single-row hub-cap audit broadcast crossed onto the top-20 rows
     "adamic_adar_linkpred",
+    # single-row OLS-fit broadcast crossed onto the day frame (r7 stats)
+    "durbin_watson_daily",
+    "breusch_pagan_daily",
+    # single-row totals broadcast (p0) / observed-stat broadcast; the
+    # 64-row permutation grid also broadcasts onto the fact rows
+    "bh_fdr_segments",
+    "permutation_test_det",
     # single-row corpus-scalars broadcast (N, avgdl)
     "bm25_search",
     # single-row corpus-count broadcast (relative df threshold)
@@ -280,6 +287,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "nb_gaussian_confusion",
     # 5-row order-priority distribution frame (t-closeness reference)
     "t_closeness_audit",
+    # 5-segment p-value frame: BH rank + step-up max scan constant-size
+    "bh_fdr_segments",
     # <=50-row quantity histogram (bounded domain) prefix sums
     "gbdt_stump_steps_exact",
     # calendar-bounded day-grain frame (<=366 rows): centered 7-day MA
