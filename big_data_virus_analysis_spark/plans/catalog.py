@@ -4842,6 +4842,10 @@ from .round7_stats import SPECS as _ROUND7_STATS_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_STATS_SPECS)
 
+from .round7_text import SPECS as _ROUND7_TEXT_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_TEXT_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

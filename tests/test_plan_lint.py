@@ -231,6 +231,9 @@ BNLJ_ALLOWED = {
     "global_transitivity",
     # |sources| x vocab smoothing grid + 1-row vocab-total broadcast
     "source_token_kl",
+    # same add-1 smoothing grid shape (|sources| x vocab broadcast)
+    # plus 1-row prior/total broadcasts
+    "multinomial_nb_source_confusion",
     # 1-row build/probe-count broadcasts crossed onto the 1-row FP count
     "bloom_fpr_curve",
     # 1-row part-count / max-exposure broadcasts onto the 1-row summary
