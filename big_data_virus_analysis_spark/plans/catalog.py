@@ -4846,6 +4846,10 @@ from .round7_text import SPECS as _ROUND7_TEXT_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_TEXT_SPECS)
 
+from .round7_ts import SPECS as _ROUND7_TS_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_TS_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

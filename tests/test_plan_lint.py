@@ -86,6 +86,10 @@ BNLJ_ALLOWED = {
     # single-row OLS-fit broadcast crossed onto the day frame (r7 stats)
     "durbin_watson_daily",
     "breusch_pagan_daily",
+    # 3-row block-size grid broadcast onto the day frame (R/S blocks)
+    "hurst_rescaled_range_daily",
+    # 1-row OLS-fit + 1-row MAD-scale broadcasts onto the day frame
+    "huber_irls_step_exact",
     # single-row totals broadcast (p0) / observed-stat broadcast; the
     # 64-row permutation grid also broadcasts onto the fact rows
     "bh_fdr_segments",
