@@ -4850,6 +4850,10 @@ from .round7_ts import SPECS as _ROUND7_TS_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_TS_SPECS)
 
+from .round7_ops import SPECS as _ROUND7_OPS_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_OPS_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
