@@ -90,6 +90,8 @@ BNLJ_ALLOWED = {
     "hurst_rescaled_range_daily",
     # 1-row OLS-fit + 1-row MAD-scale broadcasts onto the day frame
     "huber_irls_step_exact",
+    # 1-row SRM leg x 1-row metrics leg combine (composed canary #4)
+    "experiment_readout_e2e",
     # single-row totals broadcast (p0) / observed-stat broadcast; the
     # 64-row permutation grid also broadcasts onto the fact rows
     "bh_fdr_segments",

@@ -667,3 +667,14 @@ def test_star_join_all_dims_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert plan.count("orders.parquet") == 1
+
+
+def test_experiment_readout_single_fact_scan(spark):
+    """Composed canary #4: the readout touches the orders fact exactly
+    once (one (arm)-keyed aggregate feeds both metric legs); the
+    customer dim may appear twice (SRM leg + arm broadcast)."""
+    plan = fmt_plan(CATALOG["experiment_readout_e2e"].spark(spark, SMOKE_SF_DIR))
+    assert plan.count("orders.parquet") == 1, (
+        "readout legs re-scan the orders fact instead of sharing the "
+        "per-arm aggregate"
+    )
