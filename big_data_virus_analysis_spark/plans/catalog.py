@@ -4916,41 +4916,43 @@ _PINNED_CORE: tuple[str, ...] = (
     "auc_rank_based",
 )
 
-#: round-6 rotation: the newest exact-oracle entries — the round-6
-#: directive work (substring dedup, planner, judge-directed re-plans)
-#: plus the round-6 widening packs (causal/factor models, multi-group
-#: inference, profiling, embeddings geometry, changepoints, IR, CF,
-#: OLAP ordered statistics), with a few round-4/5 canaries kept so the
-#: driver's gate always re-verifies the composed pipelines.
+#: round-7 rotation: ALL 16 round-7 exact entries (directive work —
+#: the judge-fixed RMST/log-rank plans, the hub-capped link predictor,
+#: the fast-path structural twin — plus the round-7 widening packs:
+#: classical inference, text fingerprinting/NB, R/S + robust
+#: regression, CKA, bidirectional as-of, the SQL-UDF surface, and
+#: composed canary #4), topped up with earlier composed-pipeline
+#: canaries so the driver's gate always re-verifies the chained plans.
 _ROTATING_WINDOW: tuple[str, ...] = (
-    # round-6 directive work
-    "suffix_dedup_spans",
-    "suffix_lcp_topk",
-    "join_strategy_advisor",
-    "pagerank_dup_graph_exact",
-    "entity_resolution_pairs",
-    "gbdt_stump_steps_exact",
-    "kfold_auc_fixed_scorer",
-    "corpus_curation_e2e",
-    # round-6 widening packs (newest first-time-driver-verified)
-    "als_step_exact",
-    "gmm_em_step_exact",
+    # round-7 directive work (judge-fixed plans + new exact twins)
+    "rmst_signup_purchase",
     "logrank_two_segment",
-    "isotonic_calibration_deciles",
-    "anova_f_by_segment",
-    "kruskal_wallis_segments",
-    "spearman_price_quantity",
-    "chao1_cardinality_audit",
-    "binseg_changepoint_daily",
-    "jl_projection_audit",
-    "dirichlet_ql_retrieval",
-    "item_item_topk_recs",
-    "abc_analysis_parts",
-    # rounds 4-5 composed-pipeline canaries
+    "adamic_adar_linkpred",
+    "minhash_lsh_pairs_fast_det",
+    # round-7 widening packs
+    "welch_t_segments",
+    "durbin_watson_daily",
+    "breusch_pagan_daily",
+    "bh_fdr_segments",
+    "permutation_test_det",
+    "winnowing_fingerprints",
+    "intra_doc_repetition",
+    "multinomial_nb_source_confusion",
+    "hurst_rescaled_range_daily",
+    "theil_inequality_by_segment",
+    "huber_irls_step_exact",
+    "linear_cka_dim_halves",
+    "asof_nearest_event",
+    "sql_udf_margin_rollup",
+    "experiment_readout_e2e",
+    # earlier composed-pipeline canaries (always re-verified)
     "dedup_pipeline_e2e",
-    "zone_map_pruning_audit",
-    "mann_whitney_u_test",
-    "pq_adc_topk_fixed",
+    "corpus_curation_e2e",
+    "bi_dashboard_e2e",
+    # round-6 exact twins kept one more round (graph + suffix flagships)
+    "pagerank_dup_graph_exact",
+    "suffix_dedup_spans",
+    "gmm_em_step_exact",
 )
 
 _FIRST_WINDOW: tuple[str, ...] = _PINNED_CORE + _ROTATING_WINDOW
