@@ -126,6 +126,13 @@ HEADLINE = [
     "spearman_price_quantity",
     # composed canary #3 (five dashboard legs in one plan)
     "bi_dashboard_e2e",
+    # round-7 additions (per-row array-arithmetic fingerprinting; the
+    # R/S block-window family; the exact NB classifier over the
+    # source×vocab broadcast grid; composed canary #4)
+    "winnowing_fingerprints",
+    "hurst_rescaled_range_daily",
+    "multinomial_nb_source_confusion",
+    "experiment_readout_e2e",
 ]
 
 #: queries with an extra synthetic-sf1 scaling leg when

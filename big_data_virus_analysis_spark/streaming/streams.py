@@ -657,3 +657,52 @@ def windowed_distinct_users(
             "n_events",
         )
     )
+
+
+def windowed_type_counts(
+    events: DataFrame,
+    minutes: int = 360,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-window per-type event counts — the STREAMING half of a
+    windowed top-k: Spark forbids rank windows under streaming
+    aggregation (state would be unbounded and results non-monotonic in
+    append mode), so the standard production shape is two-stage —
+    stream the (window, type) counts (bounded state: |types| rows per
+    open window), then rank the SINK with :func:`topk_event_types`,
+    whose per-window rank is a cheap partitioned batch window.
+
+    Output: (window_start_us, event_type, n_events).
+    """
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        _with_watermark(events, watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def topk_event_types(counts: DataFrame, k: int = 2) -> DataFrame:
+    """Batch ranker over the streamed (window, type, count) sink:
+    top-k types per window, ties broken by type name — deterministic,
+    and the window is PARTITIONED by window_start_us (never global).
+
+    Composes with :func:`windowed_type_counts` into the canonical
+    streaming-top-k pipeline; parity with the all-batch twin is
+    asserted in tests/test_streaming.py.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start_us").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("window_start_us", "event_type", "n_events", F.col("rk").cast("int").alias("rk"))
+    )

@@ -890,3 +890,33 @@ def test_stream_stream_semi_join_matches_batch(spark, events_stream_dir, tmp_pat
     assert len(want_rows) > 0
     view_ids = [r[1] for r in got_rows]
     assert len(view_ids) == len(set(view_ids)), "semi join emitted a view twice"
+
+
+def test_windowed_topk_types_matches_batch(spark, events_stream_dir, tmp_path):
+    """Two-stage streaming top-k (streamed (window, type) counts +
+    batch rank over the sink) equals the all-batch twin exactly, and
+    every window emits exactly k rows with rank 1..k."""
+    from big_data_virus_analysis_spark.streaming.streams import (
+        topk_event_types,
+        windowed_type_counts,
+    )
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got_counts = _run_stream(
+        spark, windowed_type_counts(stream, watermark=None), "complete", tmp_path
+    )
+    got = topk_event_types(got_counts, k=2)
+    want = topk_event_types(windowed_type_counts(batch, watermark=None), k=2)
+    cols = ["window_start_us", "event_type", "n_events", "rk"]
+    got_rows = _canon(got, cols)
+    assert got_rows == _canon(want, cols)
+    assert len(got_rows) > 0
+    from collections import Counter
+
+    # each window emits min(k, types present) rows (a boundary window
+    # can hold fewer than k distinct types), ranks always within 1..k
+    per_window = Counter(r[0] for r in got_rows)
+    assert all(v <= 2 for v in per_window.values())
+    assert max(per_window.values()) == 2
+    assert {r[3] for r in got_rows} <= {1, 2}
