@@ -4858,6 +4858,10 @@ from .round7_e2e import SPECS as _ROUND7_E2E_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_E2E_SPECS)
 
+from .round7_quality import SPECS as _ROUND7_QUALITY_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_QUALITY_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -92,6 +92,13 @@ BNLJ_ALLOWED = {
     "huber_irls_step_exact",
     # 1-row SRM leg x 1-row metrics leg combine (composed canary #4)
     "experiment_readout_e2e",
+    # 1-row grand-total broadcasts onto the bounded contingency /
+    # fold-label frames (r7 quality pack)
+    "mutual_information_priority_segment",
+    "cramers_v_priority_segment",
+    "stratified_kfold_balance_audit",
+    # 1-row pooled-slope broadcast onto the 6-row scope frame
+    "simpson_direction_audit",
     # single-row totals broadcast (p0) / observed-stat broadcast; the
     # 64-row permutation grid also broadcasts onto the fact rows
     "bh_fdr_segments",
