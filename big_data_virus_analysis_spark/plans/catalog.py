@@ -4862,6 +4862,10 @@ from .round7_quality import SPECS as _ROUND7_QUALITY_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_QUALITY_SPECS)
 
+from .round7_bpe import SPECS as _ROUND7_BPE_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_BPE_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
