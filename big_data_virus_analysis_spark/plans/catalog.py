@@ -4866,6 +4866,10 @@ from .round7_bpe import SPECS as _ROUND7_BPE_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_BPE_SPECS)
 
+from .round7_eval import SPECS as _ROUND7_EVAL_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_EVAL_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -99,6 +99,8 @@ BNLJ_ALLOWED = {
     "stratified_kfold_balance_audit",
     # 1-row pooled-slope broadcast onto the 6-row scope frame
     "simpson_direction_audit",
+    # five 1-row metric legs combined via broadcasts (ARI contingency)
+    "adjusted_rand_clusterings",
     # single-row totals broadcast (p0) / observed-stat broadcast; the
     # 64-row permutation grid also broadcasts onto the fact rows
     "bh_fdr_segments",
