@@ -4961,10 +4961,11 @@ _ROTATING_WINDOW: tuple[str, ...] = (
     "dedup_pipeline_e2e",
     "corpus_curation_e2e",
     "bi_dashboard_e2e",
-    # round-6 exact twins kept one more round (graph + suffix flagships)
+    # late round-7 exact twins (BPE loop body, cluster-eval metrics)
+    "bpe_merge_steps_exact",
+    "adjusted_rand_clusterings",
+    # round-6 graph flagship kept one more round
     "pagerank_dup_graph_exact",
-    "suffix_dedup_spans",
-    "gmm_em_step_exact",
 )
 
 _FIRST_WINDOW: tuple[str, ...] = _PINNED_CORE + _ROTATING_WINDOW
