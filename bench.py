@@ -353,16 +353,19 @@ def main() -> None:
         "value": total,
         "sf": float(sf),
     }
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-            ),
-            "w",
-        ) as f:
-            json.dump(payload, f, indent=1)
-    except OSError:
-        pass  # read-only checkout: stdout still carries everything
+    # triage runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the full
+    # working record with a partial one
+    if not only:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+                ),
+                "w",
+            ) as f:
+                json.dump(payload, f, indent=1)
+        except OSError:
+            pass  # read-only checkout: stdout still carries everything
     # Full payload first (untracked working record in BENCH_FULL.json;
     # the committed round record is the BENCH_FULL_r{N}.json snapshot)...
     print(json.dumps(payload))

@@ -678,3 +678,33 @@ def test_experiment_readout_single_fact_scan(spark):
         "readout legs re-scan the orders fact instead of sharing the "
         "per-arm aggregate"
     )
+
+
+def test_hilbert_curve_bijective_and_adjacent(spark):
+    """The 8-stage unrolled xy2d transform in plans/round7_layout.py is
+    a true Hilbert curve on the full 256x256 band grid: bijective onto
+    0..65535 and every consecutive pair of curve positions is exactly
+    one grid step apart (the locality guarantee the zone audit relies
+    on)."""
+    from big_data_virus_analysis_spark.plans.round7_layout import (
+        _N,
+        hilbert_stages,
+    )
+
+    grid = (
+        spark.range(_N * _N)
+        .select(
+            (F.col("id") / _N).cast("long").alias("ck_band"),
+            (F.col("id") % _N).alias("dt_band"),
+        )
+    )
+    rows = hilbert_stages(grid, "ck_band", "dt_band", "hd").collect()
+    pos = {r["hd"]: (r["ck_band"], r["dt_band"]) for r in rows}
+    assert len(pos) == _N * _N
+    assert min(pos) == 0 and max(pos) == _N * _N - 1
+    import random
+
+    rng = random.Random(7)
+    for d in rng.sample(range(_N * _N - 1), 2000):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos[d], pos[d + 1])
