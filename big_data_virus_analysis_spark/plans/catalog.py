@@ -4870,6 +4870,10 @@ from .round7_eval import SPECS as _ROUND7_EVAL_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_EVAL_SPECS)
 
+from .round7_layout import SPECS as _ROUND7_LAYOUT_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_LAYOUT_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
