@@ -4874,6 +4874,10 @@ from .round7_layout import SPECS as _ROUND7_LAYOUT_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_LAYOUT_SPECS)
 
+from .round7_econ import SPECS as _ROUND7_ECON_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_ECON_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
