@@ -4878,6 +4878,10 @@ from .round7_econ import SPECS as _ROUND7_ECON_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_ECON_SPECS)
 
+from .round7_sre import SPECS as _ROUND7_SRE_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_SRE_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -101,6 +101,9 @@ BNLJ_ALLOWED = {
     "simpson_direction_audit",
     # five 1-row metric legs combined via broadcasts (ARI contingency)
     "adjusted_rand_clusterings",
+    # 1-row top-gap / naive-MAE broadcasts onto the 1-row summary
+    "event_id_gap_audit",
+    "pinball_mase_forecasts",
     # single-row totals broadcast (p0) / observed-stat broadcast; the
     # 64-row permutation grid also broadcasts onto the fact rows
     "bh_fdr_segments",
