@@ -366,3 +366,138 @@ SPECS: dict[str, QuerySpec] = {
         "quantized integer log-likelihoods, per-source accuracy",
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# burrows_delta_sources (appended round-7 session 2)
+# --------------------------------------------------------------------------
+
+_DELTA_TOPW = 10
+_DELTA_TOPK = 10
+
+
+def _q_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (Burrows 2002, "'Delta': a measure of stylistic
+    difference") between sources: z-scores of the top-10 corpus words'
+    relative frequencies across the 20 sources, Delta(a,b) = mean
+    |z_i(a) − z_i(b)|; top-10 most similar source pairs.  The
+    stylometry / authorship-attribution primitive — here the "same
+    upstream generator?" audit for corpus provenance.  Per-word |Δz|
+    terms are quantized to 1e-8 before the cross-word mean so the
+    10-term sum cannot wobble with engine summation order."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    topw = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("tok"))
+        .limit(_DELTA_TOPW)
+        .select("tok")
+    )
+    src_tot = dt.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    sw = dt.join(F.broadcast(topw), "tok").groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        src_tot.crossJoin(F.broadcast(topw))
+        .join(sw, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("tot").cast("double")
+            ).alias("rf"),
+        )
+    )
+    stats = grid.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("rf").alias("srf"),
+        F.sum(F.col("rf") * F.col("rf")).alias("srf2"),
+    )
+    z = grid.join(F.broadcast(stats), "tok").select(
+        "source",
+        "tok",
+        (
+            (F.col("rf") - F.col("srf") / F.col("ns"))
+            / F.sqrt(
+                F.col("srf2") / F.col("ns")
+                - (F.col("srf") / F.col("ns")) * (F.col("srf") / F.col("ns"))
+            )
+        ).alias("z"),
+    )
+    pairs = (
+        z.alias("a")
+        .join(
+            z.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.floor(F.abs(F.col("a.z") - F.col("b.z")) * 1e8 + 0.5)
+            .cast("bigint")
+            .alias("dz8"),
+        )
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sum("dz8").cast("double") / (_DELTA_TOPW * 1e8), 6
+            ).alias("burrows_delta")
+        )
+        .orderBy(F.asc("burrows_delta"), F.asc("src_a"), F.asc("src_b"))
+        .limit(_DELTA_TOPK)
+    )
+
+
+_SQL_BURROWS_DELTA_SOURCES = f"""
+WITH dt AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), topw AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cf FROM dt GROUP BY tok
+    ORDER BY cf DESC, tok ASC LIMIT {_DELTA_TOPW}
+  )
+), src_tot AS (
+  SELECT source, count(*) AS tot FROM dt GROUP BY source
+), sw AS (
+  SELECT source, tok, count(*) AS c
+  FROM dt JOIN topw USING (tok) GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, w.tok,
+         CAST(coalesce(sw.c, 0) AS DOUBLE) / s.tot AS rf
+  FROM src_tot s CROSS JOIN topw w
+  LEFT JOIN sw ON sw.source = s.source AND sw.tok = w.tok
+), stats AS (
+  SELECT tok, count(*) AS ns, sum(rf) AS srf, sum(rf * rf) AS srf2
+  FROM grid GROUP BY tok
+), z AS (
+  SELECT g.source, g.tok,
+         (g.rf - st.srf / st.ns)
+         / sqrt(st.srf2 / st.ns - (st.srf / st.ns) * (st.srf / st.ns)) AS z
+  FROM grid g JOIN stats st USING (tok)
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(floor(abs(a.z - b.z) * 1e8 + 0.5) AS BIGINT) AS dz8
+  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+)
+SELECT src_a, src_b,
+       round(CAST(sum(dz8) AS DOUBLE) / ({_DELTA_TOPW} * 1e8), 6)
+         AS burrows_delta
+FROM pairs
+GROUP BY src_a, src_b
+ORDER BY burrows_delta ASC, src_a ASC, src_b ASC
+LIMIT {_DELTA_TOPK}
+"""
+
+
+SPECS["burrows_delta_sources"] = QuerySpec(
+    _q_burrows_delta_sources,
+    _SQL_BURROWS_DELTA_SOURCES,
+    "Burrows' Delta stylometric distance between sources (z-scored "
+    "top-10 word frequencies, quantized per-word terms), top-10 most "
+    "similar pairs — the corpus-provenance 'same generator?' audit",
+)

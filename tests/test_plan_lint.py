@@ -252,6 +252,8 @@ BNLJ_ALLOWED = {
     # same add-1 smoothing grid shape (|sources| x vocab broadcast)
     # plus 1-row prior/total broadcasts
     "multinomial_nb_source_confusion",
+    # 20-source frame x 10-word top-vocab broadcast grid (stylometry)
+    "burrows_delta_sources",
     # 1-row build/probe-count broadcasts crossed onto the 1-row FP count
     "bloom_fpr_curve",
     # 1-row part-count / max-exposure broadcasts onto the 1-row summary
