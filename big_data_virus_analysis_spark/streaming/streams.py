@@ -706,3 +706,66 @@ def topk_event_types(counts: DataFrame, k: int = 2) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("window_start_us", "event_type", "n_events", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def windowed_value_histogram(
+    events: DataFrame,
+    minutes: int = 360,
+    n_bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-window fixed-bin value histogram — the STREAMING half of a
+    windowed quantile: quantile state under streaming aggregation is
+    otherwise unbounded, but a fixed-bin histogram is |bins| counters
+    per open window, mergeable, and any quantile reads off the sink
+    with bounded error ≤ bin width (the batch family's
+    ``histogram_quantile_rollup`` shape, made incremental).
+
+    Output: (window_start_us, bin, n) with bin = clamped
+    floor((value − lo) / width).
+    """
+    width = (hi - lo) / n_bins
+    win = F.window("ts", f"{minutes} minutes")
+    bin_expr = F.least(
+        F.greatest(
+            F.floor((F.col("value") - lo) / width).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        _with_watermark(events, watermark)
+        .groupBy(win.alias("w"), bin_expr.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "bin",
+            "n",
+        )
+    )
+
+
+def histogram_quantile(counts: DataFrame, q: float = 0.5,
+                       n_bins: int = 32, lo: float = 0.0,
+                       hi: float = 1000.0) -> DataFrame:
+    """Batch quantile read-off over the streamed histogram sink: the
+    first bin whose running count reaches q·total per window, reported
+    as the bin's upper edge (error ≤ bin width by construction).
+    Window partitioned by window_start_us — never global."""
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / n_bins
+    w = W.partitionBy("window_start_us").orderBy("bin")
+    tot = W.partitionBy("window_start_us")
+    cum = counts.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "tot", F.sum("n").over(tot)
+    )
+    hit = cum.where(F.col("cum") >= q * F.col("tot"))
+    w2 = W.partitionBy("window_start_us").orderBy("bin")
+    first = hit.withColumn("rk", F.row_number().over(w2)).where(F.col("rk") == 1)
+    return first.select(
+        "window_start_us",
+        F.round((F.col("bin") + 1) * width + lo, 6).alias("q_upper_bound"),
+        "tot",
+    )

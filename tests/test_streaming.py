@@ -920,3 +920,44 @@ def test_windowed_topk_types_matches_batch(spark, events_stream_dir, tmp_path):
     assert all(v <= 2 for v in per_window.values())
     assert max(per_window.values()) == 2
     assert {r[3] for r in got_rows} <= {1, 2}
+
+
+def test_windowed_histogram_quantile_matches_batch(
+    spark, events_stream_dir, tmp_path
+):
+    """Streamed fixed-bin histograms equal the batch twin exactly, and
+    the read-off median per window brackets the exact batch median
+    within one bin width (the re-aggregable-quantile contract,
+    incremental form)."""
+    from big_data_virus_analysis_spark.streaming.streams import (
+        histogram_quantile,
+        windowed_value_histogram,
+    )
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got_counts = _run_stream(
+        spark, windowed_value_histogram(stream, watermark=None), "complete", tmp_path
+    )
+    want_counts = windowed_value_histogram(batch, watermark=None)
+    cols = ["window_start_us", "bin", "n"]
+    assert _canon(got_counts, cols) == _canon(want_counts, cols)
+
+    med = histogram_quantile(got_counts, q=0.5)
+    # discrete (lower) median: the histogram read-off brackets the
+    # cum>=q*n ORDER STATISTIC; the interpolated median can cross into
+    # the next bin when the two middle values straddle a bin edge
+    exact = (
+        batch.groupBy(F.window("ts", "360 minutes").alias("w"))
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("m"))
+        .select(F.unix_micros(F.col("w.start")).alias("ws"), "m")
+    )
+    exact_by_w = {r["ws"]: r["m"] for r in exact.collect()}
+    rows = med.collect()
+    assert len(rows) > 0
+    bin_width = 1000.0 / 32
+    for r in rows:
+        m = exact_by_w[r["window_start_us"]]
+        assert r["q_upper_bound"] - bin_width - 1e-9 <= m <= r["q_upper_bound"] + 1e-9, (
+            r["window_start_us"], r["q_upper_bound"], m,
+        )
