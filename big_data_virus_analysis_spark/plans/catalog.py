@@ -4882,6 +4882,10 @@ from .round7_sre import SPECS as _ROUND7_SRE_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_SRE_SPECS)
 
+from .round7_ur import SPECS as _ROUND7_UR_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_UR_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
