@@ -4886,6 +4886,10 @@ from .round7_ur import SPECS as _ROUND7_UR_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_UR_SPECS)
 
+from .round7_granger import SPECS as _ROUND7_GRANGER_SPECS  # noqa: E402
+
+_register_pack(_ROUND7_GRANGER_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

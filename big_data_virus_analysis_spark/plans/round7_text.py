@@ -21,6 +21,8 @@ fully-exact multinomial text classifier.
   argmax (score desc, source asc tiebreak) cannot straddle engines —
   the text companion to ``nb_gaussian_confusion`` (which handles the
   continuous-feature case).
+* ``burrows_delta_sources`` (appended session 2) — Burrows' Delta
+  stylometric distance between sources; see its docstring below.
 
 100 TB shape: winnowing is per-row array arithmetic (transform/slice/
 array_min — no shuffle until the distinct on (doc, fp)); repetition is
