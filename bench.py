@@ -133,7 +133,18 @@ HEADLINE = [
     "hurst_rescaled_range_daily",
     "multinomial_nb_source_confusion",
     "experiment_readout_e2e",
+    # round-8 addition (r7 VERDICT directive #4): the reference feature-
+    # selection job END-TO-END on the real api_logs corpus (~224k
+    # lines) — api_logs scan -> IG top-2000 -> LIBSVM lines.  The
+    # measured figure replaces BASELINE.md's "expected orders of
+    # magnitude under the ~3,200-job design" with a number.
+    "api_log_feature_job_e2e",
 ]
+
+#: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is
+#: ignored, so per-SF scaling legs would measure the same work thrice;
+#: they get a headline median + spread but no exponent.
+FIXED_CORPUS = {"api_log_feature_job_e2e"}
 
 #: queries with an extra synthetic-sf1 scaling leg when
 #: $SPARK_GRAFT_SF1_DIR is set (scripts/make_sf1.py)
@@ -212,6 +223,8 @@ def _measure_group(names: list[str], sf_dir: str, sf: str) -> dict:
         base = os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata"
         extra = [s for s in ("0.001", "0.01") if s != sf]
         for name in names:
+            if name in FIXED_CORPUS:
+                continue
             per = {sf: timings[name]}
             per_spread = {sf: spread[name]}
             for s in extra:
@@ -269,6 +282,39 @@ def _worker_main(out_path: str) -> None:
 # --------------------------------------------------------------------------
 
 
+def _drift_vs_prev_snapshot(timings: dict, sf: str) -> list[dict]:
+    """Queries whose median exceeds the fresh-JVM [min, max] recorded in
+    the newest committed BENCH_FULL_r{N}.json (same SF only — spreads
+    from a different scale factor are not comparable).  Returns compact
+    dicts {q, sec, prev_max}; empty when there is no prior snapshot."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    snaps = []
+    for p in glob.glob(os.path.join(here, "BENCH_FULL_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            snaps.append((int(m.group(1)), p))
+    if not snaps:
+        return []
+    _, newest = max(snaps)
+    try:
+        with open(newest) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return []
+    if str(prev.get("sf")) != str(float(sf)):
+        return []
+    prev_spread = prev.get("spread", {})
+    out = []
+    for name, med in sorted(timings.items()):
+        sp = prev_spread.get(name)
+        if sp and len(sp) == 2 and med > sp[1]:
+            out.append({"q": name, "sec": med, "prev_max": sp[1]})
+    return out
+
+
 def _merge(parts: list[dict]) -> dict:
     merged: dict = {
         "spread": {},
@@ -303,11 +349,13 @@ def main() -> None:
     ]
 
     parts: list[dict] = []
+    fallback_queries: list[str] = []
     if os.environ.get("SPARK_GRAFT_BENCH_SINGLE_JVM", "") == "1":
         parts.append(_measure_group(names, sf_dir, sf))
     else:
         here = os.path.abspath(__file__)
-        for gi, group in enumerate(groups):
+
+        def _spawn(group: list[str], gi: int) -> dict | None:
             with tempfile.NamedTemporaryFile(
                 suffix=f".bench_g{gi}.json", delete=False
             ) as tf:
@@ -320,29 +368,55 @@ def main() -> None:
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
             )
-            ok = proc.returncode == 0 and os.path.getsize(out_path) > 0
-            if ok:
-                with open(out_path) as f:
-                    parts.append(json.load(f))
-            else:
-                # fall back to measuring this group in-process so one
-                # bad worker can't zero out a twelfth of the headline
+            try:
+                if proc.returncode == 0 and os.path.getsize(out_path) > 0:
+                    with open(out_path) as f:
+                        return json.load(f)
+                return None
+            finally:
+                try:
+                    os.unlink(out_path)
+                except OSError:
+                    pass
+
+        for gi, group in enumerate(groups):
+            part = _spawn(group, gi)
+            if part is None:
+                # a worker failure gets ONE retry in a fresh subprocess
+                # first — measuring failed groups in the accumulating
+                # parent JVM is exactly the JVM-state tax the per-group
+                # restructure removes (r6 bisect: 25-45% late-
+                # measurement inflation)
                 print(
-                    f"bench: worker group {gi} failed rc={proc.returncode}; "
-                    "re-measuring in-process",
+                    f"bench: worker group {gi} failed; retrying in a "
+                    "fresh subprocess",
                     file=sys.stderr,
                 )
-                parts.append(_measure_group(group, sf_dir, sf))
-            try:
-                os.unlink(out_path)
-            except OSError:
-                pass
+                part = _spawn(group, gi)
+            if part is None:
+                # last resort: in-process, and TAG the queries so
+                # round-over-round drift in them is attributable to the
+                # degraded measurement path
+                print(
+                    f"bench: worker group {gi} failed twice; "
+                    "re-measuring in-process (tagged as fallback)",
+                    file=sys.stderr,
+                )
+                part = _measure_group(group, sf_dir, sf)
+                fallback_queries.extend(group)
+            parts.append(part)
 
     merged = _merge(parts)
     timings = merged["queries"]
     exponents = merged["scaling_exponent"]
     exponent_interval = merged["exponent_interval"]
     total = round(sum(timings.values()), 3)
+    # self-reporting drift check (r7 VERDICT directive #5): compare each
+    # query's median against the fresh-JVM [min, max] spread recorded in
+    # the newest committed BENCH_FULL_r{N}.json snapshot; medians above
+    # the recorded max are listed as regressions on the compact line so
+    # no human has to diff rounds by hand.
+    regressions = _drift_vs_prev_snapshot(timings, sf)
     payload = {
         "metric": "headline_queries_total",
         "unit": "sec",
@@ -350,6 +424,8 @@ def main() -> None:
         "group_size": _GROUP_SIZE,
         "n_groups": len(parts),
         **merged,
+        "fallback_queries": fallback_queries,
+        "regressions": regressions,
         "value": total,
         "sf": float(sf),
     }
@@ -386,10 +462,19 @@ def main() -> None:
             if exponents
             else None
         ),
+        # medians above the prior snapshot's fresh-JVM max (names only
+        # on the compact line; {q, sec, prev_max} detail in the full
+        # payload) + queries measured on the degraded in-process path
+        "regressions": [r["q"] for r in regressions],
+        "fallback_queries": fallback_queries,
         "queries": timings,
     }
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1800:
+        if len(compact["regressions"]) > 8 and compact["regressions"][-1] != "...":
+            compact["regressions"] = compact["regressions"][:8] + ["..."]
+            line = json.dumps(compact, separators=(",", ":"))
+            continue
         keep = sorted(timings, key=timings.get, reverse=True)[
             : max(1, len(compact["queries"]) - 5)
         ]

@@ -1932,6 +1932,85 @@ CATALOG.update(
     }
 )
 
+
+def _q_api_log_feature_job_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE feature-selection job as one plan on the
+    reference's own corpus (ignores sf_dir): api_logs scan → info-gain
+    top-2000 vocab (topFeatures, FeatureSelectionCloud.scala:376-442) →
+    per-doc vocab match → LIBSVM lines (:494-519).  This is the
+    deterministic end-to-end half of the reference workload (everything
+    main() writes except the seeded-KMeans leg), benchmarked in
+    bench.py HEADLINE against BASELINE.md's ≈3,200-job design note.
+    Token explode is tracked_cache'd — it feeds both the vocab ranking
+    and the vectorize probe."""
+    raw = read_api_logs(spark, _REF_CLEAN, _REF_VIRUS)
+    doc_cls = raw.select(
+        F.concat_ws("/", "class", "file").alias("doc"),
+        F.when(F.col("class") == "virus", F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("cls"),
+    ).distinct()
+    toks = api_log_tokens(raw).transform(tracked_cache)
+    vocab = info_gain_ranking(toks, k=2000, doc_classes=doc_cls).select(
+        "token", "rank"
+    )
+    # input_file_name() URL-encodes spaces (%20); the corpus filenames
+    # contain spaces and nothing else that encodes — decode for the
+    # oracle-comparable doc id (DuckDB read_text keeps literal spaces)
+    return libsvm_text(doc_vectors(toks, vocab)).select(
+        F.replace(F.col("doc"), F.lit("%20"), F.lit(" ")).alias("doc"), "line"
+    )
+
+
+_SQL_API_LOG_FEATURE_JOB_E2E = _SQL_API_LOG_BASE + f"""
+, tok AS (
+  SELECT doc, cls, regexp_replace(raw_line, '[ +\\-\\r]', '', 'g') AS token FROM docs
+), tok_ne AS (
+  SELECT * FROM tok WHERE length(token) > 0
+), dedup AS (
+  SELECT DISTINCT doc, cls, token FROM tok_ne
+), freq AS (
+  SELECT token,
+         count(*) FILTER (WHERE cls = 'pos') AS pos_df,
+         count(*) FILTER (WHERE cls = 'neg') AS neg_df
+  FROM dedup GROUP BY token
+), totals AS (
+  SELECT count(DISTINCT doc) FILTER (WHERE cls = 'pos') AS p,
+         count(DISTINCT doc) AS t
+  FROM docs
+), scored AS (
+  SELECT token, round({_nan_to_zero_sql("ig_raw")}, 6) AS info_gain
+  FROM (
+    SELECT token, pos_df, neg_df, {_IG_EXPR} AS ig_raw
+    FROM freq CROSS JOIN totals
+    WHERE pos_df > 0 AND neg_df > 0
+  )
+), vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY info_gain DESC, token ASC) AS INT) AS rank
+  FROM scored
+  QUALIFY rank <= 2000
+)
+SELECT d.doc,
+       CAST(CASE WHEN any_value(d.cls) = 'pos' THEN 1.0 ELSE 0.0 END AS VARCHAR)
+         || ' ' || string_agg(v.rank || ':1', ' ' ORDER BY v.rank) AS line
+FROM dedup d JOIN vocab v USING (token)
+GROUP BY d.doc
+"""
+
+
+CATALOG.update(
+    {
+        "api_log_feature_job_e2e": QuerySpec(
+            _q_api_log_feature_job_e2e,
+            _SQL_API_LOG_FEATURE_JOB_E2E,
+            "the reference feature-selection job END-TO-END on the real "
+            "api_logs corpus: scan → IG top-2000 vocab → LIBSVM lines, "
+            "one chained plan with a full value-hash oracle",
+        ),
+    }
+)
+
 # --------------------------------------------------------------------------
 # Multi-dimensional aggregation pack: ROLLUP / CUBE / GROUPING SETS
 # --------------------------------------------------------------------------

@@ -20,11 +20,12 @@ control, and a deterministic randomization test.
   the oracle pins it exactly; BH only consumes the p-ranking, which
   the approximation preserves (it is monotone in |z|).
 * ``permutation_test_det`` — deterministic randomization test for the
-  AUTOMOBILE-vs-HOUSEHOLD mean difference: 64 hash-derived
-  re-labelings of the pooled orders (equal-allocation sign flip via an
-  odd-multiplier hash of (order key, permutation index) — engine-RNG-
-  free, so the full null distribution is oracle-checkable), p =
-  (1 + #{k : stat_k ≥ stat_obs}) / 65.
+  AUTOMOBILE-vs-HOUSEHOLD mean difference: 64 DISTINCT hash-derived
+  re-labelings of the pooled orders (hash-balanced ~50/50 allocation
+  via bit 16 of an additive odd-multiplier hash of (order key,
+  permutation index) — engine-RNG-free, so the full null distribution
+  is oracle-checkable; the low bit would be degenerate, see
+  _q_permutation_test_det), p = (1 + #{k : stat_k ≥ stat_obs}) / 65.
 
 Determinism contract (the repo-wide rule): every data-dependent sum is
 an exact integer/decimal aggregate (order values in cents, residuals
@@ -307,13 +308,23 @@ FROM den CROSS JOIN num
 
 def _q_breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = _residual_day_frame(spark, sf_dir)
-    # y = ec² (cents², exact); R² of y on i from exact moments —
-    # the final combination runs in double (the exact-integer cross
-    # products would need 2^127-bit squares)
+    # Residuals are quantized from cents to $10-units (ecq =
+    # round(ec/1000)) BEFORE squaring twice: syy sums ecq^4 terms, so
+    # the headroom bound is n * max|ecq|^4 — at sf0.1 (|ec| ~ 1e8
+    # cents => |ecq| ~ 1e5) that is ~2.4e3 * 1e20 = 2.4e23, and even
+    # at 1000x daily revenue (~1e8 units^4 -> 1e32 * n) it stays under
+    # decimal(38,0)/HUGEINT, where raw cents^4 would silently null
+    # (Spark non-ANSI) / raise (DuckDB) at ~10x.  The division runs in
+    # IEEE double with floor(x+0.5) half-up — bit-identical across
+    # engines.  y = ecq² exact; R² of y on i from exact moments; the
+    # final combination runs in double.
     staged = resid.select(
         "i",
+        F.floor(F.col("ec") / F.lit(1000.0) + 0.5).cast("bigint").alias("ecq"),
+    ).select(
+        "i",
         (
-            F.col("ec").cast("decimal(19,0)") * F.col("ec").cast("decimal(19,0)")
+            F.col("ecq").cast("decimal(19,0)") * F.col("ecq").cast("decimal(19,0)")
         ).alias("y"),
     )
     mom = staged.agg(
@@ -342,8 +353,10 @@ def _q_breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BREUSCH_PAGAN_DAILY = (
     _SQL_RESIDUAL_DAY_FRAME
     + """
-, staged AS (
-  SELECT i, CAST(ec AS HUGEINT) * ec AS y FROM resid
+, stagedq AS (
+  SELECT i, CAST(floor(ec / 1000.0 + 0.5) AS BIGINT) AS ecq FROM resid
+), staged AS (
+  SELECT i, CAST(ecq AS HUGEINT) * ecq AS y FROM stagedq
 ), mom2 AS (
   SELECT count(*) AS n, sum(i) AS sx, sum(i * i) AS sxx, sum(y) AS sy,
          sum(CAST(i AS HUGEINT) * y) AS sxy, sum(y * y) AS syy
@@ -503,12 +516,19 @@ def _q_permutation_test_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obs1 = obs.select(stat(F.col("sa"), F.col("na"), F.col("sb"), F.col("nb")).alias("stat_obs"))
     perms = spark.range(1, _N_PERMS + 1).select(F.col("id").alias("k"))
-    # equal-allocation re-labeling: order o goes to arm A in permutation
-    # k iff hash(o, k) is even — odd-multiplier mod 2^31, the repo's
-    # engine-free hash family (products < 2^63, no wraparound either side)
-    h = (F.col("o_orderkey") * F.lit(2654435761) + F.col("k") * F.lit(7919)) % _M31
+    # hash re-labeling: order o goes to arm A in permutation k iff BIT 16
+    # of h(o, k) = (o*2654435761 + k*2246822519) mod 2^31 is clear.  The
+    # LOW bit of any additive odd-multiplier hash is degenerate (it
+    # equals (o + k) mod 2 — every even-k labeling identical, odd-k its
+    # complement), and xor-mixing is equally degenerate under a single-
+    # bit extract (no carry propagation: bit16(a^c)=bit16(a)^bit16(c)).
+    # Additive mixing DOES carry-propagate into bit 16, giving 64
+    # distinct ~50/50 labelings (test_permutation_labelings_distinct).
+    # Allocation is hash-balanced, not exactly equal-n.  Products stay
+    # < 2^63 on both engines (no wraparound either side).
+    h = (F.col("o_orderkey") * F.lit(2654435761) + F.col("k") * F.lit(2246822519)) % _M31
     permed = base.crossJoin(F.broadcast(perms)).select(
-        "k", "yc", (h % 2 == 0).alias("to_a")
+        "k", "yc", (h.bitwiseAND(F.lit(65536)) == 0).alias("to_a")
     )
     per_k = permed.groupBy("k").agg(
         F.sum(F.when(F.col("to_a"), F.col("yc"))).alias("sa"),
@@ -547,7 +567,8 @@ obs AS (
   FROM base
 ), permed AS (
   SELECT k.k, b.yc,
-         ((b.o_orderkey * 2654435761 + k.k * 7919) % {_M31}) % 2 = 0 AS to_a
+         ((b.o_orderkey * 2654435761 + k.k * 2246822519) % {_M31})
+          & 65536 = 0 AS to_a
   FROM base b CROSS JOIN (SELECT unnest(generate_series(1, {_N_PERMS})) AS k) k
 ), per_k AS (
   SELECT k,
@@ -585,7 +606,8 @@ SPECS: dict[str, QuerySpec] = {
         _q_breusch_pagan_daily,
         _SQL_BREUSCH_PAGAN_DAILY,
         "Breusch-Pagan LM heteroscedasticity test: n*R^2 of squared "
-        "residuals on day index from exact integer moments",
+        "$10-quantized residuals on day index from exact integer "
+        "moments (ecq^4 headroom documented)",
     ),
     "bh_fdr_segments": QuerySpec(
         _q_bh_fdr_segments,
@@ -597,7 +619,7 @@ SPECS: dict[str, QuerySpec] = {
         _q_permutation_test_det,
         _SQL_PERMUTATION_TEST_DET,
         "deterministic 64-permutation randomization test for the two-"
-        "segment mean difference (hash re-labeling, full null "
-        "distribution oracle-checked)",
+        "segment mean difference (xor-mixed middle-bit hash re-labeling, "
+        "64 distinct labelings, full null distribution oracle-checked)",
     ),
 }

@@ -689,3 +689,175 @@ def test_laspeyres_cleared_denominator_identity(basket):
     text_num = sum(pt * q0 for _, pt in basket)
     text_den = sum(p0 * q0 for p0, _ in basket)
     assert abs(num_plan / den_plan - text_num / text_den) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# round-8: identity-test debt (VERDICT r7 directive #2 + ADVICE high)
+# --------------------------------------------------------------------------
+
+
+def _perm_label(o: int, k: int) -> bool:
+    """The exact labeling expression of permutation_test_det
+    (plans/round7_stats.py): bit 16 of the additive odd-multiplier
+    hash mod 2^31."""
+    return ((o * 2654435761 + k * 2246822519) % 2147483648) & 65536 == 0
+
+
+def test_permutation_labelings_distinct():
+    """ADVICE r7 (high): the 64 hash re-labelings of
+    permutation_test_det must be pairwise DISTINCT up to complement and
+    ~50/50 balanced.  The previous low-bit scheme collapsed to one
+    labeling + its complement (h%2 == (o+k)%2 for odd multipliers),
+    and an xor-mixed variant is just as degenerate under any single-bit
+    extract (no carry propagation) — both pinned below as regression
+    witnesses."""
+    for keys in (list(range(1, 601)), list(range(4, 2401, 4))):
+        labs = [tuple(_perm_label(o, k) for o in keys) for k in range(1, 65)]
+        canon = {min(l, tuple(not b for b in l)) for l in labs}
+        assert len(canon) == 64, f"only {len(canon)} distinct labelings"
+        for lab in labs:
+            frac = sum(lab) / len(lab)
+            assert 0.4 <= frac <= 0.6, f"unbalanced labeling: {frac}"
+    # regression witnesses: the two degenerate families
+    keys = list(range(1, 601))
+    low_bit = [
+        tuple(((o * 2654435761 + k * 7919) % 2147483648) % 2 == 0 for o in keys)
+        for k in range(1, 65)
+    ]
+    assert len({min(l, tuple(not b for b in l)) for l in low_bit}) == 1
+    xor_bit = [
+        tuple(
+            ((o * 2654435761 ^ (k * 2246822519) % 2147483648) % 2147483648)
+            & 65536
+            == 0
+            for o in keys
+        )
+        for k in range(1, 65)
+    ]
+    assert len({min(l, tuple(not b for b in l)) for l in xor_bit}) <= 2
+
+
+@given(
+    ys=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=8, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_dickey_fuller_moments_vs_lstsq(ys):
+    """round7_ur.dickey_fuller_daily: rho / se / t from centered integer
+    moments must equal the OLS fit of d_t = alpha + rho*y_{t-1} computed
+    the independent way (numpy lstsq + covariance from inv(X'X))."""
+    import numpy as np
+    from hypothesis import assume
+
+    x = np.array(ys[:-1], dtype=float)
+    d = np.diff(np.array(ys, dtype=float))
+    n = len(x)
+    assume(np.ptp(x) > 0)
+    # plan algebra (centered moments)
+    sx, sd = x.sum(), d.sum()
+    sxx_c = (x * x).sum() - sx * sx / n
+    sdd_c = (d * d).sum() - sd * sd / n
+    sxd_c = (x * d).sum() - sx * sd / n
+    assume(sxx_c > 1e-9 * max(1.0, (x * x).sum()))
+    rho = sxd_c / sxx_c
+    ssr = sdd_c - rho * sxd_c
+    se = np.sqrt(max(ssr, 0.0) / (n - 2.0) / sxx_c)
+    # independent route: lstsq + inv(X'X) covariance
+    A = np.column_stack([np.ones(n), x])
+    coef, _, _, _ = np.linalg.lstsq(A, d, rcond=None)
+    resid = d - A @ coef
+    ssr_np = float(resid @ resid)
+    cov = ssr_np / (n - 2.0) * np.linalg.inv(A.T @ A)
+    se_np = float(np.sqrt(cov[1, 1]))
+    scale = max(1.0, abs(rho))
+    assert abs(rho - coef[1]) < 1e-7 * scale
+    assert abs(ssr - ssr_np) < 1e-6 * max(1.0, ssr_np)
+    if se_np > 1e-12:
+        assert abs(se - se_np) < 1e-6 * se_np
+        assert abs(rho / se - coef[1] / se_np) < 1e-5 * max(1.0, abs(coef[1] / se_np))
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-5_000, max_value=5_000),
+            st.integers(min_value=1, max_value=200),
+        ),
+        min_size=10,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_granger_cramer_vs_lstsq(pairs):
+    """round7_granger.granger_causality_daily: the centered 2x2 Cramer
+    closed form (beta, gamma, SSR_r, SSR_u, F) must equal the two numpy
+    lstsq fits y_t ~ [1, y_lag] and y_t ~ [1, y_lag, x_lag]."""
+    import numpy as np
+    from hypothesis import assume
+
+    y = np.array([p[0] for p in pairs], dtype=float)
+    xs = np.array([p[1] for p in pairs], dtype=float)
+    yt, yl, xl = y[1:], y[:-1], xs[:-1]
+    n = len(yt)
+    # plan algebra
+    sy, sa, sb = yt.sum(), yl.sum(), xl.sum()
+    caa = (yl * yl).sum() - sa * sa / n
+    cbb = (xl * xl).sum() - sb * sb / n
+    cab = (yl * xl).sum() - sa * sb / n
+    cay = (yl * yt).sum() - sa * sy / n
+    cby = (xl * yt).sum() - sb * sy / n
+    cyy = (yt * yt).sum() - sy * sy / n
+    det = caa * cbb - cab * cab
+    assume(caa > 1e-6 * max(1.0, (yl * yl).sum()))
+    assume(det > 1e-6 * max(1.0, caa * cbb))
+    ssr_r = cyy - cay * cay / caa
+    beta = (cay * cbb - cby * cab) / det
+    gamma = (caa * cby - cab * cay) / det
+    ssr_u = cyy - beta * cay - gamma * cby
+    f_stat = (ssr_r - ssr_u) / (ssr_u / (n - 3.0)) if ssr_u > 1e-9 else None
+    # independent route
+    Ar = np.column_stack([np.ones(n), yl])
+    Au = np.column_stack([np.ones(n), yl, xl])
+    cr, _, _, _ = np.linalg.lstsq(Ar, yt, rcond=None)
+    cu, _, _, _ = np.linalg.lstsq(Au, yt, rcond=None)
+    rr = yt - Ar @ cr
+    ru = yt - Au @ cu
+    ssr_r_np, ssr_u_np = float(rr @ rr), float(ru @ ru)
+    assert abs(beta - cu[1]) < 1e-5 * max(1.0, abs(cu[1]))
+    assert abs(gamma - cu[2]) < 1e-5 * max(1.0, abs(cu[2]))
+    assert abs(ssr_r - ssr_r_np) < 1e-5 * max(1.0, ssr_r_np)
+    assert abs(ssr_u - ssr_u_np) < 1e-5 * max(1.0, ssr_u_np)
+    if f_stat is not None and ssr_u_np > 1e-6 * max(1.0, ssr_r_np):
+        f_np = (ssr_r_np - ssr_u_np) / (ssr_u_np / (n - 3.0))
+        assert abs(f_stat - f_np) < 1e-4 * max(1.0, abs(f_np))
+
+
+@given(
+    counts=st.lists(
+        st.lists(st.integers(min_value=0, max_value=500), min_size=4, max_size=4),
+        min_size=3,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_burrows_delta_quantized_identity(counts):
+    """round7_text.burrows_delta_sources: the plan's per-word pipeline
+    (rel-freq grid -> population z-score -> 1e-8-quantized |dz| terms ->
+    mean) must match the direct numpy Burrows' Delta to within the
+    quantization bound (n_words * 0.5e-8)."""
+    import numpy as np
+    from hypothesis import assume
+
+    m = np.array(counts, dtype=float)  # sources x words
+    tot = m.sum(axis=1) + 1.0  # per-source token totals (never zero)
+    rf = m / tot[:, None]
+    mu = rf.mean(axis=0)
+    sd = rf.std(axis=0)  # population std, as the plan's srf2/ns - mean^2
+    assume(float(sd.min()) > 1e-9)
+    z = (rf - mu) / sd
+    n_src, n_w = z.shape
+    for a in range(n_src):
+        for b in range(a + 1, n_src):
+            dz = np.abs(z[a] - z[b])
+            plan = np.floor(dz * 1e8 + 0.5).sum() / (n_w * 1e8)
+            direct = dz.mean()
+            assert abs(plan - direct) <= 0.5e-8 + 1e-12
