@@ -117,11 +117,12 @@ def sample_frames(documents: DataFrame, every_kth: int = 4) -> DataFrame:
 def decode_features(documents: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Per-payload decoded features via Arrow-batched ``mapInPandas``.
 
-    With a real codec installed this is where PIL/librosa would run; in
-    this container the kernel is a DETERMINISTIC STUB: byte-level stats
-    (mean byte, a positional checksum) standing in for pixel stats.  The
-    schema, batching, and partition shape are exactly what the real
-    decoder uses.
+    The kernel here is the DETERMINISTIC byte-stats path (mean byte, a
+    positional checksum) over the synthetic UTF-8 payloads — the
+    always-on exact-oracle check for the decode plumbing.  The REAL
+    codec path with identical plumbing is
+    :func:`decode_image_features` (PIL, gated on availability).  The
+    schema, batching, and partition shape are shared.
 
     The synthetic payload format is fully specified — UTF-8 bytes of an
     ASCII ``text`` column — so the decode has a closed-form EXACT oracle
@@ -140,10 +141,6 @@ def decode_features(documents: DataFrame, batch_hint: int = 256) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        if HAVE_PIL:  # pragma: no cover - codec not in this container
-            raise NotImplementedError(
-                "real decode path not wired: container has no test images"
-            )
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -162,6 +159,66 @@ def decode_features(documents: DataFrame, batch_hint: int = 256) -> DataFrame:
 
     return with_payload.select("doc_id", "payload").mapInPandas(
         decode, schema="doc_id bigint, n_bytes bigint, mean_byte double, checksum bigint"
+    )
+
+
+def decode_image_features(frames: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """REAL image decode over a ``(doc_id, payload: binary)`` frame —
+    PIL opens each payload as an encoded image (PNG/JPEG/...) and the
+    kernel emits per-image pixel stats.  This is the actual codec slot
+    the byte-stats stub in :func:`decode_features` stands in for; both
+    share the mapInPandas plumbing (Arrow batches, per-task Python
+    worker, doc-locality repartition left to the caller).
+
+    Gated exactly like the protobuf/transformWithState pattern: PIL is
+    not installable in the offline build container
+    (requirements-optional.txt), so the call raises ImportError
+    driver-side when the codec is absent, tests ``importorskip`` on
+    PIL, and ``test_pil_gate_cannot_rot`` (tests/test_multimodal.py)
+    fails if the environment ever gains PIL without this path running.
+
+    Output: (doc_id, width, height, n_pixels, mean_pixel) —
+    mean over all channels as float64 (exact: integer pixel sums are
+    < 2^53, one IEEE division).
+    """
+    if not HAVE_PIL:
+        raise ImportError(
+            "decode_image_features needs PIL (pillow) — not installable "
+            "in the offline container; see requirements-optional.txt"
+        )
+
+    def decode(batches: Iterator) -> Iterator:
+        import io
+
+        import numpy as np
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with Image.open(io.BytesIO(payload)) as img:
+                    arr = np.asarray(img, dtype=np.uint8)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        int(arr.shape[0] * arr.shape[1]),
+                        float(arr.astype(np.int64).sum() / arr.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "mean_pixel"],
+            )
+
+    return frames.select("doc_id", "payload").mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, width int, height int, "
+            "n_pixels bigint, mean_pixel double"
+        ),
     )
 
 

@@ -81,3 +81,79 @@ def test_resize_payloads_sizes_and_determinism(spark):
         assert r.dst_bytes == expect
     again = {r.doc_id: r.dst_checksum for r in resize_payloads(docs, stride=2).collect()}
     assert again == {r.doc_id: r.dst_checksum for r in out}
+
+
+# --------------------------------------------------------------------------
+# round-8: real codec path (r7 VERDICT directive #3) — gated like
+# protobuf/transformWithState, with a rot-proof meta-test
+# --------------------------------------------------------------------------
+
+
+def test_decode_image_features_real_codec(spark):
+    """REAL PIL decode over generated PNGs: runs wherever pillow exists
+    (requirements-optional.txt); importorskip-gated because the offline
+    build container cannot install it."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from big_data_virus_analysis_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    rng = np.random.default_rng(7)
+    rows, expected = [], {}
+    for doc_id, (w, h) in enumerate([(8, 5), (16, 16), (3, 11)]):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode="RGB").save(buf, format="PNG")
+        rows.append((doc_id, bytearray(buf.getvalue())))
+        expected[doc_id] = (w, h, w * h, float(arr.astype(np.int64).sum() / arr.size))
+    frames = spark.createDataFrame(
+        rows, schema="doc_id bigint, payload binary"
+    )
+    got = {r.doc_id: r for r in decode_image_features(frames).collect()}
+    assert set(got) == set(expected)
+    for doc_id, (w, h, npx, mean) in expected.items():
+        r = got[doc_id]
+        assert (r.width, r.height, r.n_pixels) == (w, h, npx)
+        assert abs(r.mean_pixel - mean) < 1e-12  # PNG is lossless
+
+
+def test_pil_gate_cannot_rot():
+    """Meta-test (same contract as test_tws_gate_cannot_rot): the real-
+    codec test above is importorskip-gated on PIL because this container
+    cannot install pillow offline.  The gate must not silently rot:
+
+    * PIL absent  -> the import really is impossible, the operator
+      raises the documented ImportError, and requirements-optional.txt
+      records the dependency;
+    * PIL present -> the importorskip gate cannot skip (same condition),
+      so the real decode test RUNS in this session; assert the gating
+      condition is the bare import and the operator no longer raises.
+    """
+    import os
+
+    try:
+        import PIL  # noqa: F401
+
+        pil_available = True
+    except ImportError:
+        pil_available = False
+
+    from big_data_virus_analysis_spark.operators import multimodal
+
+    assert multimodal.HAVE_PIL == pil_available
+    req = open(
+        os.path.join(os.path.dirname(__file__), "..", "requirements-optional.txt")
+    ).read()
+    assert "pillow" in req.lower()
+    if pil_available:
+        import inspect
+
+        src = inspect.getsource(test_decode_image_features_real_codec)
+        assert 'pytest.importorskip("PIL")' in src
+    else:
+        with pytest.raises(ImportError, match="pillow"):
+            multimodal.decode_image_features(None)
