@@ -339,11 +339,15 @@ def main() -> None:
         return
 
     names = list(HEADLINE)
-    # triage hook: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the headline
+    # triage hook: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the headline —
+    # non-headline catalog names are allowed too (appended in the given
+    # order) so any query's scaling exponent can be measured on demand
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     if only:
-        chosen = set(only.split(","))
-        names = [n for n in names if n in chosen]
+        chosen = [c for c in only.split(",") if c]
+        names = [n for n in names if n in chosen] + [
+            c for c in chosen if c not in names
+        ]
     groups = [
         names[i : i + _GROUP_SIZE] for i in range(0, len(names), _GROUP_SIZE)
     ]
