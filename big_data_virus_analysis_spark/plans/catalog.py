@@ -4969,6 +4969,22 @@ from .round7_granger import SPECS as _ROUND7_GRANGER_SPECS  # noqa: E402
 
 _register_pack(_ROUND7_GRANGER_SPECS)
 
+from .round8_ts import SPECS as _ROUND8_TS_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_TS_SPECS)
+
+from .round8_graph import SPECS as _ROUND8_GRAPH_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_GRAPH_SPECS)
+
+from .round8_bi import SPECS as _ROUND8_BI_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_BI_SPECS)
+
+from .round8_ml import SPECS as _ROUND8_ML_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_ML_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
