@@ -4985,6 +4985,22 @@ from .round8_ml import SPECS as _ROUND8_ML_SPECS  # noqa: E402
 
 _register_pack(_ROUND8_ML_SPECS)
 
+from .round8_text import SPECS as _ROUND8_TEXT_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_TEXT_SPECS)
+
+from .round8_dq import SPECS as _ROUND8_DQ_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_DQ_SPECS)
+
+from .round8_spc import SPECS as _ROUND8_SPC_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_SPC_SPECS)
+
+from .round8_embed import SPECS as _ROUND8_EMBED_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_EMBED_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -276,6 +276,25 @@ BNLJ_ALLOWED = {
     "rmst_signup_purchase",
     # 1-row logged-total broadcast onto the matched-cell aggregate
     "ips_policy_value",
+    # round 8: inherits the IG corpus-totals cross join
+    # (api_log_info_gain) into the e2e feature-job chain
+    "api_log_feature_job_e2e",
+    # round 8: 1-row lag-moment broadcasts (lag-1 and lag-2 product
+    # sums) onto the base-moment aggregate
+    "pacf_lag2_daily",
+    # round 8: 1-row totals broadcast + 1-row first-failing-rank
+    # broadcast onto the 5-segment frame
+    "holm_bonferroni_segments",
+    # round 8: 1-row feature-total broadcast + 1-row wide-weight
+    # broadcast onto the scoring scan
+    "softmax_gd_step_exact",
+    # round 8: chars-vocab grid (sources x ~30 chars) + 1-row
+    # vocab-size broadcast
+    "char_kl_by_source",
+    # round 8: 1-row grand-error-rate broadcast onto the day frame
+    "p_chart_daily_errors",
+    # round 8: 1-row median + 1-row MAD broadcasts onto the norm frame
+    "embedding_norm_outliers",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
