@@ -687,6 +687,53 @@ def windowed_type_counts(
     )
 
 
+def windowed_conversion_rate(
+    events: DataFrame,
+    minutes: int = 360,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-tumbling-window funnel conversion: view → click → purchase
+    counts as three CONDITIONAL aggregates of one streaming groupBy
+    (state per open window = one row of three counters — bounded, no
+    per-event retention), plus click-through and purchase rates with
+    0-view windows guarded to NULL.
+
+    The streaming twin of the batch funnel family: the rates are
+    per-row projections of the streamed counters, so the batch plan
+    over the same frame is an exact parity oracle
+    (tests/test_streaming.py::test_windowed_conversion_matches_batch).
+
+    Output: (window_start_us, n_views, n_clicks, n_purchases,
+    click_through, purchase_rate).
+    """
+    win = F.window("ts", f"{minutes} minutes")
+    counts = (
+        _with_watermark(events, watermark)
+        .groupBy(win.alias("w"))
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("bigint")).alias("n_views"),
+            F.sum((F.col("event_type") == "click").cast("bigint")).alias(
+                "n_clicks"
+            ),
+            F.sum((F.col("event_type") == "purchase").cast("bigint")).alias(
+                "n_purchases"
+            ),
+        )
+    )
+    rate = lambda num: F.when(  # noqa: E731
+        F.col("n_views") > 0,
+        F.round(num.cast("double") / F.col("n_views").cast("double"), 6),
+    )
+    return counts.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        rate(F.col("n_clicks")).alias("click_through"),
+        rate(F.col("n_purchases")).alias("purchase_rate"),
+    )
+
+
 def topk_event_types(counts: DataFrame, k: int = 2) -> DataFrame:
     """Batch ranker over the streamed (window, type, count) sink:
     top-k types per window, ties broken by type name — deterministic,

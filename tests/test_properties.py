@@ -861,3 +861,178 @@ def test_burrows_delta_quantized_identity(counts):
             plan = np.floor(dz * 1e8 + 0.5).sum() / (n_w * 1e8)
             direct = dz.mean()
             assert abs(plan - direct) <= 0.5e-8 + 1e-12
+
+
+# --------------------------------------------------------------------------
+# round-8 rewrites (the post-triangle-bug rule: every mathematical
+# rewrite gets a pure-Python identity test)
+# --------------------------------------------------------------------------
+
+
+@given(
+    ys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=5, max_size=50)
+)
+@settings(max_examples=200, deadline=None)
+def test_jarque_bera_central_from_raw_moments(ys):
+    """round8_ts.jarque_bera_daily derives central moments m2/m3/m4 from
+    raw power sums; verify against direct numpy central moments and the
+    scipy-free JB formula."""
+    import numpy as np
+    from hypothesis import assume
+
+    y = np.array(ys, dtype=float)
+    n = len(y)
+    assume(np.ptp(y) > 0)
+    s1, s2, s3, s4 = y.sum(), (y**2).sum(), (y**3).sum(), (y**4).sum()
+    m1 = s1 / n
+    m2 = s2 / n - m1 * m1
+    m3 = s3 / n - 3 * m1 * (s2 / n) + 2 * m1**3
+    m4 = s4 / n - 4 * m1 * (s3 / n) + 6 * m1 * m1 * (s2 / n) - 3 * m1**4
+    d = y - y.mean()
+    scale = max(1.0, float((d**2).mean()) ** 2)
+    assert abs(m2 - (d**2).mean()) < 1e-7 * max(1.0, (d**2).mean())
+    assert abs(m3 - (d**3).mean()) < 1e-6 * max(1.0, abs((d**3).mean()), scale)
+    assert abs(m4 - (d**4).mean()) < 1e-6 * max(1.0, (d**4).mean())
+    skew = m3 / (m2 * np.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew**2 + exk**2 / 4.0)
+    skew_np = float((d**3).mean() / (d**2).mean() ** 1.5)
+    exk_np = float((d**4).mean() / (d**2).mean() ** 2 - 3.0)
+    jb_np = n / 6.0 * (skew_np**2 + exk_np**2 / 4.0)
+    assert abs(jb - jb_np) < 1e-5 * max(1.0, jb_np)
+
+
+@given(
+    ys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=6, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_pacf_lag2_durbin_levinson_identity(ys):
+    """round8_ts.pacf_lag2_daily: phi22 = (r2 - r1^2)/(1 - r1^2) from
+    the plan's cleared-product autocovariances must equal the
+    Yule-Walker solve of the 2x2 system (second component)."""
+    import numpy as np
+    from hypothesis import assume
+
+    y = np.array(ys, dtype=float)
+    n = len(y)
+    assume(np.ptp(y) > 0)
+    ybar = y.mean()
+
+    def gamma(k):
+        a, b = y[: n - k], y[k:]
+        # the plan's cleared form: sum(ab) - ybar*sum(a) - ybar*sum(b)
+        # + m*ybar^2, all over n
+        return ((a * b).sum() - ybar * a.sum() - ybar * b.sum() + len(a) * ybar**2) / n
+
+    g0, g1, g2 = gamma(0), gamma(1), gamma(2)
+    # the plan computes g0 from s2 - n*ybar^2 — identical by algebra
+    assert abs(g0 - ((y - ybar) ** 2).mean()) < 1e-7 * max(1.0, g0)
+    r1, r2 = g1 / g0, g2 / g0
+    assume(abs(1.0 - r1 * r1) > 1e-6)
+    pacf2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    # Yule-Walker: [[g0, g1], [g1, g0]] @ [phi1, phi2] = [g1, g2]
+    A = np.array([[g0, g1], [g1, g0]])
+    assume(abs(np.linalg.det(A)) > 1e-9 * max(1.0, g0 * g0))
+    phi = np.linalg.solve(A, np.array([g1, g2]))
+    assert abs(pacf2 - phi[1]) < 1e-6 * max(1.0, abs(phi[1]))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.lists(st.integers(-100, 100), min_size=4, max_size=4),
+        ),
+        min_size=6,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_softmax_zero_init_gradient_closed_form(rows):
+    """round8_ml.softmax_gd_step_exact: at W=0 every softmax
+    probability is exactly 1/3, so grad_cj = (T_j/3 - S_cj)/n.  Verify
+    against the direct softmax-gradient computation."""
+    import numpy as np
+
+    y = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=float)
+    n, d = X.shape
+    # direct: P = softmax(XW) with W=0 -> uniform 1/3
+    P = np.full((n, 3), 1.0 / 3.0)
+    Y = np.zeros((n, 3))
+    Y[np.arange(n), y] = 1.0
+    grad_direct = (P - Y).T @ X / n  # 3 x d
+    for c in range(3):
+        S_c = X[y == c].sum(axis=0) if (y == c).any() else np.zeros(d)
+        T = X.sum(axis=0)
+        grad_plan = (T / 3.0 - S_c) / n
+        assert np.allclose(grad_plan, grad_direct[c], atol=1e-9)
+
+
+@given(
+    vals=st.lists(st.integers(0, 10_000), min_size=10, max_size=80)
+)
+@settings(max_examples=200, deadline=None)
+def test_trimmed_winsorized_rank_rule(vals):
+    """round8_spc.trimmed_winsorized_means: the rank-window rule
+    (keep k < rk <= n-k; winsorize with the k+1 and n-k order stats)
+    must equal the direct sorted-slice definitions."""
+    n = len(vals)
+    k = n // 10
+    s = sorted(vals)
+    kept = s[k : n - k]
+    trimmed_direct = sum(kept) / (n - 2 * k)
+    wins_direct = (sum(kept) + k * s[k] + k * s[n - k - 1]) / n
+    # plan rule over ranks 1..n of the sorted sequence
+    kept_plan = [v for rk, v in enumerate(s, 1) if k < rk <= n - k]
+    lo = next(v for rk, v in enumerate(s, 1) if rk == k + 1)
+    hi = next(v for rk, v in enumerate(s, 1) if rk == n - k)
+    assert sum(kept_plan) == sum(kept)
+    assert lo == s[k] and hi == s[n - k - 1]
+    assert abs(sum(kept_plan) / (n - 2 * k) - trimmed_direct) < 1e-12
+    assert abs((sum(kept_plan) + k * lo + k * hi) / n - wins_direct) < 1e-12
+
+
+@given(
+    pvals=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_holm_stepdown_first_fail_rule(pvals):
+    """round8_ts.holm_bonferroni_segments: 'reject ranks strictly below
+    the first failing rank' must equal the textbook sequential Holm
+    procedure."""
+    alpha = 0.10
+    m = len(pvals)
+    s = sorted(pvals)
+    # textbook: walk ranks in order, stop at the first failure
+    reject_textbook = [False] * m
+    for i, p in enumerate(s, 1):
+        if p <= alpha / (m - i + 1):
+            reject_textbook[i - 1] = True
+        else:
+            break
+    # plan rule: first_fail = min rank with p > alpha/(m-rank+1)
+    fails = [i for i, p in enumerate(s, 1) if p > alpha / (m - i + 1)]
+    first_fail = min(fails) if fails else m + 1
+    reject_plan = [rank < first_fail for rank in range(1, m + 1)]
+    assert reject_plan == reject_textbook
+
+
+@given(
+    cents=st.lists(st.integers(1, 10**9), min_size=2, max_size=12)
+)
+@settings(max_examples=300, deadline=None)
+def test_hhi_ppm_integer_division_bound(cents):
+    """round8_bi.hhi_concentration: truncating ppm shares bound the
+    true HHI within n*2e-6 + 1e-12 (each share loses < 1 ppm, HHI is
+    1-Lipschitz-ish in each share since shares sum <= 1)."""
+    tot = sum(cents)
+    ppm = [c * 1_000_000 // tot for c in cents]
+    hhi_plan = sum(p * p for p in ppm) / 1e12
+    hhi_true = sum((c / tot) ** 2 for c in cents)
+    # |x^2 - y^2| = |x-y||x+y| <= 1e-6 * 2 per share
+    assert abs(hhi_plan - hhi_true) <= len(cents) * 2e-6 + 1e-12

@@ -961,3 +961,36 @@ def test_windowed_histogram_quantile_matches_batch(
         assert r["q_upper_bound"] - bin_width - 1e-9 <= m <= r["q_upper_bound"] + 1e-9, (
             r["window_start_us"], r["q_upper_bound"], m,
         )
+
+
+def test_windowed_conversion_matches_batch(spark, events_stream_dir, tmp_path):
+    """Streamed windowed funnel counters + rates equal the all-batch
+    twin exactly; 0-view windows surface NULL rates, never a division
+    error."""
+    from big_data_virus_analysis_spark.streaming.streams import (
+        windowed_conversion_rate,
+    )
+
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, windowed_conversion_rate(stream, watermark=None), "complete", tmp_path
+    )
+    want = windowed_conversion_rate(batch, watermark=None)
+    cols = [
+        "window_start_us",
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        "click_through",
+        "purchase_rate",
+    ]
+    got_rows, want_rows = _canon(got, cols), _canon(want, cols)
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
+    for r in want_rows:
+        n_views, ct = r[1], r[4]
+        if int(n_views) > 0:
+            assert ct is not None
+        else:
+            assert ct is None
