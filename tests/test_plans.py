@@ -708,3 +708,57 @@ def test_hilbert_curve_bijective_and_adjacent(spark):
     for d in rng.sample(range(_N * _N - 1), 2000):
         (x1, y1), (x2, y2) = pos[d], pos[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos[d], pos[d + 1])
+
+
+def test_api_log_feature_job_tokens_materialize_once(spark):
+    """round-8 e2e: the api-log token explode feeds BOTH the IG vocab
+    ranking and the vectorize probe; tracked_cache must make it
+    materialize once (>=2 InMemoryTableScan consumers), or the corpus
+    re-tokenizes per branch."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(
+            CATALOG["api_log_feature_job_e2e"].spark(spark, SMOKE_SF_DIR)
+        )
+        assert plan.count("InMemoryTableScan") >= 2
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
+
+
+def test_round8_graph_frames_materialize_once(spark):
+    """round-8 graph pack: the shared edge + adjacency frames feed the
+    edge-support wedge join (two adjacency probes) and the histogram
+    re-attach; both must come from the cache (>=4 InMemoryTableScan:
+    2x adjacency, 2x edges)."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(CATALOG["ktruss_edge_support"].spark(spark, SMOKE_SF_DIR))
+        assert plan.count("InMemoryTableScan") >= 4
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
+
+
+def test_rich_club_rank_frame_broadcasts(spark):
+    """round-8: the 16-row rank frame must reach the edge probe as a
+    broadcast (2x BroadcastHashJoin over the marked edges), never a
+    shuffle."""
+    from big_data_virus_analysis_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    try:
+        plan = fmt_plan(
+            CATALOG["rich_club_coefficient"].spark(spark, SMOKE_SF_DIR)
+        )
+        assert plan.count("BroadcastHashJoin") >= 2
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()
