@@ -139,6 +139,13 @@ HEADLINE = [
     # measured figure replaces BASELINE.md's "expected orders of
     # magnitude under the ~3,200-job design" with a number.
     "api_log_feature_job_e2e",
+    # round-8 additions (user-partitioned session windows; the char
+    # explode + per-doc entropy agg; the e2e multiclass GD step with
+    # its two 1-row broadcasts; the edge-support wedge join)
+    "bounce_sessions_daily",
+    "char_entropy_topdocs",
+    "softmax_gd_step_exact",
+    "ktruss_edge_support",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is
