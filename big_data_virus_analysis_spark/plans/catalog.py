@@ -5059,44 +5059,44 @@ _PINNED_CORE: tuple[str, ...] = (
     "auc_rank_based",
 )
 
-#: round-7 rotation: ALL 16 round-7 exact entries (directive work —
-#: the judge-fixed RMST/log-rank plans, the hub-capped link predictor,
-#: the fast-path structural twin — plus the round-7 widening packs:
-#: classical inference, text fingerprinting/NB, R/S + robust
-#: regression, CKA, bidirectional as-of, the SQL-UDF surface, and
-#: composed canary #4), topped up with earlier composed-pipeline
-#: canaries so the driver's gate always re-verifies the chained plans.
+#: round-8 rotation: ALL 21 round-8 exact entries (the ADVICE-fixed
+#: permutation test and quantized Breusch–Pagan, the reference
+#: feature job e2e with its measured BASELINE figure, and the widening
+#: packs — JB/PACF/Holm inference, graph cohesion, BI concentration /
+#: acquisition / bounce, softmax-GD / Hoeffding / McNemar, char-level
+#: text stats, the value-distribution profiler, robust means + SPC,
+#: the embedding-norm audit), topped up with the standing
+#: composed-pipeline canaries.
 _ROTATING_WINDOW: tuple[str, ...] = (
-    # round-7 directive work (judge-fixed plans + new exact twins)
-    "rmst_signup_purchase",
-    "logrank_two_segment",
-    "adamic_adar_linkpred",
-    "minhash_lsh_pairs_fast_det",
-    # round-7 widening packs
-    "welch_t_segments",
-    "durbin_watson_daily",
-    "breusch_pagan_daily",
-    "bh_fdr_segments",
+    # round-8 ADVICE-fixed plans (re-verify the fixes independently)
     "permutation_test_det",
-    "winnowing_fingerprints",
-    "intra_doc_repetition",
-    "multinomial_nb_source_confusion",
-    "hurst_rescaled_range_daily",
-    "theil_inequality_by_segment",
-    "huber_irls_step_exact",
-    "linear_cka_dim_halves",
-    "asof_nearest_event",
-    "sql_udf_margin_rollup",
-    "experiment_readout_e2e",
-    # earlier composed-pipeline canaries (always re-verified)
+    "breusch_pagan_daily",
+    # round-8 directive #4: the reference feature job end-to-end
+    "api_log_feature_job_e2e",
+    # round-8 widening packs
+    "jarque_bera_daily",
+    "pacf_lag2_daily",
+    "holm_bonferroni_segments",
+    "ktruss_edge_support",
+    "rich_club_coefficient",
+    "jaccard_link_similarity",
+    "hhi_concentration",
+    "new_vs_returning_daily",
+    "bounce_sessions_daily",
+    "softmax_gd_step_exact",
+    "hoeffding_bound_audit",
+    "mcnemar_fixed_scorers",
+    "char_entropy_topdocs",
+    "char_kl_by_source",
+    "lognormal_doclen_fit",
+    "mode_concentration_profile",
+    "trimmed_winsorized_means",
+    "p_chart_daily_errors",
+    "process_capability_orders",
+    "embedding_norm_outliers",
+    # standing composed-pipeline canaries (always re-verified)
     "dedup_pipeline_e2e",
-    "corpus_curation_e2e",
-    "bi_dashboard_e2e",
-    # late round-7 exact twins (BPE loop body, cluster-eval metrics)
-    "bpe_merge_steps_exact",
-    "adjusted_rand_clusterings",
-    # round-6 graph flagship kept one more round
-    "pagerank_dup_graph_exact",
+    "experiment_readout_e2e",
 )
 
 _FIRST_WINDOW: tuple[str, ...] = _PINNED_CORE + _ROTATING_WINDOW
