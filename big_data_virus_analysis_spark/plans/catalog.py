@@ -5001,6 +5001,14 @@ from .round8_embed import SPECS as _ROUND8_EMBED_SPECS  # noqa: E402
 
 _register_pack(_ROUND8_EMBED_SPECS)
 
+from .round8_olap import SPECS as _ROUND8_OLAP_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_OLAP_SPECS)
+
+from .round8_more import SPECS as _ROUND8_MORE_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_MORE_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

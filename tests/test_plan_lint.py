@@ -295,6 +295,10 @@ BNLJ_ALLOWED = {
     "p_chart_daily_errors",
     # round 8: 1-row median + 1-row MAD broadcasts onto the norm frame
     "embedding_norm_outliers",
+    # round 8: 1-row min-class-size cap broadcast onto the ranked scan
+    "class_balanced_downsample",
+    # round 8: 1-row (na, nb) source-size broadcast onto src0's ranks
+    "quantile_normalization_sources",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
@@ -338,6 +342,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # bounded 512-row merged sketch union (16 shards x 32 bins):
     # cumulative-weight scan over the sketch, never over data rows
     "quantile_merge_audit",
+    # round 8: calendar-bounded per-DAY frame, 30-row trailing window
+    "rolling_correlation_30d",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep (each

@@ -1036,3 +1036,98 @@ def test_hhi_ppm_integer_division_bound(cents):
     hhi_true = sum((c / tot) ** 2 for c in cents)
     # |x^2 - y^2| = |x-y||x+y| <= 1e-6 * 2 per share
     assert abs(hhi_plan - hhi_true) <= len(cents) * 2e-6 + 1e-12
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(1, 500), st.integers(1, 10_000)),
+        min_size=30,
+        max_size=60,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_rolling_corr_sum_identity(pairs):
+    """round8_olap.rolling_correlation_30d: the rolling-sum Pearson
+    combine must equal numpy corrcoef on every full 30-window."""
+    import numpy as np
+    from hypothesis import assume
+
+    x = np.array([p[0] for p in pairs], dtype=float)
+    y = np.array([p[1] for p in pairs], dtype=float)
+    W = 30
+    for end in range(W, len(x) + 1):
+        xs, ys = x[end - W : end], y[end - W : end]
+        assume(np.ptp(xs) > 0 and np.ptp(ys) > 0)
+        n = float(W)
+        num = n * (xs * ys).sum() - xs.sum() * ys.sum()
+        den = np.sqrt(
+            (n * (xs * xs).sum() - xs.sum() ** 2)
+            * (n * (ys * ys).sum() - ys.sum() ** 2)
+        )
+        direct = np.corrcoef(xs, ys)[0, 1]
+        assert abs(num / den - direct) < 1e-9
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 10**7),  # extended price cents
+            st.integers(0, 10),  # discount percent
+            st.integers(0, 8),  # tax percent
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_revenue_waterfall_integer_algebra(rows):
+    """round8_olap.revenue_waterfall: the 1e-4-cent integer component
+    sums must equal the float disc_price/charge algebra, and the
+    waterfall must reconcile: gross - disc + tax == charge exactly."""
+    gross = sum(e * 10_000 for e, _, _ in rows)
+    disc = sum(e * d * 100 for e, d, _ in rows)
+    tax = sum(e * (100 - d) * t for e, d, t in rows)
+    charge = sum(e * (100 - d) * 100 + e * (100 - d) * t for e, d, t in rows)
+    assert gross - disc + tax == charge  # exact integer reconciliation
+    charge_float = sum(
+        (e / 100) * (1 - d / 100) * (1 + t / 100) for e, d, t in rows
+    )
+    assert abs(charge / 1e6 - charge_float) < 1e-6 * max(1.0, charge_float)
+
+
+@given(
+    cfs=st.lists(st.integers(1, 1000), min_size=1, max_size=200)
+)
+@settings(max_examples=300, deadline=None)
+def test_vocab_coverage_conditional_sum_identity(cfs):
+    """round8_olap.vocab_coverage_topk_grid: sum(cf where rank<=k) over
+    the (cf desc, tok asc) ranking equals the sorted-prefix sum."""
+    toks = [f"t{i}" for i in range(len(cfs))]
+    ranked = sorted(zip(cfs, toks), key=lambda p: (-p[0], p[1]))
+    for k in (3, 10, 50):
+        plan = sum(cf for rank, (cf, _) in enumerate(ranked, 1) if rank <= k)
+        direct = sum(cf for cf, _ in ranked[:k])
+        assert plan == direct
+
+
+@given(
+    labels=st.lists(st.integers(0, 4), min_size=5, max_size=60)
+)
+@settings(max_examples=300, deadline=None)
+def test_class_downsample_cap_rule(labels):
+    """round8_olap.class_balanced_downsample: keep rank<=min-class-size
+    within each class yields exactly min(n_c, cap)=cap rows per class
+    present."""
+    from collections import Counter
+
+    counts = Counter(labels)
+    cap = min(counts.values())
+    kept = Counter()
+    per_class_rank = Counter()
+    for lb in sorted(range(len(labels)), key=lambda i: ((i * 2654435761) % 2147483648, i)):
+        c = labels[lb]
+        per_class_rank[c] += 1
+        if per_class_rank[c] <= cap:
+            kept[c] += 1
+    assert all(v == cap for v in kept.values())
+    assert set(kept) == set(counts)
