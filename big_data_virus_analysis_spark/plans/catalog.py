@@ -5009,6 +5009,10 @@ from .round8_more import SPECS as _ROUND8_MORE_SPECS  # noqa: E402
 
 _register_pack(_ROUND8_MORE_SPECS)
 
+from .round8_infer import SPECS as _ROUND8_INFER_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_INFER_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

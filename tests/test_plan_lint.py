@@ -299,6 +299,12 @@ BNLJ_ALLOWED = {
     "class_balanced_downsample",
     # round 8: 1-row (na, nb) source-size broadcast onto src0's ranks
     "quantile_normalization_sources",
+    # round 8: 1-row OLS-scaffold broadcast (n, tbar, Stt, s2) onto the
+    # day residual frame
+    "cooks_distance_daily",
+    # round 8: 32-row resample scaffold + 1-row CI broadcast onto the
+    # ranked day frame
+    "bootstrap_mean_ci_det",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the

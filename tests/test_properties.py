@@ -1131,3 +1131,86 @@ def test_class_downsample_cap_rule(labels):
             kept[c] += 1
     assert all(v == cap for v in kept.values())
     assert set(kept) == set(counts)
+
+
+@given(
+    es=st.lists(st.integers(-10_000, 10_000), min_size=5, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_cooks_distance_closed_form_vs_hat_matrix(es):
+    """round8_infer.cooks_distance_daily: the simple-regression
+    leverage closed form h_i = 1/n + (t-tbar)^2/Stt must equal the
+    hat-matrix diagonal of X=[1, t], and Cook's D must match the
+    textbook e^2 h / (p s^2 (1-h)^2)."""
+    import numpy as np
+    from hypothesis import assume
+
+    n = len(es)
+    t = np.arange(1.0, n + 1)
+    e = np.array(es, dtype=float)
+    assume(float(np.abs(e).sum()) > 0)
+    X = np.column_stack([np.ones(n), t])
+    H = X @ np.linalg.inv(X.T @ X) @ X.T
+    stt = ((t - t.mean()) ** 2).sum()
+    h_closed = 1.0 / n + (t - t.mean()) ** 2 / stt
+    assert np.allclose(h_closed, np.diag(H), atol=1e-10)
+    s2 = (e**2).sum() / (n - 2)
+    d_plan = e**2 * h_closed / (2.0 * s2 * (1.0 - h_closed) ** 2)
+    d_text = e**2 / (2 * s2) * np.diag(H) / (1 - np.diag(H)) ** 2
+    assert np.allclose(d_plan, d_text, rtol=1e-9)
+
+
+@given(
+    ssrs=st.tuples(
+        st.floats(min_value=1e-3, max_value=1e12),
+        st.floats(min_value=1e-3, max_value=1e12),
+    ),
+    n=st.integers(10, 3000),
+    scale=st.floats(min_value=1e-6, max_value=1e6),
+)
+@settings(max_examples=300, deadline=None)
+def test_ic_model_choice_scale_invariant(ssrs, n, scale):
+    """round8_infer.aic_bic_granger_compare claims IC DIFFERENCES are
+    unit-invariant (cents vs dollars): rescaling both SSRs by c^2 adds
+    the same n*ln(c^2) to both models' IC, so the preferred model never
+    changes."""
+    import math
+
+    ssr_r, ssr_u = ssrs
+    ic = lambda ssr, k, pen: n * math.log(ssr / n) + pen * k  # noqa: E731
+    for pen in (2.0, math.log(n)):
+        base = ic(ssr_r, 2, pen) - ic(ssr_u, 3, pen)
+        scaled = ic(ssr_r * scale, 2, pen) - ic(ssr_u * scale, 3, pen)
+        assert abs(base - scaled) < 1e-6 * max(1.0, abs(base))
+
+
+@given(
+    r=st.floats(min_value=0.1, max_value=100.0),
+    p=st.floats(min_value=0.01, max_value=0.99),
+)
+@settings(max_examples=300, deadline=None)
+def test_negbin_method_of_moments_roundtrip(r, p):
+    """round8_infer.negbin_fit_segments: the MoM inversion
+    (r = m^2/(v-m), p = m/v) must recover (r, p) from the NB mean
+    m = r(1-p)/p and variance v = r(1-p)/p^2."""
+    m = r * (1 - p) / p
+    v = r * (1 - p) / (p * p)
+    r_hat = m * m / (v - m)
+    p_hat = m / v
+    assert abs(r_hat - r) < 1e-6 * max(1.0, r)
+    assert abs(p_hat - p) < 1e-9
+
+
+def test_bootstrap_resample_streams_distinct():
+    """round8_infer.bootstrap_mean_ci_det: the 32 hash index streams
+    over a realistic day count must be pairwise distinct, in-range, and
+    actually WITH replacement (some index repeats within a stream)."""
+    M31 = 2147483648
+    n = 2400
+    streams = []
+    for k in range(1, 33):
+        s = tuple(((i * 2654435761 + k * 2246822519) % M31) % n + 1 for i in range(1, n + 1))
+        assert all(1 <= idx <= n for idx in s)
+        assert len(set(s)) < n  # with replacement: collisions exist
+        streams.append(s)
+    assert len(set(streams)) == 32
