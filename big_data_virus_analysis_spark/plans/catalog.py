@@ -5013,6 +5013,10 @@ from .round8_infer import SPECS as _ROUND8_INFER_SPECS  # noqa: E402
 
 _register_pack(_ROUND8_INFER_SPECS)
 
+from .round8_surface import SPECS as _ROUND8_SURFACE_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_SURFACE_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -305,6 +305,8 @@ BNLJ_ALLOWED = {
     # round 8: 32-row resample scaffold + 1-row CI broadcast onto the
     # ranked day frame
     "bootstrap_mean_ci_det",
+    # round 8: 1-row x 1-row left-fit x right-fit cross join
+    "regression_discontinuity_price",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
