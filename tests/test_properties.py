@@ -1214,3 +1214,57 @@ def test_bootstrap_resample_streams_distinct():
         assert len(set(s)) < n  # with replacement: collisions exist
         streams.append(s)
     assert len(set(streams)) == 32
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-500, 499), st.booleans()),
+        min_size=8,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_rd_intercept_closed_form_vs_lstsq(rows):
+    """round8_surface.regression_discontinuity_price: the per-side
+    centered-moment intercept-at-cutoff (ubar - slope*xbar) must equal
+    the lstsq intercept of u ~ [1, x]."""
+    import numpy as np
+    from hypothesis import assume
+
+    x = np.array([r[0] for r in rows], dtype=float)
+    u = np.array([1.0 if r[1] else 0.0 for r in rows])
+    n = len(x)
+    assume(np.ptp(x) > 0)
+    sxx_c = (x * x).sum() - x.sum() ** 2 / n
+    sxu_c = (x * u).sum() - x.sum() * u.sum() / n
+    assume(abs(sxx_c) > 1e-9 * max(1.0, (x * x).sum()))
+    slope = sxu_c / sxx_c
+    icept = u.mean() - slope * x.mean()
+    A = np.column_stack([np.ones(n), x])
+    coef, _, _, _ = np.linalg.lstsq(A, u, rcond=None)
+    assert abs(icept - coef[0]) < 1e-8 * max(1.0, abs(coef[0]))
+    assert abs(slope - coef[1]) < 1e-8 * max(1.0, abs(coef[1]))
+
+
+@given(
+    la=st.lists(st.integers(10, 10_000), min_size=2, max_size=40),
+    lb=st.lists(st.integers(10, 10_000), min_size=2, max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_quantile_normalization_rank_map(la, lb):
+    """round8_more.quantile_normalization_sources: the integer rank map
+    ceil(r*nb/na) is (a) within [1, nb], (b) monotone in r, and
+    (c) the identity when na == nb — so the mapped distribution is
+    exactly B's when sizes match."""
+    na, nb = len(la), len(lb)
+    sb = sorted(lb)
+    mapped = []
+    prev = 0
+    for r in range(1, na + 1):
+        rb = (r * nb + na - 1) // na  # ceil(r*nb/na)
+        assert 1 <= rb <= nb
+        assert rb >= prev
+        prev = rb
+        mapped.append(sb[rb - 1])
+    if na == nb:
+        assert mapped == sb
