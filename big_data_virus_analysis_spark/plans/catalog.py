@@ -5017,6 +5017,10 @@ from .round8_surface import SPECS as _ROUND8_SURFACE_SPECS  # noqa: E402
 
 _register_pack(_ROUND8_SURFACE_SPECS)
 
+from .round8_seq import SPECS as _ROUND8_SEQ_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_SEQ_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

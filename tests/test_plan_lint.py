@@ -307,6 +307,10 @@ BNLJ_ALLOWED = {
     "bootstrap_mean_ci_det",
     # round 8: 1-row x 1-row left-fit x right-fit cross join
     "regression_discontinuity_price",
+    # round 8: 1-row conformal-threshold broadcast onto the test scan
+    "conformal_interval_coverage",
+    # round 8: 1-row covariance-inverse scaffold broadcast onto the scan
+    "mahalanobis_2d_outliers",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the

@@ -1268,3 +1268,112 @@ def test_quantile_normalization_rank_map(la, lb):
         mapped.append(sb[rb - 1])
     if na == nb:
         assert mapped == sb
+
+
+@given(
+    days=st.lists(
+        st.tuples(st.integers(1, 200), st.integers(0, 200)),
+        min_size=3,
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_sprt_first_crossing_rule(days):
+    """round8_seq.sprt_urgent_share_drift: the aggregate first-crossing
+    rule (min day with cum >= A / min day with cum <= -A, earlier one
+    wins) must equal the sequential walk that stops at the first
+    boundary hit."""
+    import math
+
+    p0, p1, A = 0.20, 0.22, math.log(19.0)
+    la, lb = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    terms = [
+        round((min(k, n) * la + (n - min(k, n)) * lb) * 1e6) for n, k in days
+    ]
+    # sequential walk
+    cum, walk_decision, walk_i = 0, "continue", None
+    for i, t in enumerate(terms):
+        cum += t
+        if cum >= A * 1e6:
+            walk_decision, walk_i = "accept_h1", i
+            break
+        if cum <= -A * 1e6:
+            walk_decision, walk_i = "accept_h0", i
+            break
+    # aggregate rule over the FULL prefix series
+    cums = []
+    c = 0
+    for t in terms:
+        c += t
+        cums.append(c)
+    h1 = next((i for i, c in enumerate(cums) if c >= A * 1e6), None)
+    h0 = next((i for i, c in enumerate(cums) if c <= -A * 1e6), None)
+    if h1 is not None and (h0 is None or h1 < h0):
+        agg = ("accept_h1", h1)
+    elif h0 is not None:
+        agg = ("accept_h0", h0)
+    else:
+        agg = ("continue", None)
+    assert agg == (walk_decision, walk_i)
+
+
+@given(
+    scores=st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False),
+        min_size=9,
+        max_size=100,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_conformal_order_statistic_rule(scores):
+    """round8_seq.conformal_interval_coverage: the rank-selected
+    threshold (the ceil((n+1)*0.9)-th smallest score, when it exists)
+    must equal the direct definition: the smallest t among the scores
+    with #(scores <= t) >= ceil((n+1)*0.9)."""
+    import math
+
+    n = len(scores)
+    q = math.ceil((n + 1) * 0.9)
+    s = sorted(scores)
+    if q > n:
+        return  # threshold undefined (tiny calibration set)
+    thr_rank = s[q - 1]
+    thr_direct = min(t for t in s if sum(1 for x in s if x <= t) >= q)
+    assert thr_rank == thr_direct
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(100, 10_000)),
+        min_size=5,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_mahalanobis_closed_form_inverse(rows):
+    """round8_seq.mahalanobis_2d_outliers: the closed-form 2x2
+    covariance inverse (i11=vp/det, i22=vq/det, i12=-c/det) and the
+    quadratic form must equal numpy's inv-based Mahalanobis."""
+    import numpy as np
+    from hypothesis import assume
+
+    X = np.array(rows, dtype=float)
+    mu = X.mean(axis=0)
+    d = X - mu
+    cov = d.T @ d / len(X)  # population covariance
+    det = cov[0, 0] * cov[1, 1] - cov[0, 1] ** 2
+    assume(det > 1e-9 * max(1.0, cov[0, 0] * cov[1, 1]))
+    i11 = cov[1, 1] / det
+    i22 = cov[0, 0] / det
+    i12 = -cov[0, 1] / det
+    inv = np.linalg.inv(cov)
+    assert abs(i11 - inv[0, 0]) < 1e-8 * max(1.0, abs(inv[0, 0]))
+    assert abs(i22 - inv[1, 1]) < 1e-8 * max(1.0, abs(inv[1, 1]))
+    assert abs(i12 - inv[0, 1]) < 1e-8 * max(1.0, abs(inv[0, 1]))
+    for x in X[:5]:
+        dx = x - mu
+        d2_plan = (
+            dx[0] * dx[0] * i11 + 2 * dx[0] * dx[1] * i12 + dx[1] * dx[1] * i22
+        )
+        d2_np = float(dx @ inv @ dx)
+        assert abs(d2_plan - d2_np) < 1e-6 * max(1.0, d2_np)
