@@ -5021,6 +5021,10 @@ from .round8_seq import SPECS as _ROUND8_SEQ_SPECS  # noqa: E402
 
 _register_pack(_ROUND8_SEQ_SPECS)
 
+from .round8_skipgram import SPECS as _ROUND8_SKIPGRAM_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_SKIPGRAM_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

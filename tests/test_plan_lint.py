@@ -311,6 +311,9 @@ BNLJ_ALLOWED = {
     "conformal_interval_coverage",
     # round 8: 1-row covariance-inverse scaffold broadcast onto the scan
     "mahalanobis_2d_outliers",
+    # round 8: 1-row pair-total + 1-row token-total broadcasts onto the
+    # pair-count frame
+    "skipgram_cooccurrence_topk",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
