@@ -162,6 +162,10 @@ SF1_FAMILY = {
     "minhash_lsh_pairs",
     "semantic_dedup_pairs",
     "dedup_pipeline_e2e",
+    # round-8 additions: the two priciest new headline entries get the
+    # out-of-grid decade too (wedge-join graph family; char explode)
+    "ktruss_edge_support",
+    "char_entropy_topdocs",
 }
 
 
