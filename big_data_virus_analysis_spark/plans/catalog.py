@@ -5025,6 +5025,10 @@ from .round8_skipgram import SPECS as _ROUND8_SKIPGRAM_SPECS  # noqa: E402
 
 _register_pack(_ROUND8_SKIPGRAM_SPECS)
 
+from .round8_ireval import SPECS as _ROUND8_IREVAL_SPECS  # noqa: E402
+
+_register_pack(_ROUND8_IREVAL_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

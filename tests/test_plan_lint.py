@@ -314,6 +314,9 @@ BNLJ_ALLOWED = {
     # round 8: 1-row pair-total + 1-row token-total broadcasts onto the
     # pair-count frame
     "skipgram_cooccurrence_topk",
+    # round 8: 1-row n_rel broadcast onto the 10-row rank scaffold +
+    # 1-row DCG x 1-row IDCG cross join
+    "ndcg_retrieval_eval",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
