@@ -1377,3 +1377,30 @@ def test_mahalanobis_closed_form_inverse(rows):
         )
         d2_np = float(dx @ inv @ dx)
         assert abs(d2_plan - d2_np) < 1e-6 * max(1.0, d2_np)
+
+
+@given(
+    rels=st.lists(st.booleans(), min_size=1, max_size=10)
+)
+@settings(max_examples=300, deadline=None)
+def test_ndcg_integer_weights_bound(rels):
+    """round8_ireval.ndcg_retrieval_eval: the integer discount
+    constants q_i = floor(1e8/log2(i+1)+0.5) reproduce float nDCG
+    within the quantization bound (10 terms x 0.5e-8 on each of
+    DCG and IDCG), and equal it exactly when DCG == IDCG."""
+    import math
+
+    k = len(rels)
+    q = {i: math.floor(1e8 / math.log2(i + 1) + 0.5) for i in range(1, 11)}
+    n_rel = sum(rels)
+    dcg_i = sum(q[i] for i, r in enumerate(rels, 1) if r)
+    idcg_i = sum(q[i] for i in range(1, min(n_rel, 10) + 1))
+    if idcg_i == 0:
+        return
+    dcg_f = sum(1.0 / math.log2(i + 1) for i, r in enumerate(rels, 1) if r)
+    idcg_f = sum(1.0 / math.log2(i + 1) for i in range(1, min(n_rel, 10) + 1))
+    ndcg_int = dcg_i / idcg_i
+    ndcg_flt = dcg_f / idcg_f
+    assert abs(ndcg_int - ndcg_flt) <= 2e-7
+    if dcg_i == idcg_i:
+        assert ndcg_int == 1.0
