@@ -209,6 +209,22 @@ def _measure_group(names: list[str], sf_dir: str, sf: str) -> dict:
     # 100 TB design point compile time is noise, at sf0.1 it would
     # dominate several queries).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # Machine-calibration probe (r8 VERDICT directive #1): a FIXED
+    # catalog query measured at an IDENTICAL point in every worker
+    # JVM's life (fresh JVM -> range warmup -> probe warmup -> probe
+    # runs).  The parent normalizes the drift check by the ratio of
+    # this run's probe median to the prior snapshot's, so a uniformly
+    # slower/faster machine (the r8 driver ran ~+13% across the board)
+    # no longer reads as a code regression.
+    _CAL = "scan_filter_project"
+    calibration: list[float] = []
+    if _CAL in CATALOG:
+        _run_once(_CAL, "/root/testdata/sf0.001")
+        calibration = [
+            round(_run_once(_CAL, sf_dir), 3) for _ in range(N_RUNS)
+        ]
+
     for name in names:
         _run_once(name, "/root/testdata/sf0.001")
 
@@ -276,6 +292,7 @@ def _measure_group(names: list[str], sf_dir: str, sf: str) -> dict:
         "queries": timings,
         "scaling_exponent": exponents,
         "exponent_interval": exponent_interval,
+        "calibration_runs": calibration,
     }
 
 
@@ -293,11 +310,21 @@ def _worker_main(out_path: str) -> None:
 # --------------------------------------------------------------------------
 
 
-def _drift_vs_prev_snapshot(timings: dict, sf: str) -> list[dict]:
+def _drift_vs_prev_snapshot(
+    timings: dict, sf: str, calibration_sec: float | None
+) -> tuple[list[dict], float]:
     """Queries whose median exceeds the fresh-JVM [min, max] recorded in
     the newest committed BENCH_FULL_r{N}.json (same SF only — spreads
-    from a different scale factor are not comparable).  Returns compact
-    dicts {q, sec, prev_max}; empty when there is no prior snapshot."""
+    from a different scale factor are not comparable), NORMALIZED by the
+    machine factor (r8 VERDICT directive #1): this run's calibration-
+    probe median over the snapshot's.  The r8 driver run flagged 7
+    phantom regressions because the driver machine ran uniformly ~13%
+    slower than the builder machine that recorded the spreads; the
+    calibrated threshold `prev_max * machine_factor` separates machine
+    speed from code drift.  The factor is clamped to [0.5, 3.0] so a
+    corrupt probe can't silence (or invent) everything.  Returns
+    (compact dicts {q, sec, prev_max, adj_prev_max}, machine_factor);
+    factor is 1.0 when either side lacks a calibration record."""
     import glob
     import re
 
@@ -308,22 +335,35 @@ def _drift_vs_prev_snapshot(timings: dict, sf: str) -> list[dict]:
         if m:
             snaps.append((int(m.group(1)), p))
     if not snaps:
-        return []
+        return [], 1.0
     _, newest = max(snaps)
     try:
         with open(newest) as f:
             prev = json.load(f)
     except (OSError, ValueError):
-        return []
+        return [], 1.0
     if str(prev.get("sf")) != str(float(sf)):
-        return []
+        return [], 1.0
+    factor = 1.0
+    prev_cal = prev.get("calibration_sec")
+    if calibration_sec and prev_cal:
+        factor = round(
+            min(3.0, max(0.5, calibration_sec / prev_cal)), 3
+        )
     prev_spread = prev.get("spread", {})
     out = []
     for name, med in sorted(timings.items()):
         sp = prev_spread.get(name)
-        if sp and len(sp) == 2 and med > sp[1]:
-            out.append({"q": name, "sec": med, "prev_max": sp[1]})
-    return out
+        if sp and len(sp) == 2 and med > sp[1] * factor:
+            out.append(
+                {
+                    "q": name,
+                    "sec": med,
+                    "prev_max": sp[1],
+                    "adj_prev_max": round(sp[1] * factor, 3),
+                }
+            )
+    return out, factor
 
 
 def _merge(parts: list[dict]) -> dict:
@@ -338,7 +378,50 @@ def _merge(parts: list[dict]) -> dict:
     for p in parts:
         for key in merged:
             merged[key].update(p.get(key, {}))
+    # calibration: every group measures the same probe at the same JVM
+    # age; the run's calibration is the MEDIAN of group medians (robust
+    # to one noisy group), with the min/max of all runs as spread
+    all_runs = [r for p in parts for r in p.get("calibration_runs", [])]
+    group_meds = [
+        statistics.median(p["calibration_runs"])
+        for p in parts
+        if p.get("calibration_runs")
+    ]
+    merged["calibration_sec"] = (
+        round(statistics.median(group_meds), 3) if group_meds else None
+    )
+    merged["calibration_spread"] = (
+        [round(min(all_runs), 3), round(max(all_runs), 3)]
+        if all_runs
+        else None
+    )
     return merged
+
+
+def _compact_line(compact: dict, timings: dict, cap: int = 1800) -> str:
+    """Serialize the compact summary, trimming list fields and the
+    queries dict until the line fits under ``cap`` chars (the driver
+    keeps only the final 2000 chars of stdout).  GUARANTEED to
+    terminate (r8 ADVICE): both ``regressions`` and
+    ``fallback_queries`` are capped at 8 + "...", and the loop exits
+    the moment a trim pass fails to shrink the line — a line whose
+    irreducible fields alone exceed the cap ships as-is rather than
+    spinning forever and printing nothing."""
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > cap:
+        prev_len = len(line)
+        for fld in ("regressions", "fallback_queries"):
+            if len(compact[fld]) > 8 and compact[fld][-1] != "...":
+                compact[fld] = compact[fld][:8] + ["..."]
+        keep = sorted(timings, key=timings.get, reverse=True)[
+            : max(1, len(compact["queries"]) - 5)
+        ]
+        compact["queries"] = {k: timings[k] for k in keep}
+        compact["queries_truncated_to_top"] = len(keep)
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) >= prev_len:
+            break
+    return line
 
 
 def main() -> None:
@@ -431,7 +514,9 @@ def main() -> None:
     # the newest committed BENCH_FULL_r{N}.json snapshot; medians above
     # the recorded max are listed as regressions on the compact line so
     # no human has to diff rounds by hand.
-    regressions = _drift_vs_prev_snapshot(timings, sf)
+    regressions, machine_factor = _drift_vs_prev_snapshot(
+        timings, sf, merged.get("calibration_sec")
+    )
     payload = {
         "metric": "headline_queries_total",
         "unit": "sec",
@@ -441,6 +526,7 @@ def main() -> None:
         **merged,
         "fallback_queries": fallback_queries,
         "regressions": regressions,
+        "machine_factor": machine_factor,
         "value": total,
         "sf": float(sf),
     }
@@ -477,26 +563,17 @@ def main() -> None:
             if exponents
             else None
         ),
-        # medians above the prior snapshot's fresh-JVM max (names only
-        # on the compact line; {q, sec, prev_max} detail in the full
-        # payload) + queries measured on the degraded in-process path
+        # medians above machine_factor × the prior snapshot's fresh-JVM
+        # max (names only on the compact line; {q, sec, prev_max,
+        # adj_prev_max} detail in the full payload) + queries measured
+        # on the degraded in-process path
         "regressions": [r["q"] for r in regressions],
+        "machine_factor": machine_factor,
+        "calibration_sec": merged.get("calibration_sec"),
         "fallback_queries": fallback_queries,
         "queries": timings,
     }
-    line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 1800:
-        if len(compact["regressions"]) > 8 and compact["regressions"][-1] != "...":
-            compact["regressions"] = compact["regressions"][:8] + ["..."]
-            line = json.dumps(compact, separators=(",", ":"))
-            continue
-        keep = sorted(timings, key=timings.get, reverse=True)[
-            : max(1, len(compact["queries"]) - 5)
-        ]
-        compact["queries"] = {k: timings[k] for k in keep}
-        compact["queries_truncated_to_top"] = len(keep)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(_compact_line(compact, timings))
 
 
 if __name__ == "__main__":

@@ -619,7 +619,7 @@ SPECS: dict[str, QuerySpec] = {
         _q_permutation_test_det,
         _SQL_PERMUTATION_TEST_DET,
         "deterministic 64-permutation randomization test for the two-"
-        "segment mean difference (xor-mixed middle-bit hash re-labeling, "
+        "segment mean difference (additive-mixed middle-bit hash re-labeling, "
         "64 distinct labelings, full null distribution oracle-checked)",
     ),
 }

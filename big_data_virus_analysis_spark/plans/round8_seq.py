@@ -9,7 +9,9 @@
   terms quantize to 1e-6 integers before the two-phase global prefix
   sum, so the cumulative walk is exact and order-independent.
 * ``conformal_interval_coverage`` — split conformal prediction: orders
-  hash-split into calibration/test halves; the predictor is the
+  hash-split into calibration/test halves (bit 16 of the odd-multiplier
+  hash — carry-propagating, unlike the low bit which reduces to
+  orderkey parity; r8 ADVICE); the predictor is the
   per-segment calibration mean; the nonconformity threshold is the
   ⌈(n+1)·0.9⌉-th smallest calibration |residual| (exact order
   statistic via the two-phase global rank); report measured test
@@ -163,9 +165,16 @@ def _q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderkey",
         F.col("c_mktsegment").alias("segment"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("yc"),
-        (((F.col("o_orderkey") * F.lit(2654435761)) % _M31) % 2 == 0).alias(
-            "is_calib"
-        ),
+        # calib/test split via BIT 16 of the multiplicative hash — the
+        # LOW bit of (a·k) mod 2³¹ with odd a is just k's parity (no
+        # carry propagation; r8 ADVICE), a structured not pseudo-random
+        # split.  A middle bit mixes carries from 17 partial products.
+        (
+            ((F.col("o_orderkey") * F.lit(2654435761)) % _M31).bitwiseAND(
+                F.lit(65536)
+            )
+            == 0
+        ).alias("is_calib"),
     )
     pred = (
         base.where("is_calib")
@@ -218,7 +227,7 @@ _SQL_CONFORMAL_INTERVAL_COVERAGE = f"""
 WITH base AS (
   SELECT o.o_orderkey, c.c_mktsegment AS segment,
          CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc,
-         ((o.o_orderkey * 2654435761) % {_M31}) % 2 = 0 AS is_calib
+         (((o.o_orderkey * 2654435761) % {_M31}) & 65536) = 0 AS is_calib
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 ), pred AS (
   SELECT segment, CAST(sum(yc) AS DOUBLE) / count(*) AS pred

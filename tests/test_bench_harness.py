@@ -1,0 +1,188 @@
+"""Pure-Python tests for bench.py's self-reporting machinery.
+
+Round-9 additions (r8 VERDICT directive #1 + r8 ADVICE medium):
+
+* ``_compact_line`` must TERMINATE even when the irreducible fields
+  (regressions + fallback_queries after the new double-failure path)
+  alone exceed the 1800-char cap — the r8 loop could spin forever and
+  print nothing, exactly in the degraded-worker scenario the fields
+  were built to report.
+* ``_drift_vs_prev_snapshot`` must normalize the prior snapshot's
+  fresh-JVM spread by the machine factor (this run's calibration-probe
+  median over the snapshot's) so a uniformly slower machine — the r8
+  driver ran ~+13% across the board and flagged 7 phantom regressions
+  — does not read as code drift, while a genuinely slow query still
+  flags.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# compact-line trim loop
+# --------------------------------------------------------------------------
+
+
+def _mk_compact(n_queries: int, n_regr: int, n_fallback: int) -> tuple[dict, dict]:
+    timings = {f"query_with_a_rather_long_name_{i:04d}": 1.234 for i in range(n_queries)}
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 99.9,
+        "regressions": [f"regressed_query_name_number_{i:04d}" for i in range(n_regr)],
+        "fallback_queries": [
+            f"fallback_query_name_number_{i:04d}" for i in range(n_fallback)
+        ],
+        "queries": dict(timings),
+    }
+    return compact, timings
+
+
+def test_compact_line_fits_normally():
+    compact, timings = _mk_compact(60, 0, 0)
+    line = bench._compact_line(compact, timings)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["value"] == 99.9
+    # queries were truncated to the slowest (here: ties, any 60-5k subset)
+    assert len(parsed["queries"]) <= 60
+
+
+def test_compact_line_terminates_with_huge_fallback_list():
+    # 200 fallback names is ~6800 chars on its own; before the r9 fix the
+    # trim loop never touched fallback_queries and spun forever once
+    # queries bottomed out at 1 entry.
+    compact, timings = _mk_compact(10, 0, 200)
+    line = bench._compact_line(compact, timings)
+    parsed = json.loads(line)
+    assert parsed["fallback_queries"][-1] == "..."
+    assert len(parsed["fallback_queries"]) == 9  # 8 + ellipsis
+    assert len(line) <= 1800
+
+
+def test_compact_line_terminates_when_irreducible():
+    # Even a cap too small for ANY trimmed form must yield a line (the
+    # loop breaks when a pass stops shrinking) rather than hang.
+    compact, timings = _mk_compact(3, 20, 20)
+    line = bench._compact_line(compact, timings, cap=50)
+    assert isinstance(line, str) and line  # terminated, shipped something
+    json.loads(line)  # still valid JSON
+
+
+def test_compact_line_truncates_regressions_and_keeps_slowest():
+    timings = {f"q{i:03d}": float(i) for i in range(80)}
+    compact = {
+        "regressions": [f"regressed_query_name_number_{i:04d}" for i in range(40)],
+        "fallback_queries": [],
+        "queries": dict(timings),
+    }
+    line = bench._compact_line(compact, timings)
+    parsed = json.loads(line)
+    assert parsed["regressions"][-1] == "..."
+    # the retained queries are the SLOWEST ones
+    kept = set(parsed["queries"])
+    slowest = set(sorted(timings, key=timings.get, reverse=True)[: len(kept)])
+    assert kept == slowest
+
+
+# --------------------------------------------------------------------------
+# machine-calibrated drift check
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture
+def snapshot_dir(tmp_path, monkeypatch):
+    """Point bench's snapshot discovery at a temp dir with one snapshot."""
+    snap = {
+        "sf": 0.1,
+        "calibration_sec": 0.50,
+        "spread": {
+            "q_fast": [0.90, 1.00],
+            "q_slow": [2.70, 3.00],
+        },
+    }
+    p = tmp_path / "BENCH_FULL_r08.json"
+    p.write_text(json.dumps(snap))
+    real_dirname = os.path.dirname
+
+    def fake_dirname(path):
+        if os.path.abspath(path) == os.path.abspath(bench.__file__):
+            return str(tmp_path)
+        return real_dirname(path)
+
+    monkeypatch.setattr(bench.os.path, "dirname", fake_dirname)
+    return snap
+
+
+def test_drift_same_machine_flags_real_regression(snapshot_dir):
+    regs, factor = bench._drift_vs_prev_snapshot(
+        {"q_fast": 1.30, "q_slow": 2.80}, "0.1", 0.50
+    )
+    assert factor == 1.0
+    assert [r["q"] for r in regs] == ["q_fast"]
+    assert regs[0]["prev_max"] == 1.00
+    assert regs[0]["adj_prev_max"] == 1.00
+
+
+def test_drift_slower_machine_absorbs_uniform_inflation(snapshot_dir):
+    # Machine is 30% slower (calibration 0.65 vs 0.50): a query at
+    # +25% is environment, not code — must NOT flag.  The r8 driver
+    # scenario.
+    regs, factor = bench._drift_vs_prev_snapshot(
+        {"q_fast": 1.25, "q_slow": 3.70}, "0.1", 0.65
+    )
+    assert factor == 1.3
+    assert [r["q"] for r in regs] == []
+
+
+def test_drift_slower_machine_still_flags_outsized_regression(snapshot_dir):
+    # +30% machine but the query doubled — flags, with the calibrated
+    # threshold recorded.
+    regs, factor = bench._drift_vs_prev_snapshot(
+        {"q_fast": 2.10}, "0.1", 0.65
+    )
+    assert [r["q"] for r in regs] == ["q_fast"]
+    assert regs[0]["adj_prev_max"] == pytest.approx(1.30)
+
+
+def test_drift_faster_machine_tightens_threshold(snapshot_dir):
+    # Machine 20% faster: a median equal to the old raw max is now a
+    # regression in calibrated terms.
+    regs, factor = bench._drift_vs_prev_snapshot(
+        {"q_fast": 1.00}, "0.1", 0.40
+    )
+    assert factor == 0.8
+    assert [r["q"] for r in regs] == ["q_fast"]
+
+
+def test_drift_missing_calibration_falls_back_to_raw(snapshot_dir, tmp_path):
+    # Old snapshot without calibration_sec → factor 1.0 (raw compare)
+    p = tmp_path / "BENCH_FULL_r08.json"
+    snap = json.loads(p.read_text())
+    del snap["calibration_sec"]
+    p.write_text(json.dumps(snap))
+    regs, factor = bench._drift_vs_prev_snapshot({"q_fast": 1.05}, "0.1", 0.65)
+    assert factor == 1.0
+    assert [r["q"] for r in regs] == ["q_fast"]
+
+
+def test_drift_factor_clamped(snapshot_dir):
+    # A corrupt probe can't silence everything: factor clamps to 3.0
+    _, factor = bench._drift_vs_prev_snapshot({}, "0.1", 50.0)
+    assert factor == 3.0
+    _, factor = bench._drift_vs_prev_snapshot({}, "0.1", 0.01)
+    assert factor == 0.5
+
+
+def test_drift_other_sf_is_not_compared(snapshot_dir):
+    regs, factor = bench._drift_vs_prev_snapshot({"q_fast": 9.9}, "0.01", 0.5)
+    assert regs == [] and factor == 1.0
