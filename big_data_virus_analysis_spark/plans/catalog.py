@@ -5029,6 +5029,14 @@ from .round8_ireval import SPECS as _ROUND8_IREVAL_SPECS  # noqa: E402
 
 _register_pack(_ROUND8_IREVAL_SPECS)
 
+from .round9_graph import SPECS as _ROUND9_GRAPH_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_GRAPH_SPECS)
+
+from .round9_iter import SPECS as _ROUND9_ITER_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_ITER_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -1404,3 +1404,236 @@ def test_ndcg_integer_weights_bound(rels):
     assert abs(ndcg_int - ndcg_flt) <= 2e-7
     if dcg_i == idcg_i:
         assert ndcg_int == 1.0
+
+
+# --------------------------------------------------------------------------
+# round9_graph: truss peel + min-label propagation identities (r8
+# VERDICT directives #2/#5 + the standing post-triangle-bug rule: every
+# mathematical rewrite ships with a pure-Python identity test)
+# --------------------------------------------------------------------------
+
+
+def _peel_sync(edges, thr):
+    """The plan's formulation: synchronous rounds — recompute every
+    edge's common-neighbor count within the CURRENT edge set, remove
+    all below-thr edges at once, repeat to fixpoint.  Returns
+    (fixpoint edge set, per-round (surviving, removed) history)."""
+    E = set(edges)
+    hist = []
+    while True:
+        adj = {}
+        for u, v in E:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        rem = {(u, v) for (u, v) in E if len(adj[u] & adj[v]) < thr}
+        E2 = E - rem
+        hist.append((len(E2), len(rem)))
+        if not rem:
+            return E2, hist
+        E = E2
+
+
+def _peel_sequential(edges, thr, order_key):
+    """One-edge-at-a-time peel in an arbitrary deterministic order —
+    the classical truss algorithm.  Confluence with the synchronous
+    form is the property that licenses the plan's batch rounds."""
+    E = set(edges)
+    while True:
+        adj = {}
+        for u, v in E:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        below = sorted(
+            ((u, v) for (u, v) in E if len(adj[u] & adj[v]) < thr),
+            key=order_key,
+        )
+        if not below:
+            return E
+        E.discard(below[0])  # remove exactly ONE edge, then recompute
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=35,
+    ),
+    k=st.sampled_from([3, 4, 5]),
+    flip=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_truss_peel_sync_equals_sequential_any_order(raw, k, flip):
+    """round9_graph.ktruss_peel_exact: the synchronous batched peel
+    (what the unrolled wedge-join rounds compute) reaches the SAME
+    fixpoint as removing one lowest-support edge at a time in either
+    lexicographic direction — truss peeling is confluent, so the
+    plan's batch rounds are just a faster schedule of the classical
+    algorithm.  The fixpoint also satisfies the k-truss definition:
+    every surviving edge closes >= k-2 triangles WITHIN the survivors."""
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    thr = k - 2
+    fix_sync, hist = _peel_sync(edges, thr)
+    key = (lambda e: e) if not flip else (lambda e: (-e[0], -e[1]))
+    fix_seq = _peel_sequential(edges, thr, key)
+    assert fix_sync == fix_seq
+    # fixpoint property: every survivor meets the support threshold
+    adj = {}
+    for u, v in fix_sync:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    assert all(len(adj[u] & adj[v]) >= thr for (u, v) in fix_sync)
+    # history invariants the catalog entry reports: surviving counts are
+    # non-increasing and the final round removes nothing
+    survs = [s for s, _ in hist]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    assert hist[-1][1] == 0
+
+
+def test_truss_peel_planted_clique_survives():
+    """A planted 5-clique is its own 4-truss (every edge has 3 common
+    neighbors); pendant edges and a path attached to it peel away."""
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    extras = [(0, 10), (10, 11), (11, 12), (3, 13)]
+    fix, _ = _peel_sync(set(clique) | set(extras), thr=2)
+    assert fix == set(clique)
+    # k=3 keeps the clique too (support >= 1) and still drops the tail
+    fix3, _ = _peel_sync(set(clique) | set(extras), thr=1)
+    assert fix3 == set(clique)
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_min_label_propagation_fixpoint_is_components(raw):
+    """round9_graph.min_label_propagation_fixpoint: synchronous
+    min-label rounds converge to connected components (label ==
+    component-minimum node), in at most diameter rounds, with the
+    changed-count hitting 0 exactly at the fixpoint."""
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    lab = {n: n for n in nodes}
+    rounds = 0
+    while True:
+        new = {n: min([lab[n]] + [lab[m] for m in adj[n]]) for n in nodes}
+        changed = sum(1 for n in nodes if new[n] != lab[n])
+        lab = new
+        rounds += 1
+        if changed == 0:
+            break
+    # brute-force components via BFS
+    seen, comp_min = set(), {}
+    for s in nodes:
+        if s in seen:
+            continue
+        stack, comp = [s], []
+        seen.add(s)
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            comp_min[x] = m
+    assert lab == comp_min
+
+
+def _ipf_int(cells, targets_r, targets_c, sweeps):
+    """round9_iter's exact integer IPF: w <- (w * target) // marginal,
+    row sweep then column sweep; returns (w, per-sweep (row_err,
+    col_err) history).  All arithmetic exact (Python ints)."""
+    w = dict(cells)
+    rows = sorted({r for r, _ in w})
+    cols = sorted({c for _, c in w})
+    hist = []
+    for _ in range(sweeps):
+        rsum = {r: sum(w[(r, c)] for c in cols) for r in rows}
+        w = {
+            (r, c): (w[(r, c)] * targets_r[r]) // rsum[r] if rsum[r] else 0
+            for r in rows
+            for c in cols
+        }
+        csum = {c: sum(w[(r, c)] for r in rows) for c in cols}
+        w = {
+            (r, c): (w[(r, c)] * targets_c[c]) // csum[c] if csum[c] else 0
+            for r in rows
+            for c in cols
+        }
+        rsum = {r: sum(w[(r, c)] for c in cols) for r in rows}
+        csum = {c: sum(w[(r, c)] for r in rows) for c in cols}
+        hist.append(
+            (
+                max(abs(rsum[r] - targets_r[r]) for r in rows),
+                max(abs(csum[c] - targets_c[c]) for c in cols),
+            )
+        )
+    return w, hist
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=25, max_size=25
+    ),
+    sweeps=st.integers(min_value=4, max_value=8),
+)
+@settings(max_examples=100, deadline=None)
+def test_ipf_integer_sweeps_converge_to_marginals(counts, sweeps):
+    """round9_iter.ipf_raking_fixpoint: integer micro-unit IPF on a
+    strictly-positive 5x5 table with uniform targets — (a) the column
+    error after any full sweep is bounded by the truncation floor
+    (< n_rows micro: each cell truncates < 1), (b) the row error is
+    non-increasing across sweeps once past the first, and (c) total
+    mass stays within the truncation budget of the grand total."""
+    rows = cols = list(range(5))
+    scale = 1_000_000
+    cells = {
+        (r, c): counts[5 * r + c] * scale for r in rows for c in cols
+    }
+    n = sum(counts)
+    target = n * (scale // 5)
+    tr = {r: target for r in rows}
+    tc = {c: target for c in cols}
+    w, hist = _ipf_int(cells, tr, tc, sweeps)
+    # (a) the column sweep ran LAST, so each column marginal is exact up
+    # to 5 floor-truncations of < 1 micro each
+    assert all(ce < 5 for _, ce in hist)
+    # (b) row error decays monotonically after the first sweep (classic
+    # alternating-projection geometric convergence; ties allowed at the
+    # truncation floor)
+    row_errs = [re for re, _ in hist]
+    assert all(a >= b or b <= 25 for a, b in zip(row_errs[1:], row_errs[2:]))
+    # (c) mass conservation within truncation budget: every half-sweep
+    # loses < 25 micro total
+    assert abs(sum(w.values()) - 5 * target) <= 2 * sweeps * 25
+
+
+def test_ipf_already_uniform_is_fixpoint():
+    """A table that already satisfies the marginals only loses floor
+    dust: one sweep changes nothing when the division is exact."""
+    scale = 1_000_000
+    cells = {(r, c): 100 * scale for r in range(5) for c in range(5)}
+    target = 2500 * (scale // 5)  # == 500 * scale == each marginal
+    w, hist = _ipf_int(
+        cells, {r: target for r in range(5)}, {c: target for c in range(5)}, 3
+    )
+    assert w == cells
+    assert hist == [(0, 0)] * 3
