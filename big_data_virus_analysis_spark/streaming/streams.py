@@ -816,3 +816,84 @@ def histogram_quantile(counts: DataFrame, q: float = 0.5,
         F.round((F.col("bin") + 1) * width + lo, 6).alias("q_upper_bound"),
         "tot",
     )
+
+
+def late_arrival_correction_audit(
+    emitted: DataFrame,
+    batch_truth: DataFrame,
+    window_minutes: int = 60,
+    cutoff_us: int | None = None,
+) -> DataFrame:
+    """Late-data GOVERNANCE: reconcile the append-mode stream's emitted
+    window aggregates against a batch recomputation over the complete
+    (late rows included) data, and report the correction each window
+    needs.
+
+    Append mode + watermark is a CONTRACT: a window emits once, when the
+    watermark passes its end, and rows arriving later are dropped — the
+    emitted figure is then permanently short.  Production pipelines
+    reconcile nightly: recompute from the complete data and patch the
+    serving store (the lambda-architecture backfill).  This operator is
+    the audit half of that loop, per (window, event_type):
+
+    * ``on_time_events`` / ``on_time_sum`` — what the stream emitted
+      (0/0.0 for windows it never emitted);
+    * ``final_events`` / ``final_sum`` — batch truth;
+    * ``late_events`` — the correction (final − on-time);
+    * ``status`` — ``'exact'`` (closed, no correction needed),
+      ``'corrected'`` (closed, late rows arrived after emission), or
+      ``'open'`` (window end past ``cutoff_us``, the watermark frontier
+      at shutdown — not yet emitted, so a missing stream row is NOT a
+      late-data defect).
+
+    Both inputs are in ``tumbling_window_counts``'s output shape.  The
+    join is a left join FROM truth (batch truth covers every window
+    that has any data; the stream can never emit a window the data
+    doesn't contain).  100 TB shape: both sides are already per-window
+    aggregates (tiny vs the event volume); the join key is the window
+    start, so the shuffle is bounded by the window count, and at scale
+    the truth side arrives pre-aggregated from the nightly batch job.
+
+    Batch-parity test: tests/test_streaming.py::
+    test_late_arrival_correction_audit — the audited delta equals
+    exactly the planted late rows, and the unclosed window reads
+    'open', not 'corrected'.
+    """
+    e = emitted.select(
+        "window_start_us",
+        "event_type",
+        F.col("n_events").alias("on_time_events"),
+        F.col("sum_value").alias("on_time_sum"),
+    )
+    b = batch_truth.select(
+        "window_start_us",
+        "event_type",
+        F.col("n_events").alias("final_events"),
+        F.col("sum_value").alias("final_sum"),
+    )
+    window_us = window_minutes * 60_000_000
+    joined = b.join(e, ["window_start_us", "event_type"], "left").select(
+        "window_start_us",
+        "event_type",
+        F.coalesce("on_time_events", F.lit(0)).alias("on_time_events"),
+        "final_events",
+        (F.col("final_events") - F.coalesce("on_time_events", F.lit(0))).alias(
+            "late_events"
+        ),
+        F.round(
+            F.col("final_sum") - F.coalesce("on_time_sum", F.lit(0.0)), 4
+        ).alias("late_sum"),
+    )
+    if cutoff_us is None:
+        is_open = F.lit(False)
+    else:
+        is_open = (F.col("window_start_us") + F.lit(window_us)) > F.lit(
+            cutoff_us
+        )
+    return joined.select(
+        "*",
+        F.when(is_open, F.lit("open"))
+        .when(F.col("late_events") > 0, F.lit("corrected"))
+        .otherwise(F.lit("exact"))
+        .alias("status"),
+    )

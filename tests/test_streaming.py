@@ -994,3 +994,94 @@ def test_windowed_conversion_matches_batch(spark, events_stream_dir, tmp_path):
             assert ct is not None
         else:
             assert ct is None
+
+
+def test_late_arrival_correction_audit(spark, tmp_path):
+    """streams.late_arrival_correction_audit batch parity: the audited
+    per-window delta equals EXACTLY the planted late rows, the window
+    the stream emitted on time reads 'corrected' (not silently merged),
+    and the window the watermark never closed reads 'open' — an
+    unclosed window is a frontier fact, not a late-data defect.
+
+    Fixture = the four mtime-ordered micro-batches of
+    test_watermark_drops_late_rows (on-time 10:00 rows; a 20:00
+    watermark-advancer; a filler that closes the 10:00 window; 4 LATE
+    rows back at 10:05 that the stream must drop)."""
+    from big_data_virus_analysis_spark.streaming.streams import (
+        late_arrival_correction_audit,
+        tumbling_window_counts,
+    )
+
+    data = tmp_path / "late_audit_data"
+    rows1 = [(f"e1_{i}", 1, "click", 1.0, f"2024-01-01 10:0{i}:00") for i in range(5)]
+    rows2 = [(f"e2_{i}", 2, "click", 1.0, "2024-01-01 20:00:00") for i in range(3)]
+    rows3 = [("e3_0", 3, "click", 1.0, "2024-01-01 20:01:00")]
+    rows4 = [(f"e4_{i}", 4, "click", 1.0, "2024-01-01 10:05:00") for i in range(4)]
+    schema = "event_id string, user_id int, event_type string, value double, ts_s string"
+    base = time.time()
+    seen: set[str] = set()
+    for i, rows in enumerate([rows1, rows2, rows3, rows4]):
+        (
+            spark.createDataFrame(rows, schema)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.to_timestamp("ts_s").alias("ts"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(data))
+        )
+        for f in glob.glob(str(data / "part-*")):
+            if f not in seen:
+                os.utime(f, (base + i, base + i))
+                seen.add(f)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id string, user_id int, event_type string, value double, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data))
+    )
+    emitted = _run_stream(
+        spark,
+        tumbling_window_counts(stream, minutes=60, watermark="10 minutes"),
+        "append",
+        tmp_path,
+    )
+    batch = spark.read.parquet(str(data))
+    truth = tumbling_window_counts(batch, minutes=60, watermark=None)
+    # watermark frontier at shutdown: max event time − 10 min delay
+    cutoff_us = int(
+        spark.sql(
+            "SELECT unix_micros(timestamp '2024-01-01 19:51:00')"
+        ).first()[0]
+    )
+    audit = late_arrival_correction_audit(
+        emitted, truth, window_minutes=60, cutoff_us=cutoff_us
+    ).collect()
+    by_win = {r.window_start_us: r for r in audit}
+    win_10 = int(
+        spark.sql("SELECT unix_micros(timestamp '2024-01-01 10:00:00')").first()[0]
+    )
+    win_20 = int(
+        spark.sql("SELECT unix_micros(timestamp '2024-01-01 20:00:00')").first()[0]
+    )
+    assert set(by_win) == {win_10, win_20}
+    r10 = by_win[win_10]
+    # the correction is EXACTLY the 4 planted late rows
+    assert (r10.on_time_events, r10.final_events, r10.late_events) == (5, 9, 4)
+    assert r10.late_sum == 4.0
+    assert r10.status == "corrected"
+    r20 = by_win[win_20]
+    # never emitted (watermark stopped at 19:51 < window end 21:00):
+    # the whole final count shows as missing, but the status says OPEN
+    assert (r20.on_time_events, r20.final_events, r20.late_events) == (0, 4, 4)
+    assert r20.status == "open"
+    # without a cutoff every closed-window delta would read 'corrected'
+    # and the open window would misread too — the cutoff is load-bearing
+    no_cutoff = late_arrival_correction_audit(emitted, truth, 60).collect()
+    assert {r.window_start_us: r.status for r in no_cutoff}[win_20] == "corrected"
