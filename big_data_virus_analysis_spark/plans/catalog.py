@@ -5037,6 +5037,26 @@ from .round9_iter import SPECS as _ROUND9_ITER_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_ITER_SPECS)
 
+from .round9_dist import SPECS as _ROUND9_DIST_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_DIST_SPECS)
+
+from .round9_epi import SPECS as _ROUND9_EPI_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_EPI_SPECS)
+
+from .round9_root import SPECS as _ROUND9_ROOT_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_ROOT_SPECS)
+
+from .round9_planner import SPECS as _ROUND9_PLANNER_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_PLANNER_SPECS)
+
+from .round9_seq2 import SPECS as _ROUND9_SEQ2_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_SEQ2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -92,17 +92,22 @@ def _q_ktruss_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _edge_support(edges, adj)
     # triangle-free edges have support 0 — they never appear in the
     # wedge join, so re-attach them via a left join before histogramming
-    full = edges.join(sup, ["u", "v"], "left").select(
-        F.coalesce("support", F.lit(0)).alias("support")
+    full = tracked_cache(
+        edges.join(sup, ["u", "v"], "left").select(
+            F.coalesce("support", F.lit(0)).alias("support")
+        )
     )
-    n_edges = full.count()  # 1-row scalar for the truss shares
+    # total edge count as a 1-row-agg broadcast (r8 VERDICT nit: was a
+    # driver-side full.count(); same value, repo convention, no collect)
+    tot = full.agg(F.count(F.lit(1)).alias("total_edges"))
     return (
         full.groupBy("support")
         .agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("support").cast("int").alias("support"),
             "n_edges",
-            F.lit(n_edges).alias("total_edges"),
+            "total_edges",
             (F.col("support") >= 1).alias("in_3truss"),
             (F.col("support") >= 2).alias("in_4truss"),
         )

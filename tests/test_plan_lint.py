@@ -317,6 +317,27 @@ BNLJ_ALLOWED = {
     # round 8: 1-row n_rel broadcast onto the 10-row rank scaffold +
     # 1-row DCG x 1-row IDCG cross join
     "ndcg_retrieval_eval",
+    # round 9: per-round 1-row edge-count x 1-row edge-count cross
+    # joins building the peel/propagation convergence history rows
+    "ktruss_peel_exact",
+    "min_label_propagation_fixpoint",
+    # round 9: 1-row grand-total (target) broadcast onto the 25-cell
+    # frame + per-sweep 1-row row-err x 1-row col-err cross joins
+    "ipf_raking_fixpoint",
+    "ipf_raking_cells",
+    # round 9 (r8 VERDICT nit fix): 1-row total-edges broadcast onto
+    # the support histogram (was a driver-side count())
+    "ktruss_edge_support",
+    # round 9: calendar-bounded ~90x91 day-aggregate cross products
+    # (the energy V-statistic pairs days, never rows) + 1-row chains
+    "energy_distance_two_periods",
+    # round 9: 1-row pooled-OR broadcast onto the 5-stratum frame
+    "mantel_haenszel_or",
+    # round 9: 7-row cashflow frame x 1-row bisection state per round
+    "irr_bisection_fixpoint",
+    # round 9: 32-row bin frames x 4-row predicate literals + 1-row
+    # min/max extent broadcast onto the scan
+    "histogram_selectivity_audit",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
@@ -362,6 +383,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "quantile_merge_audit",
     # round 8: calendar-bounded per-DAY frame, 30-row trailing window
     "rolling_correlation_30d",
+    # round 9: calendar-bounded per-DAY frame running min (PH excess)
+    "page_hinkley_drift",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep (each

@@ -1637,3 +1637,216 @@ def test_ipf_already_uniform_is_fixpoint():
     )
     assert w == cells
     assert hist == [(0, 0)] * 3
+
+
+@given(
+    flows=st.lists(
+        st.integers(min_value=1000, max_value=10_000_000),
+        min_size=6,
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_irr_bisection_bracket_invariant(flows):
+    """round9_root.irr_bisection_fixpoint: with cf0 = -(8*total//10) and
+    positive monthly inflows, (a) the cleared-denominator sign test
+    S(r) = sum cf_t*10000^t*(10000+r)^(6-t) agrees with the float NPV
+    sign away from the root, (b) bisection keeps the true root
+    bracketed every round, (c) 14 rounds shrink the bracket below 1 bp."""
+    cf = {t: c for t, c in enumerate(flows, start=1)}
+    cf[0] = -((8 * sum(cf.values())) // 10)
+
+    def s_int(r_bp):
+        return sum(
+            c * 10_000**t * (10_000 + r_bp) ** (6 - t) for t, c in cf.items()
+        )
+
+    def npv(r):
+        return sum(c / (1 + r) ** t for t, c in cf.items())
+
+    lo, hi = 0, 10_000
+    assert s_int(lo) > 0 and s_int(hi) < 0  # bracket valid at start
+    for _ in range(14):
+        mid = (lo + hi) // 2
+        s = s_int(mid)
+        # (a) integer sign test == float NPV sign (floats are exact
+        # enough away from the root; at the root both are ~0 and the
+        # bracket property below is the binding check)
+        if abs(npv(mid / 10_000.0)) > 1.0:
+            assert (s > 0) == (npv(mid / 10_000.0) > 0)
+        if s > 0:
+            lo = mid
+        else:
+            hi = mid
+        # (b) the sign change stays inside [lo, hi]
+        assert s_int(lo) > 0 and s_int(hi) <= 0
+    assert hi - lo <= 1  # (c) sub-bp bracket after 14 rounds
+
+
+@given(n=st.integers(min_value=1, max_value=10**24))
+@settings(max_examples=300, deadline=None)
+def test_isqrt_newton_certificate(n):
+    """round9_root.isqrt_newton_fixpoint: from the AM-GM seed
+    x0 = n//10^6 + 10^6 >= sqrt(n), 28 MIN-DAMPED integer Newton
+    rounds reach floor(sqrt(n)) — pinned against math.isqrt — and once
+    the x^2 <= n < (x+1)^2 certificate holds the iterate never moves.
+    28, not 8: the seed can sit ~10^6x above sqrt(n) (n=1 or n=10^24)
+    and Newton only HALVES the excess until it gets close (24 measured
+    insufficient at n ~ 10^24).  Min-damped, not raw: the raw integer
+    Newton step 2-cycles at the bottom (n=255: 15 -> 16 -> 15)."""
+    import math
+
+    x = n // 1_000_000 + 1_000_000
+    assert x >= math.isqrt(n)
+    certified_at = None
+    for r in range(1, 29):
+        x = min(x, (x + n // x) // 2)
+        ok = x * x <= n < (x + 1) * (x + 1)
+        if ok and certified_at is None:
+            certified_at = (r, x)
+        if certified_at is not None:
+            assert x == certified_at[1]  # fixpoint after certificate
+    assert certified_at is not None
+    assert certified_at[1] == math.isqrt(n)
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40),
+    b=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_wasserstein_rank_coupling_identity(a, b):
+    """round9_dist.wasserstein_1d_price_periods: the per-distinct-value
+    formulation sum |c1*n2 - c2*n1| * dv / (n1*n2) equals the textbook
+    quantile-coupling W1 = integral |F1^-1 - F2^-1| computed brutely on
+    a fine grid of quantiles (exact for step CDFs when the grid is the
+    lcm-refined rank grid)."""
+    from fractions import Fraction
+
+    n1, n2 = len(a), len(b)
+    sa, sb = sorted(a), sorted(b)
+    vals = sorted(set(a) | set(b))
+    # plan formulation
+    c1 = c2 = 0
+    num = 0
+    for v, vn in zip(vals, vals[1:]):
+        c1 += sum(1 for x in a if x == v)
+        c2 += sum(1 for x in b if x == v)
+        num += abs(c1 * n2 - c2 * n1) * (vn - v)
+    w1_plan = Fraction(num, n1 * n2)
+    # quantile coupling on the common refinement grid: q in (k/(n1*n2))
+    m = n1 * n2
+    w1_q = Fraction(0)
+    for k in range(m):
+        # inverse CDFs at quantile (k + 0.5)/m -> index floor(q*n)
+        qa = sa[(k * n1) // m]
+        qb = sb[(k * n2) // m]
+        w1_q += Fraction(abs(qa - qb), m)
+    assert w1_plan == w1_q
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    b=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+)
+@settings(max_examples=200, deadline=None)
+def test_cvm_integral_form_identity(a, b):
+    """round9_dist.cramer_von_mises_two_sample: the integer-numerator
+    integral form sum cnt*(c1*n2-c2*n1)^2 / (n1*n2*N^2) equals the
+    direct definition T = (n1*n2/N^2) * sum over combined points of
+    (F1(x)-F2(x))^2, computed brutely in exact rationals."""
+    from fractions import Fraction
+
+    n1, n2 = len(a), len(b)
+    N = n1 + n2
+    vals = sorted(set(a) | set(b))
+    c1 = c2 = 0
+    num = 0
+    for v in vals:
+        cnt = sum(1 for x in a if x == v) + sum(1 for x in b if x == v)
+        c1 += sum(1 for x in a if x == v)
+        c2 += sum(1 for x in b if x == v)
+        num += cnt * (c1 * n2 - c2 * n1) ** 2
+    t_plan = Fraction(num, n1 * n2 * N * N)
+    t_brute = Fraction(0)
+    for x in a + b:
+        f1 = Fraction(sum(1 for y in a if y <= x), n1)
+        f2 = Fraction(sum(1 for y in b if y <= x), n2)
+        t_brute += (f1 - f2) ** 2
+    t_brute *= Fraction(n1 * n2, N * N)
+    assert t_plan == t_brute
+
+
+@given(
+    blocks=st.lists(
+        st.lists(st.integers(min_value=0, max_value=10**6), min_size=5, max_size=5),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_friedman_rank_sum_formula_identity(blocks):
+    """round9_dist.friedman_test_segments: the rank-sum formula
+    Q = 12*sum R_j^2/(n*k*(k+1)) - 3*n*(k+1) equals the definitional
+    Q = (12n/(k(k+1))) * sum_j (Rbar_j - (k+1)/2)^2 when ranks are a
+    permutation of 1..k per block (deterministic tiebreaks guarantee
+    that in the plan)."""
+    from fractions import Fraction
+
+    k = 5
+    n = len(blocks)
+    # deterministic ranks: by (-value, index) like the plan's
+    # (cents DESC, segment ASC)
+    rsum = [0] * k
+    for row in blocks:
+        order = sorted(range(k), key=lambda j: (-row[j], j))
+        for rank, j in enumerate(order, start=1):
+            rsum[j] += rank
+    q_formula = Fraction(12 * sum(r * r for r in rsum), n * k * (k + 1)) - 3 * n * (
+        k + 1
+    )
+    q_def = (
+        Fraction(12 * n, k * (k + 1))
+        * sum((Fraction(r, n) - Fraction(k + 1, 2)) ** 2 for r in rsum)
+    )
+    assert q_formula == q_def
+    assert q_formula >= 0
+
+
+@given(
+    xs=st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_page_hinkley_prefix_form_identity(xs):
+    """round9_seq2.page_hinkley_drift: the prefix-sum formulation
+    (term_i = x_i*10^6 - (S_i*10^6) div i, m_t = prefix sum, excess =
+    m_t - running min) equals the sequential streaming PH recursion
+    computed one observation at a time with the same integer
+    quantization of the running mean."""
+    # plan formulation
+    s = 0
+    m = 0
+    terms_m = []
+    for i, x in enumerate(xs, start=1):
+        s += x
+        m += x * 10**6 - (s * 10**6) // i
+        terms_m.append(m)
+    runmin = []
+    cur = None
+    for v in terms_m:
+        cur = v if cur is None or v < cur else cur
+        runmin.append(cur)
+    excess_plan = [a - b for a, b in zip(terms_m, runmin)]
+    # streaming recursion
+    s2 = 0
+    m2 = 0
+    mn = None
+    excess_seq = []
+    for i, x in enumerate(xs, start=1):
+        s2 += x
+        mean_q = (s2 * 10**6) // i
+        m2 += x * 10**6 - mean_q
+        mn = m2 if mn is None or m2 < mn else mn
+        excess_seq.append(m2 - mn)
+    assert excess_plan == excess_seq
+    assert all(e >= 0 for e in excess_plan)
