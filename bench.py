@@ -146,6 +146,15 @@ HEADLINE = [
     "char_entropy_topdocs",
     "softmax_gd_step_exact",
     "ktruss_edge_support",
+    # round-9 additions (the full iterative truss peel — 6 wedge-join
+    # rounds with per-round localCheckpoints; the prefix-sum CDF +
+    # rank-adjacency W1 integral; the 8-sweep integer IPF over the
+    # 25-cell frame; the double-histogram selectivity audit with its
+    # two-phase equi-depth rank)
+    "ktruss_peel_exact",
+    "wasserstein_1d_price_periods",
+    "ipf_raking_fixpoint",
+    "histogram_selectivity_audit",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is

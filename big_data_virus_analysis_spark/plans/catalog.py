@@ -5057,6 +5057,10 @@ from .round9_seq2 import SPECS as _ROUND9_SEQ2_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_SEQ2_SPECS)
 
+from .round9_ir2 import SPECS as _ROUND9_IR2_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_IR2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on
@@ -5115,43 +5119,47 @@ _PINNED_CORE: tuple[str, ...] = (
     "auc_rank_based",
 )
 
-#: round-8 rotation: ALL 21 round-8 exact entries (the ADVICE-fixed
-#: permutation test and quantized Breusch–Pagan, the reference
-#: feature job e2e with its measured BASELINE figure, and the widening
-#: packs — JB/PACF/Holm inference, graph cohesion, BI concentration /
-#: acquisition / bounce, softmax-GD / Hoeffding / McNemar, char-level
-#: text stats, the value-distribution profiler, robust means + SPC,
-#: the embedding-norm audit), topped up with the standing
-#: composed-pipeline canaries.
+#: round-9 rotation: ALL 16 round-9 exact entries (the
+#: iterative-to-fixpoint family — truss peel, min-label propagation,
+#: IPF raking, IRR bisection, damped-Newton isqrt — plus the
+#: distribution distances, stratified/multi-rater tests, planner
+#: audits, and Page–Hinkley), the r8-ADVICE-fixed conformal split,
+#: the VERDICT-nit-fixed k-truss support histogram, the reference
+#: feature job e2e, and the standing composed-pipeline canaries.
 _ROTATING_WINDOW: tuple[str, ...] = (
-    # round-8 ADVICE-fixed plans (re-verify the fixes independently)
-    "permutation_test_det",
-    "breusch_pagan_daily",
-    # round-8 directive #4: the reference feature job end-to-end
-    "api_log_feature_job_e2e",
-    # round-8 widening packs
-    "jarque_bera_daily",
-    "pacf_lag2_daily",
-    "holm_bonferroni_segments",
+    # round-9 iterative-to-fixpoint family
+    "ktruss_peel_exact",
+    "ktruss_peel_edges",
+    "min_label_propagation_fixpoint",
+    "ipf_raking_fixpoint",
+    "ipf_raking_cells",
+    "irr_bisection_fixpoint",
+    "isqrt_newton_fixpoint",
+    # round-9 distribution distances + rank tests
+    "wasserstein_1d_price_periods",
+    "cramer_von_mises_two_sample",
+    "energy_distance_two_periods",
+    "friedman_test_segments",
+    # round-9 stratified / multi-rater
+    "mantel_haenszel_or",
+    "cochrans_q_scorers",
+    # round-9 planner audits + sequential detection
+    "histogram_selectivity_audit",
+    "posting_intersection_order_audit",
+    "page_hinkley_drift",
+    # r8-ADVICE-fixed split (re-verify the fix independently)
+    "conformal_interval_coverage",
+    # r8-VERDICT-nit-fixed plan (count() -> 1-row-agg broadcast)
     "ktruss_edge_support",
+    # reference feature job end-to-end (measured BASELINE figure)
+    "api_log_feature_job_e2e",
+    # round-8 flagships kept one more round (graph + SPC + char text)
     "rich_club_coefficient",
-    "jaccard_link_similarity",
-    "hhi_concentration",
-    "new_vs_returning_daily",
-    "bounce_sessions_daily",
-    "softmax_gd_step_exact",
-    "hoeffding_bound_audit",
-    "mcnemar_fixed_scorers",
     "char_entropy_topdocs",
-    "char_kl_by_source",
-    "lognormal_doclen_fit",
-    "mode_concentration_profile",
-    "trimmed_winsorized_means",
     "p_chart_daily_errors",
-    "process_capability_orders",
-    "embedding_norm_outliers",
     # standing composed-pipeline canaries (always re-verified)
     "dedup_pipeline_e2e",
+    "corpus_curation_e2e",
     "experiment_readout_e2e",
 )
 

@@ -338,6 +338,9 @@ BNLJ_ALLOWED = {
     # round 9: 32-row bin frames x 4-row predicate literals + 1-row
     # min/max extent broadcast onto the scan
     "histogram_selectivity_audit",
+    # round 9: 1-row peak broadcast back onto the swept endpoint frame
+    # + 1-row x 1-row result combine
+    "peak_concurrency_sessions",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the

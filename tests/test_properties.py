@@ -1850,3 +1850,42 @@ def test_page_hinkley_prefix_form_identity(xs):
         excess_seq.append(m2 - mn)
     assert excess_plan == excess_seq
     assert all(e >= 0 for e in excess_plan)
+
+
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sweep_line_peak_concurrency_identity(iv):
+    """round9_ir2.peak_concurrency_sessions: the +1/-1 endpoint sweep
+    (closes at end+1, closes-before-opens at equal instants) equals the
+    brute-force maximum of interval coverage over every integer
+    instant, and the first instant achieving it."""
+    intervals = [(s, s + d) for s, d in iv]  # closed [s, e]
+    deltas = sorted(
+        [(s, 1, i) for i, (s, e) in enumerate(intervals)]
+        + [(e + 1, -1, i) for i, (s, e) in enumerate(intervals)]
+    )
+    run = 0
+    peak, first_t = 0, None
+    for t, d, _ in deltas:
+        run += d
+        if run > peak:
+            peak, first_t = run, t
+    lo = min(s for s, _ in intervals)
+    hi = max(e for _, e in intervals)
+    brute = {
+        t: sum(1 for s, e in intervals if s <= t <= e)
+        for t in range(lo, hi + 1)
+    }
+    b_peak = max(brute.values())
+    b_first = min(t for t, c in brute.items() if c == b_peak)
+    assert peak == b_peak
+    assert first_t == b_first
