@@ -175,6 +175,9 @@ SF1_FAMILY = {
     # out-of-grid decade too (wedge-join graph family; char explode)
     "ktruss_edge_support",
     "char_entropy_topdocs",
+    # round-9: the full peel rides the same capped graph as the
+    # edge-support pass — its sf1 leg shows the per-round thinning
+    "ktruss_peel_exact",
 }
 
 

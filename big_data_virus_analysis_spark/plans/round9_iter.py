@@ -131,10 +131,17 @@ def _marginal_errors(cells: DataFrame, sweep: int) -> DataFrame:
 
 
 def _ipf_chain(spark: SparkSession, sf_dir: str):
-    cells = _with_target(_base_cells(spark, sf_dir))
+    # checkpoint the scanned base once and each sweep result: the four
+    # history legs each read the post-sweep frame twice (row + column
+    # marginals), so an uncheckpointed chain replays the fact scan
+    # 16× in the final union's plan (measured; the 25-row frames make
+    # the checkpoints free)
+    cells = _with_target(_base_cells(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     legs: list[DataFrame] = []
     for s in range(1, IPF_SWEEPS + 1):
-        cells = _sweep(_sweep(cells, _ROW), _COL)
+        cells = _sweep(_sweep(cells, _ROW), _COL).localCheckpoint(eager=True)
         legs.append(_marginal_errors(cells, s))
     return legs, cells
 

@@ -762,3 +762,33 @@ def test_rich_club_rank_frame_broadcasts(spark):
     finally:
         release_tracked_caches()
         spark.catalog.clearCache()
+
+
+def test_ipf_single_fact_scan(plan_of):
+    """round9_iter: the whole 4-sweep IPF chain reads orders ZERO times
+    in the final plan — the 25-cell base is localCheckpoint'd right
+    after the one real scan, and every sweep/history leg is arithmetic
+    over checkpointed 25-row frames (without the checkpoints the four
+    history legs replayed the fact scan 16×)."""
+    for name in ("ipf_raking_fixpoint", "ipf_raking_cells"):
+        plan = plan_of(name)
+        assert plan.count("orders.parquet") == 0, name
+        assert "Scan ExistingRDD" in plan, name  # the checkpointed cells
+
+
+def test_wasserstein_cdf_frame_cached(plan_of):
+    """round9_dist: the per-value cumulative frame feeds BOTH sides of
+    the rank-adjacency self-join from the cache — without it each side
+    would replay the prefix-sum derivation (the AQE ReusedExchange
+    pitfall)."""
+    plan = plan_of("wasserstein_1d_price_periods")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_posting_audit_single_documents_scan(plan_of):
+    """round9_planner: the proximity/posting machinery derives df, the
+    pairwise intersections, AND the full-AND result from ONE cached
+    matched-postings frame — documents is scanned once."""
+    plan = plan_of("posting_intersection_order_audit")
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("InMemoryTableScan") >= 3
