@@ -5061,6 +5061,10 @@ from .round9_ir2 import SPECS as _ROUND9_IR2_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_IR2_SPECS)
 
+from .round9_data import SPECS as _ROUND9_DATA_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_DATA_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

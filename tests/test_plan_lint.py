@@ -341,6 +341,10 @@ BNLJ_ALLOWED = {
     # round 9: 1-row peak broadcast back onto the swept endpoint frame
     # + 1-row x 1-row result combine
     "peak_concurrency_sessions",
+    # round 9: 1-row (n_sources, budget) / (totals, extremes) scalar
+    # broadcasts onto the per-source / per-expert aggregate frames
+    "dataset_mixture_epochs_audit",
+    "moe_routing_balance",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
