@@ -5065,6 +5065,10 @@ from .round9_data import SPECS as _ROUND9_DATA_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_DATA_SPECS)
 
+from .round9_sys import SPECS as _ROUND9_SYS_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_SYS_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -345,6 +345,11 @@ BNLJ_ALLOWED = {
     # broadcasts onto the per-source / per-expert aggregate frames
     "dataset_mixture_epochs_audit",
     "moe_routing_balance",
+    # round 9: keys x <=128-row broadcast vnode ring table (linear,
+    # small constant) + per-K 1-row ratio broadcast
+    "consistent_hash_ring_balance",
+    # round 9: 1-row stats x 1-row truth scalar chains
+    "join_order_cost_audit",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
