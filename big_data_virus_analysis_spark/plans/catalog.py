@@ -5069,6 +5069,10 @@ from .round9_sys import SPECS as _ROUND9_SYS_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_SYS_SPECS)
 
+from .round9_motif import SPECS as _ROUND9_MOTIF_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_MOTIF_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

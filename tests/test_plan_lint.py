@@ -350,6 +350,13 @@ BNLJ_ALLOWED = {
     "consistent_hash_ring_balance",
     # round 9: 1-row stats x 1-row truth scalar chains
     "join_order_cost_audit",
+    # round 9: calendar-bounded day-window self-join (<= ~2,400 x
+    # ~2,400 windows at ANY corpus size — the matrix-profile exclusion
+    # zone |i-j| >= w is inherently non-equi); small side broadcasts
+    "matrix_profile_daily",
+    # round 9: 1-row global (S, Q, n) moments broadcast onto the
+    # bounded day frame for the SAX z-score
+    "sax_motif_words",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
@@ -397,6 +404,10 @@ GLOBAL_WINDOW_ALLOWED = {
     "rolling_correlation_30d",
     # round 9: calendar-bounded per-DAY frame running min (PH excess)
     "page_hinkley_drift",
+    # round 9: calendar-bounded per-DAY frame — dense day index +
+    # 7-day lead window for matrix-profile subsequences / SAX symbols
+    "matrix_profile_daily",
+    "sax_motif_words",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep (each

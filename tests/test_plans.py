@@ -792,3 +792,27 @@ def test_posting_audit_single_documents_scan(plan_of):
     plan = plan_of("posting_intersection_order_audit")
     assert plan.count("documents.parquet") == 1
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_matrix_profile_bounded_day_frame(plan_of):
+    """round9_motif: the all-pairs exclusion-zone join runs on the
+    CALENDAR-DAY window frame (orders collapses to per-day rows before
+    pairing — exactly one fact scan per join side, never a row-level
+    cross product), and the small side broadcasts (BNLJ on the bounded
+    frame is the documented shape)."""
+    plan = plan_of("matrix_profile_daily")
+    # ONE fact scan: the cached window-stats frame feeds both sides
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_sax_global_moments_broadcast(plan_of):
+    """round9_motif: the SAX z-score rides a 1-row (S, Q, n) global-
+    moments broadcast onto the bounded day frame — no second pass and
+    no global non-window aggregate join by shuffle."""
+    plan = plan_of("sax_motif_words")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # ONE fact scan: the cached indexed day frame feeds moments + z
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("InMemoryTableScan") >= 2

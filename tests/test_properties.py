@@ -1889,3 +1889,120 @@ def test_sweep_line_peak_concurrency_identity(iv):
     b_first = min(t for t, c in brute.items() if c == b_peak)
     assert peak == b_peak
     assert first_t == b_first
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=1, max_value=10**6), min_size=20, max_size=60
+    ),
+    plant_at=st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_matrix_profile_integer_core_identity(vals, plant_at):
+    """round9_motif.matrix_profile_daily: the exact-integer core
+    d² = 2w(1 − (w·dot − SᵢSⱼ)/(√(w·Qᵢ−Sᵢ²)·√(w·Qⱼ−Sⱼ²))) equals the
+    textbook z-normalized Euclidean distance between the two windows,
+    and a planted pair of identical non-overlapping weeks produces a
+    profile value of exactly 0 at the planted indices."""
+    import math
+
+    w = 7
+    # plant an identical copy of window [plant_at, plant_at+7) at the
+    # tail, non-overlapping by construction
+    motif = vals[plant_at : plant_at + w]
+    series = vals + motif
+    n_win = len(series) - w + 1
+
+    def win(i):
+        return series[i : i + w]
+
+    def stats(i):
+        x = win(i)
+        return sum(x), sum(v * v for v in x)
+
+    def dsq_int(i, j):
+        si, qi = stats(i)
+        sj, qj = stats(j)
+        vi, vj = w * qi - si * si, w * qj - sj * sj
+        if vi <= 0 or vj <= 0:
+            return None
+        dot = sum(a * b for a, b in zip(win(i), win(j)))
+        corr = (w * dot - si * sj) / (math.sqrt(vi) * math.sqrt(vj))
+        return 2.0 * w * (1.0 - corr)
+
+    def dsq_textbook(i, j):
+        def znorm(x):
+            mu = sum(x) / w
+            sd = math.sqrt(sum((v - mu) ** 2 for v in x) / w)
+            return [(v - mu) / sd for v in x] if sd > 0 else None
+
+        zi, zj = znorm(win(i)), znorm(win(j))
+        if zi is None or zj is None:
+            return None
+        return sum((a - b) ** 2 for a, b in zip(zi, zj))
+
+    for i in range(0, n_win, 3):
+        for j in range(0, n_win, 5):
+            a, b = dsq_int(i, j), dsq_textbook(i, j)
+            if a is None or b is None:
+                assert a is None and b is None
+                continue
+            assert a == pytest.approx(b, rel=1e-9, abs=1e-7)
+
+    # planted motif: the copy starts at index len(vals) (0-based)
+    i, j = plant_at, len(vals)
+    planted = dsq_int(i, j)
+    if planted is not None:  # constant weeks are excluded by design
+        assert abs(planted) < 1e-9
+        # and it is the minimum over all non-overlapping pairs for i
+        others = [
+            dsq_int(i, k)
+            for k in range(n_win)
+            if abs(k - i) >= w and dsq_int(i, k) is not None
+        ]
+        assert min(others) <= 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=8, max_size=50
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sax_symbols_identity_and_monotone(vals):
+    """round9_motif.sax_motif_words: the (S, Q, n) integer-moment
+    z-score equals the naive mean/std z-score, the 4-letter quantizer
+    matches a pure-Python re-implementation, and symbols are monotone
+    non-decreasing in the underlying value."""
+    import math
+
+    n = len(vals)
+    s, q = sum(vals), sum(v * v for v in vals)
+    varn = n * q - s * s
+    if varn <= 0:
+        return  # constant series: z undefined, excluded upstream
+    breaks = (-0.6745, 0.0, 0.6745)
+
+    def sym_int(v):
+        z = (v - s / n) / (math.sqrt(varn) / n)
+        return "abcd"[sum(1 for b in breaks if z >= b)]
+
+    mu = sum(vals) / n
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / n)
+
+    def sym_naive(v):
+        z = (v - mu) / sd
+        if z < breaks[0]:
+            return "a"
+        if z < breaks[1]:
+            return "b"
+        if z < breaks[2]:
+            return "c"
+        return "d"
+
+    syms = [(v, sym_int(v), sym_naive(v)) for v in vals]
+    for _, a, b in syms:
+        assert a == b
+    ordered = sorted(syms)
+    for (v1, a1, _), (v2, a2, _) in zip(ordered, ordered[1:]):
+        assert a1 <= a2
