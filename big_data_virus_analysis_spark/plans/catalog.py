@@ -5073,6 +5073,10 @@ from .round9_motif import SPECS as _ROUND9_MOTIF_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_MOTIF_SPECS)
 
+from .round9_lm import SPECS as _ROUND9_LM_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_LM_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -816,3 +816,15 @@ def test_sax_global_moments_broadcast(plan_of):
     # ONE fact scan: the cached indexed day frame feeds moments + z
     assert plan.count("orders.parquet") == 1
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_kneser_ney_single_corpus_scan(plan_of):
+    """round9_lm: ONE token-explode pass — the cached (source,w1,w2)
+    counts feed the model rollups (c2 -> c1/N1fw/N1bw/B) and the
+    scoring join; documents is scanned exactly once and the model
+    tables stay distributed (shuffle joins on w1/w2, 1-row B
+    broadcast)."""
+    for name in ("kneser_ney_bigram_ppl", "kneser_ney_prob_check"):
+        plan = plan_of(name)
+        assert plan.count("documents.parquet") == 1, name
+        assert plan.count("InMemoryTableScan") >= 2, name

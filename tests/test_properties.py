@@ -2006,3 +2006,54 @@ def test_sax_symbols_identity_and_monotone(vals):
     ordered = sorted(syms)
     for (v1, a1, _), (v2, a2, _) in zip(ordered, ordered[1:]):
         assert a1 <= a2
+
+
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=2, max_size=12
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_kneser_ney_integer_fraction_identity(corpus):
+    """round9_lm: (a) the integer rational (B(4c12-3) + 3*N1fw*N1bw)
+    / (4*B*c1) equals the textbook interpolated-KN probability with
+    D=0.75 computed in floats; (b) seen numerators + closed-form
+    unseen continuation mass == 4*B*c1 exactly for EVERY context
+    (the probabilities sum to 1)."""
+    from collections import Counter, defaultdict
+
+    bigs = Counter()
+    for doc in corpus:
+        for a, b in zip(doc, doc[1:]):
+            bigs[(a, b)] += 1
+    if not bigs:
+        return
+    c1 = Counter()
+    n1fw = defaultdict(set)
+    n1bw = defaultdict(set)
+    for (a, b), c in bigs.items():
+        c1[a] += c
+        n1fw[a].add(b)
+        n1bw[b].add(a)
+    B = len(bigs)
+    D = 0.75
+    for (a, b), c12 in bigs.items():
+        p_text = (c12 - D) / c1[a] + D * len(n1fw[a]) / c1[a] * (
+            len(n1bw[b]) / B
+        )
+        num = B * (4 * c12 - 3) + 3 * len(n1fw[a]) * len(n1bw[b])
+        den = 4 * B * c1[a]
+        assert num / den == pytest.approx(p_text, rel=1e-12)
+    for a in c1:
+        seen = sum(
+            B * (4 * c - 3) + 3 * len(n1fw[a]) * len(n1bw[b])
+            for (x, b), c in bigs.items()
+            if x == a
+        )
+        sn1bw = sum(len(n1bw[b]) for (x, b) in bigs if x == a)
+        unseen = 3 * len(n1fw[a]) * (B - sn1bw)
+        assert seen + unseen == 4 * B * c1[a]
