@@ -5077,6 +5077,10 @@ from .round9_lm import SPECS as _ROUND9_LM_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_LM_SPECS)
 
+from .round9_hits import SPECS as _ROUND9_HITS_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_HITS_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

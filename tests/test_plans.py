@@ -828,3 +828,14 @@ def test_kneser_ney_single_corpus_scan(plan_of):
         plan = plan_of(name)
         assert plan.count("documents.parquet") == 1, name
         assert plan.count("InMemoryTableScan") >= 2, name
+
+
+def test_hits_chain_checkpointed_single_edge_build(plan_of):
+    """round9_hits: the 4-sweep chain replays NEITHER the fact scan
+    nor prior sweeps — score frames are localCheckpoint'd per sweep
+    (Scan ExistingRDD) and the edge distinct-aggregate is built once
+    into the tracked cache (each half-sweep re-reads it from memory)."""
+    for name in ("hits_bipartite_topk", "hits_convergence_audit"):
+        plan = plan_of(name)
+        assert plan.count("lineitem.parquet") == 0, name
+        assert "Scan ExistingRDD" in plan, name

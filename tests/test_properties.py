@@ -2057,3 +2057,53 @@ def test_kneser_ney_integer_fraction_identity(corpus):
         sn1bw = sum(len(n1bw[b]) for (x, b) in bigs if x == a)
         unseen = 3 * len(n1fw[a]) * (B - sn1bw)
         assert seen + unseen == 4 * B * c1[a]
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_hits_integer_sweep_identity(edges):
+    """round9_hits: the integer micro-unit HITS half-sweep ((raw *
+    1e6) // total) tracks float HITS — after 4 sweeps every score is
+    within n micro of the float score scaled to 1e6, the L1 mass stays
+    <= 1e6 with remainder < n, and planting a supplier connected to
+    EVERY part makes it the top hub."""
+    SCALE = 10**6
+    edges = set(edges)
+    parts = sorted({p for _, p in edges})
+    # plant a dominant hub connected to every part
+    HUB = 99
+    edges |= {(HUB, p) for p in parts}
+    sups = sorted({s for s, _ in edges})
+
+    h_int = {s: SCALE for s in sups}
+    h_flt = {s: 1.0 for s in sups}
+    for _ in range(4):
+        araw = {p: sum(h_int[s] for s, q in edges if q == p) for p in parts}
+        tot = sum(araw.values())
+        a_int = {p: (araw[p] * SCALE) // tot for p in parts}
+        af = {p: sum(h_flt[s] for s, q in edges if q == p) for p in parts}
+        ft = sum(af.values())
+        a_flt = {p: af[p] / ft for p in parts}
+        hraw = {s: sum(a_int[p] for t, p in edges if t == s) for s in sups}
+        tot = sum(hraw.values())
+        h_int = {s: (hraw[s] * SCALE) // tot for s in sups}
+        hf = {s: sum(a_flt[p] for t, p in edges if t == s) for s in sups}
+        ft = sum(hf.values())
+        h_flt = {s: hf[s] / ft for s in sups}
+        assert sum(a_int.values()) <= SCALE
+        assert SCALE - sum(a_int.values()) < len(parts)
+        assert sum(h_int.values()) <= SCALE
+        assert SCALE - sum(h_int.values()) < len(sups)
+    for s in sups:
+        assert abs(h_int[s] - h_flt[s] * SCALE) <= 4 * len(sups) + 4
+    top_int = max(sups, key=lambda s: (h_int[s], -s))
+    assert top_int == HUB or h_int[HUB] == h_int[top_int]
