@@ -5081,6 +5081,10 @@ from .round9_hits import SPECS as _ROUND9_HITS_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_HITS_SPECS)
 
+from .round9_causal2 import SPECS as _ROUND9_CAUSAL2_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_CAUSAL2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

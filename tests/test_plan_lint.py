@@ -354,6 +354,18 @@ BNLJ_ALLOWED = {
     # ~2,400 windows at ANY corpus size — the matrix-profile exclusion
     # zone |i-j| >= w is inherently non-equi); small side broadcasts
     "matrix_profile_daily",
+    # round 9: calendar-bounded (priority x month) frame pair join
+    # (<= 5x80 rows at any SF; the JT statistic pools group pairs) +
+    # 1-row moments broadcast
+    "jonckheere_terpstra_priority",
+    # round 9: 1-row n_treated broadcast onto the 1-row matched agg
+    "caliper_nn_match_att",
+    # round 9: 1-row bigram-type-count (B) broadcast onto the scoring
+    # join / top-5 context ledger
+    "kneser_ney_bigram_ppl",
+    "kneser_ney_prob_check",
+    # round 9: per-sweep 1-row auth-delta x 1-row hub-delta combine
+    "hits_convergence_audit",
     # round 9: 1-row global (S, Q, n) moments broadcast onto the
     # bounded day frame for the SAX z-score
     "sax_motif_words",

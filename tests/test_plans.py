@@ -839,3 +839,31 @@ def test_hits_chain_checkpointed_single_edge_build(plan_of):
         plan = plan_of(name)
         assert plan.count("lineitem.parquet") == 0, name
         assert "Scan ExistingRDD" in plan, name
+
+
+def test_caliper_match_equi_join_no_cross(plan_of):
+    """round9_causal2: the within-caliper matcher is an EQUI hash/SMJ
+    join on the bucket key — the only nested-loop is the 1-row
+    n_treated broadcast; treated/control split reads the cached order
+    frame, so the orders scan runs once."""
+    plan = plan_of("caliper_nn_match_att")
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("InMemoryTableScan") >= 2
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_iv_wald_two_arm_collapse(plan_of):
+    """round9_causal2: the IV estimate collapses the fact scan to the
+    two instrument arms before any float math — one lineitem scan, one
+    hash aggregate chain, no join."""
+    plan = plan_of("iv_wald_estimate")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_jonckheere_monthly_frame_cached(plan_of):
+    """round9_causal2: the (priority x month) frame feeds the pair
+    join twice plus the size moments — cached, one orders scan."""
+    plan = plan_of("jonckheere_terpstra_priority")
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("InMemoryTableScan") >= 3

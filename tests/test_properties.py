@@ -2107,3 +2107,109 @@ def test_hits_integer_sweep_identity(edges):
         assert abs(h_int[s] - h_flt[s] * SCALE) <= 4 * len(sups) + 4
     top_int = max(sups, key=lambda s: (h_int[s], -s))
     assert top_int == HUB or h_int[HUB] == h_int[top_int]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(min_value=1, max_value=50),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_wald_iv_equals_covariance_ratio(rows):
+    """round9_causal2.iv_wald_estimate: the difference-of-means Wald
+    form (E[y|z=1]-E[y|z=0])/(E[x|z=1]-E[x|z=0]) equals the 2SLS
+    covariance form cov(z,y)/cov(z,x) for a binary instrument."""
+    zs = [int(z) for z, _, _ in rows]
+    if len(set(zs)) < 2:
+        return
+    xs = [x for _, x, _ in rows]
+    ys = [y for _, _, y in rows]
+    n = len(rows)
+    x1 = [x for z, x in zip(zs, xs) if z]
+    x0 = [x for z, x in zip(zs, xs) if not z]
+    y1 = [y for z, y in zip(zs, ys) if z]
+    y0 = [y for z, y in zip(zs, ys) if not z]
+    fs = sum(x1) / len(x1) - sum(x0) / len(x0)
+    if abs(fs) < 1e-9:
+        return
+    wald = (sum(y1) / len(y1) - sum(y0) / len(y0)) / fs
+    zb, xb, yb = sum(zs) / n, sum(xs) / n, sum(ys) / n
+    cov_zy = sum((z - zb) * (y - yb) for z, y in zip(zs, ys))
+    cov_zx = sum((z - zb) * (x - xb) for z, x in zip(zs, xs))
+    assert wald == pytest.approx(cov_zy / cov_zx, rel=1e-9, abs=1e-9)
+
+
+@given(
+    tv=st.integers(min_value=0, max_value=10**6),
+    controls=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=50
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_caliper_three_bucket_probe_complete(tv, controls):
+    """round9_causal2.caliper_nn_match_att: with bucket width equal to
+    the caliper, probing buckets {b-1, b, b+1} finds EVERY control
+    within the caliper, and the (|d|, key) min equals the brute-force
+    nearest control."""
+    CAL = 10_000
+    tb = tv // CAL
+    probe_hits = {
+        (i, cv)
+        for i, cv in enumerate(controls)
+        if cv // CAL in (tb - 1, tb, tb + 1) and abs(tv - cv) <= CAL
+    }
+    brute_hits = {
+        (i, cv) for i, cv in enumerate(controls) if abs(tv - cv) <= CAL
+    }
+    assert probe_hits == brute_hits
+    if brute_hits:
+        assert min((abs(tv - cv), i) for i, cv in probe_hits) == min(
+            (abs(tv - cv), i) for i, cv in brute_hits
+        )
+
+
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_jonckheere_terpstra_identities(groups):
+    """round9_causal2.jonckheere_terpstra_priority: JT2 equals the
+    brute-force doubled pair count, is invariant under a strictly
+    monotone transform of the outcome, and e4 == 2*sum_{g<h} n_g*n_h."""
+    from collections import Counter
+
+    def jt2(data):
+        return sum(
+            2 * (va < vb) + (va == vb)
+            for ga, va in data
+            for gb, vb in data
+            if ga < gb
+        )
+
+    base = jt2(groups)
+    mono = jt2([(g, 3 * v + 7) for g, v in groups])
+    assert base == mono
+    sizes = Counter(g for g, _ in groups)
+    nn = sum(sizes.values())
+    e4 = nn * nn - sum(n * n for n in sizes.values())
+    cross = sum(
+        na * nb
+        for ga, na in sizes.items()
+        for gb, nb in sizes.items()
+        if ga < gb
+    )
+    assert e4 == 2 * cross
+    assert 0 <= base <= 2 * cross
