@@ -5085,6 +5085,10 @@ from .round9_causal2 import SPECS as _ROUND9_CAUSAL2_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_CAUSAL2_SPECS)
 
+from .round9_shapley import SPECS as _ROUND9_SHAPLEY_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_SHAPLEY_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

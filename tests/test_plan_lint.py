@@ -366,6 +366,10 @@ BNLJ_ALLOWED = {
     "kneser_ney_prob_check",
     # round 9: per-sweep 1-row auth-delta x 1-row hub-delta combine
     "hits_convergence_audit",
+    # round 9: constant-size bitwise subset joins (16 subsets x <=16
+    # coalition masks, 4 channels x 16 subsets) — corpus-independent
+    "shapley_channel_attribution",
+    "shapley_efficiency_check",
     # round 9: 1-row global (S, Q, n) moments broadcast onto the
     # bounded day frame for the SAX z-score
     "sax_motif_words",

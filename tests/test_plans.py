@@ -867,3 +867,14 @@ def test_jonckheere_monthly_frame_cached(plan_of):
     plan = plan_of("jonckheere_terpstra_priority")
     assert plan.count("orders.parquet") == 1
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_shapley_constant_size_algebra(plan_of):
+    """round9_shapley: ONE events scan collapses to the <=16-row
+    coalition histogram before any Shapley algebra; the v(S) frame is
+    cached for its multiple consumers and the windowed cutoff is
+    user-PARTITIONED (no global window)."""
+    for name in ("shapley_channel_attribution", "shapley_efficiency_check"):
+        plan = plan_of(name)
+        assert plan.count("events.parquet") == 1, name
+        assert plan.count("InMemoryTableScan") >= 2, name

@@ -2213,3 +2213,42 @@ def test_jonckheere_terpstra_identities(groups):
     )
     assert e4 == 2 * cross
     assert 0 <= base <= 2 * cross
+
+
+@given(
+    masks=st.lists(
+        st.integers(min_value=0, max_value=15), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_shapley_subset_formula_equals_permutation_average(masks):
+    """round9_shapley: with v(S) = #converters whose coalition ⊆ S,
+    the closed-form subset sum phi24_i = Σ_{S∌i} |S|!(3-|S|)!·(v(S∪i)
+    − v(S)) equals the permutation definition (marginal contribution
+    averaged over all 4! channel orderings, scaled by 24) EXACTLY,
+    and Σ phi24 == 24·(v(full) − v(∅))."""
+    from itertools import permutations
+
+    N = 4
+    W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+    def v(S):
+        return sum(1 for m in masks if m & S == m)
+
+    phi_formula = {}
+    for i in range(N):
+        bit = 1 << i
+        phi_formula[i] = sum(
+            W24[bin(S).count("1")] * (v(S | bit) - v(S))
+            for S in range(16)
+            if not S & bit
+        )
+    phi_perm = {i: 0 for i in range(N)}
+    for order in permutations(range(N)):
+        S = 0
+        for i in order:
+            bit = 1 << i
+            phi_perm[i] += v(S | bit) - v(S)
+            S |= bit
+    assert phi_formula == phi_perm
+    assert sum(phi_formula.values()) == 24 * (v(15) - v(0))
