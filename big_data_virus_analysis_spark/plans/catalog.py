@@ -5089,6 +5089,14 @@ from .round9_shapley import SPECS as _ROUND9_SHAPLEY_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_SHAPLEY_SPECS)
 
+from .round9_wavelet import SPECS as _ROUND9_WAVELET_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_WAVELET_SPECS)
+
+from .round9_ddsketch import SPECS as _ROUND9_DDSKETCH_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_DDSKETCH_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -424,6 +424,13 @@ GLOBAL_WINDOW_ALLOWED = {
     # 7-day lead window for matrix-profile subsequences / SAX symbols
     "matrix_profile_daily",
     "sax_motif_words",
+    # round 9: calendar-bounded per-DAY frame — dense day index for
+    # the dyadic 1024-day Haar window
+    "haar_wavelet_topk",
+    # round 9: cumulative scan over the ~580-row log-bucket sketch
+    # frame (domain bounded by the value RANGE, never data rows —
+    # the quantile_merge_audit precedent)
+    "ddsketch_price_quantiles",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep (each

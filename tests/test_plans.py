@@ -878,3 +878,23 @@ def test_shapley_constant_size_algebra(plan_of):
         plan = plan_of(name)
         assert plan.count("events.parquet") == 1, name
         assert plan.count("InMemoryTableScan") >= 2, name
+
+
+def test_haar_pyramid_checkpointed(plan_of):
+    """round9_wavelet: the final top-k plan reads only checkpointed
+    level frames — the 10-level cascade (each level feeding BOTH the
+    next level and its detail leg) must not replay the fact scan."""
+    plan = plan_of("haar_wavelet_topk")
+    assert plan.count("orders.parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ddsketch_single_scan_partial_agg(plan_of):
+    """round9_ddsketch: the sketch is ONE map-side-combinable hash
+    aggregate over the log-bucket key — a single lineitem scan with
+    partial aggregation, and every window downstream runs on the
+    bounded bucket frame."""
+    plan = plan_of("ddsketch_price_quantiles")
+    assert plan.count("lineitem.parquet") == 1
+    assert "partial_count" in plan

@@ -2252,3 +2252,89 @@ def test_shapley_subset_formula_equals_permutation_average(masks):
             S |= bit
     assert phi_formula == phi_perm
     assert sum(phi_formula.values()) == 24 * (v(15) - v(0))
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=16,
+        max_size=16,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_haar_parseval_and_reconstruction_exact(vals):
+    """round9_wavelet: the unnormalized Haar pyramid (s←s0+s1,
+    d←s0−s1) satisfies exact Parseval (2^L·Σv² = s_L² ·2^0 scaled
+    form) and perfect reconstruction, both in fractions.Fraction with
+    ZERO tolerance."""
+    from fractions import Fraction
+
+    L = 4  # 16 = 2^4
+    s = list(vals)
+    details = []  # (level, list of d)
+    for lvl in range(1, L + 1):
+        ns, nd = [], []
+        for k in range(0, len(s), 2):
+            ns.append(s[k] + s[k + 1])
+            nd.append(s[k] - s[k + 1])
+        details.append(nd)
+        s = ns
+    sL = s[0]
+    # Parseval: Σ v² == s_L²/2^L + Σ_l Σ_k d_l[k]²/2^l  (exact)
+    lhs = Fraction(sum(v * v for v in vals))
+    rhs = Fraction(sL * sL, 2**L) + sum(
+        Fraction(sum(d * d for d in dl), 2**lvl)
+        for lvl, dl in enumerate(details, start=1)
+    )
+    assert lhs == rhs
+    # perfect reconstruction: invert the pyramid level by level
+    cur = [Fraction(sL)]
+    for lvl in range(L, 0, -1):
+        dl = details[lvl - 1]
+        nxt = []
+        for k, sv in enumerate(cur):
+            d = Fraction(dl[k])
+            nxt.append((sv + d) / 2)
+            nxt.append((sv - d) / 2)
+        cur = nxt
+    assert cur == [Fraction(v) for v in vals]
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=1, max_value=10**9), min_size=1, max_size=200
+    ),
+    qnum=st.sampled_from([(1, 2), (9, 10), (19, 20), (99, 100)]),
+)
+@settings(max_examples=200, deadline=None)
+def test_ddsketch_relative_error_guarantee(vals, qnum):
+    """round9_ddsketch: every value in bucket b = ceil(ln v / ln γ)
+    satisfies |2γ^b/(γ+1) − v|/v ≤ (γ−1)/(γ+1) (+ float slop), and the
+    exact-integer rank probe returns the bucket CONTAINING the rank-r
+    order statistic."""
+    import math
+    from collections import Counter
+
+    G = 1.02
+    LG = math.log(G)
+    bound = (G - 1.0) / (G + 1.0)
+
+    def bucket(v):
+        return math.ceil(math.log(v) / LG)
+
+    for v in vals:
+        b = bucket(v)
+        est = 2.0 * G**b / (G + 1.0)
+        assert abs(est - v) / v <= bound + 1e-9
+    counts = Counter(bucket(v) for v in vals)
+    n = len(vals)
+    num, den = qnum
+    r = (n * num + den - 1) // den
+    cum = 0
+    probe = None
+    for b in sorted(counts):
+        cum += counts[b]
+        if cum >= r and probe is None:
+            probe = b
+    true_val = sorted(vals)[r - 1]
+    assert probe == bucket(true_val)
