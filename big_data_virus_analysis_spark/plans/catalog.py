@@ -5097,6 +5097,10 @@ from .round9_ddsketch import SPECS as _ROUND9_DDSKETCH_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_DDSKETCH_SPECS)
 
+from .round9_absorb import SPECS as _ROUND9_ABSORB_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_ABSORB_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -898,3 +898,12 @@ def test_ddsketch_single_scan_partial_agg(plan_of):
     plan = plan_of("ddsketch_price_quantiles")
     assert plan.count("lineitem.parquet") == 1
     assert "partial_count" in plan
+
+
+def test_markov_absorption_checkpointed_chain(plan_of):
+    """round9_absorb: the 32-sweep Neumann chain runs on checkpointed
+    <=5-row state frames — the final plan replays neither the events
+    scan nor earlier sweeps."""
+    plan = plan_of("markov_absorption_conversion")
+    assert plan.count("events.parquet") == 0
+    assert "Scan ExistingRDD" in plan

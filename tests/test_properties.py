@@ -2338,3 +2338,71 @@ def test_ddsketch_relative_error_guarantee(vals, qnum):
             probe = b
     true_val = sorted(vals)[r - 1]
     assert probe == bucket(true_val)
+
+
+@given(
+    counts=st.lists(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=5, max_size=5),
+        min_size=4,
+        max_size=4,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_markov_absorption_bracket_vs_exact_solve(counts):
+    """round9_absorb: the quantized truncated-Neumann sweep brackets
+    the EXACT fundamental-matrix absorption probability (solved by
+    Gaussian elimination over fractions.Fraction): p_q ≤ p* ≤ p_q +
+    m_q + sweeps·(states+1) micro slack."""
+    from fractions import Fraction
+
+    S = 4  # transient states 0..3; column 4 = absorbing
+    SCALE = 10**6
+    SWEEPS = 32
+    # ensure every transient state has at least one outgoing edge and
+    # a path to absorption (give each a direct absorption count +1)
+    rows = [list(r) for r in counts]
+    for i in range(S):
+        rows[i][S] += 1
+    tot = [sum(r) for r in rows]
+
+    # quantized sweep (mirrors the SQL/Spark arithmetic exactly)
+    r_q = [(rows[i][S] * SCALE) // tot[i] for i in range(S)]
+    p = [0] * S
+    m = [SCALE] * S
+    for _ in range(SWEEPS):
+        np_ = [
+            r_q[i]
+            + sum((rows[i][j] * p[j]) // tot[i] for j in range(S))
+            for i in range(S)
+        ]
+        nm = [
+            sum((rows[i][j] * m[j]) // tot[i] for j in range(S))
+            for i in range(S)
+        ]
+        p, m = np_, nm
+
+    # exact solve (I - Q) p* = r over rationals
+    A = [
+        [
+            (Fraction(1) if i == j else Fraction(0))
+            - Fraction(rows[i][j], tot[i])
+            for j in range(S)
+        ]
+        + [Fraction(rows[i][S], tot[i])]
+        for i in range(S)
+    ]
+    for col in range(S):  # Gaussian elimination with partial pivot
+        piv = max(range(col, S), key=lambda r_: abs(A[r_][col]))
+        A[col], A[piv] = A[piv], A[col]
+        assert A[col][col] != 0
+        for r_ in range(S):
+            if r_ != col and A[r_][col] != 0:
+                f = A[r_][col] / A[col][col]
+                A[r_] = [a - f * b for a, b in zip(A[r_], A[col])]
+    p_star = [A[i][S] / A[i][i] for i in range(S)]
+
+    slack = Fraction(SWEEPS * (S + 1), SCALE)
+    for i in range(S):
+        lo = Fraction(p[i], SCALE)
+        hi = Fraction(p[i] + m[i], SCALE) + slack
+        assert lo <= p_star[i] <= hi
