@@ -48,9 +48,11 @@ def dup_graph_edges(
     gram_l: int = GRAM_L,
     df_cap: int = DF_CAP,
     min_shared: int = MIN_SHARED,
+    keep_shared: bool = False,
 ) -> DataFrame:
     """Undirected near-dup edge list over ``documents``: one (u, v)
-    row per edge with ``u < v``."""
+    row per edge with ``u < v`` (plus the ``shared`` gram count as an
+    edge weight when ``keep_shared`` — the round-9 MSF consumer)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("_toks"))
     positions = F.when(
@@ -81,7 +83,7 @@ def dup_graph_edges(
         .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
-        .select("u", "v")
+        .select("u", "v", *(["shared"] if keep_shared else []))
     )
 
 
@@ -90,10 +92,12 @@ def dup_graph_edges_ctes(
     gram_l: int = GRAM_L,
     df_cap: int = DF_CAP,
     min_shared: int = MIN_SHARED,
+    keep_shared: bool = False,
 ) -> str:
     """DuckDB CTE chain ending in ``pr(u, v)`` — the exact relational
     twin of :func:`dup_graph_edges`.  Consumers append further CTEs:
     ``dup_graph_edges_ctes() + ", edges AS (...) SELECT ..."``."""
+    shared_col = ", count(*) AS shared" if keep_shared else ""
     return f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -105,7 +109,7 @@ WITH t AS (
 ), gc AS (
   SELECT g.doc_id, g.gram FROM g JOIN cool USING (gram)
 ), pr AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
+  SELECT a.doc_id AS u, b.doc_id AS v{shared_col}
   FROM gc a JOIN gc b USING (gram)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2

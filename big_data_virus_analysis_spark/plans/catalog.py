@@ -5101,6 +5101,10 @@ from .round9_absorb import SPECS as _ROUND9_ABSORB_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_ABSORB_SPECS)
 
+from .round9_msf import SPECS as _ROUND9_MSF_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_MSF_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

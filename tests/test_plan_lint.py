@@ -366,6 +366,9 @@ BNLJ_ALLOWED = {
     "kneser_ney_prob_check",
     # round 9: per-sweep 1-row auth-delta x 1-row hub-delta combine
     "hits_convergence_audit",
+    # round 9: per-round 1-row scalar ledger combines (cross count x
+    # new-edge count x component count x forest size x node count)
+    "msf_boruvka_audit",
     # round 9: constant-size bitwise subset joins (16 subsets x <=16
     # coalition masks, 4 channels x 16 subsets) — corpus-independent
     "shapley_channel_attribution",

@@ -907,3 +907,17 @@ def test_markov_absorption_checkpointed_chain(plan_of):
     plan = plan_of("markov_absorption_conversion")
     assert plan.count("events.parquet") == 0
     assert "Scan ExistingRDD" in plan
+
+
+def test_msf_boruvka_checkpointed_chain(plan_of):
+    """round9_msf: the Borůvka chain runs on checkpointed node-sized
+    label/forest frames — the final plan replays neither the documents
+    scan nor the gram pair join."""
+    plan = plan_of("msf_boruvka_dup_graph")
+    assert plan.count("documents.parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    # the audit's cross-edge legs read the cached edge frame (its
+    # build lineage shows the one documents scan) + checkpointed labels
+    plan = plan_of("msf_boruvka_audit")
+    assert plan.count("documents.parquet") <= 1
+    assert "Scan ExistingRDD" in plan

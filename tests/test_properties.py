@@ -2406,3 +2406,82 @@ def test_markov_absorption_bracket_vs_exact_solve(counts):
         lo = Fraction(p[i], SCALE)
         hi = Fraction(p[i] + m[i], SCALE) + slack
         assert lo <= p_star[i] <= hi
+
+
+@given(
+    raw_edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    weights=st.lists(
+        st.integers(min_value=1, max_value=9), min_size=40, max_size=40
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_boruvka_truncated_equals_kruskal_when_converged(raw_edges, weights):
+    """round9_msf: the truncated Borůvka procedure (3 rounds, 8
+    propagation sweeps, strict (-w, u, v) order) equals Kruskal's
+    unique MSF whenever its own convergence witness holds (no cross
+    edges remaining + tree_check), and every round-1 chosen edge is in
+    the true MSF unconditionally (cut property)."""
+    edges = sorted(
+        (min(a, b), max(a, b)) for a, b in raw_edges if a != b
+    )
+    if not edges:
+        return
+    E = [(u, v, w) for (u, v), w in zip(edges, weights)]
+    nodes = sorted({n for u, v, _ in E for n in (u, v)})
+
+    # Kruskal under the strict total order (-w, u, v)
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    kruskal = set()
+    for u, v, w in sorted(E, key=lambda e: (-e[2], e[0], e[1])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            kruskal.add((u, v, w))
+
+    # truncated Borůvka (mirrors the query arithmetic)
+    lbl = {n: n for n in nodes}
+    forest = set()
+    round1_chosen = None
+    converged = True
+    for rnd in range(1, 4):
+        cross = [(u, v, w) for u, v, w in E if lbl[u] != lbl[v]]
+        if rnd == 3 and cross:
+            converged = False
+        best = {}
+        for u, v, w in cross:
+            for comp in (lbl[u], lbl[v]):
+                key = (-w, u, v)
+                if comp not in best or key < best[comp]:
+                    best[comp] = key
+        chosen = {(u, v, -nw) for nw, u, v in best.values()}
+        if rnd == 1:
+            round1_chosen = set(chosen)
+        forest |= chosen
+        for _ in range(8):
+            new = dict(lbl)
+            for u, v, _ in forest:
+                m = min(lbl[u], lbl[v])
+                new[u] = min(new[u], m)
+                new[v] = min(new[v], m)
+            lbl = new
+    n_comp = len(set(lbl.values()))
+    tree_check = len(forest) == len(nodes) - n_comp
+    remaining = [(u, v) for u, v, _ in E if lbl[u] != lbl[v]]
+
+    assert round1_chosen <= kruskal  # cut property, unconditional
+    if converged and tree_check and not remaining:
+        assert forest == kruskal
