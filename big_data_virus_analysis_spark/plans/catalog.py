@@ -5163,13 +5163,15 @@ _PINNED_CORE: tuple[str, ...] = (
     "auc_rank_based",
 )
 
-#: round-9 rotation: ALL 16 round-9 exact entries (the
+#: round-9 rotation: the 16 first-wave round-9 exact entries (the
 #: iterative-to-fixpoint family — truss peel, min-label propagation,
 #: IPF raking, IRR bisection, damped-Newton isqrt — plus the
 #: distribution distances, stratified/multi-rater tests, planner
-#: audits, and Page–Hinkley), the r8-ADVICE-fixed conformal split,
-#: the VERDICT-nit-fixed k-truss support histogram, the reference
-#: feature job e2e, and the standing composed-pipeline canaries.
+#: audits, and Page–Hinkley), three second-wave round-9 flagships
+#: (matrix profile / Kneser–Ney / Shapley — the rest of the second
+#: wave is LOCALCHECK_r09-verified), the r8-ADVICE-fixed conformal
+#: split, the VERDICT-nit-fixed k-truss support histogram, the
+#: reference feature job e2e, and the composed-pipeline canaries.
 _ROTATING_WINDOW: tuple[str, ...] = (
     # round-9 iterative-to-fixpoint family
     "ktruss_peel_exact",
@@ -5197,10 +5199,11 @@ _ROTATING_WINDOW: tuple[str, ...] = (
     "ktruss_edge_support",
     # reference feature job end-to-end (measured BASELINE figure)
     "api_log_feature_job_e2e",
-    # round-8 flagships kept one more round (graph + SPC + char text)
-    "rich_club_coefficient",
-    "char_entropy_topdocs",
-    "p_chart_daily_errors",
+    # round-9 second-wave flagships (new families: matrix profile,
+    # Kneser-Ney smoothing, Shapley attribution)
+    "matrix_profile_daily",
+    "kneser_ney_bigram_ppl",
+    "shapley_channel_attribution",
     # standing composed-pipeline canaries (always re-verified)
     "dedup_pipeline_e2e",
     "corpus_curation_e2e",
