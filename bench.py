@@ -155,6 +155,15 @@ HEADLINE = [
     "wasserstein_1d_price_periods",
     "ipf_raking_fixpoint",
     "histogram_selectivity_audit",
+    # round-9 second wave (new families): the day-window matrix-profile
+    # pair join; the KN model-rollup + two-key scoring joins; the
+    # 4-sweep integer HITS chain; the coalition-histogram Shapley
+    # algebra; the 3-round Boruvka forest with bounded propagation
+    "matrix_profile_daily",
+    "kneser_ney_bigram_ppl",
+    "hits_bipartite_topk",
+    "shapley_channel_attribution",
+    "msf_boruvka_dup_graph",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is

@@ -95,7 +95,7 @@ def _q_markov_absorption_conversion(
         .localCheckpoint(eager=True)
     )
     q = trans.where(F.col("nxt") != ABSORB_STATE)
-    for _ in range(ABSORB_SWEEPS):
+    for sweep in range(1, ABSORB_SWEEPS + 1):
         stepped = (
             q.join(
                 pm.select(
@@ -124,8 +124,12 @@ def _q_markov_absorption_conversion(
                 (F.col("r") + F.coalesce(F.col("qp"), F.lit(0))).alias("p"),
                 F.coalesce(F.col("qm"), F.lit(0)).alias("m"),
             )
-            .localCheckpoint(eager=True)
         )
+        # checkpoint every 4th sweep (Spark-side cadence only — the
+        # trajectory is identical; lineage stays ≤4 sweeps deep while
+        # cutting the tiny-frame checkpoint jobs 4x)
+        if sweep % 4 == 0 or sweep == ABSORB_SWEEPS:
+            pm = pm.localCheckpoint(eager=True)
     return pm.select(
         F.col("cur").alias("state"),
         F.col("p").alias("p_absorb_micro"),

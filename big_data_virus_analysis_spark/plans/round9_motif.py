@@ -114,7 +114,12 @@ def _q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the window-stats frame feeds BOTH sides of the exclusion-zone
     # self-join — cache it so the fact scan runs once
     stats = tracked_cache(_window_stats(_daily_dollars(spark, sf_dir)))
-    a = stats.alias("a")
+    # the day frame arrives in ONE partition (global row_number) —
+    # spread the PROBE side so the ~2.9M-pair nested loop and its
+    # per-pair arithmetic run on every core instead of one task
+    a = stats.repartition(spark.sparkContext.defaultParallelism, "i").alias(
+        "a"
+    )
     b = stats.alias("b")
     dot = F.col("a.v0").cast("decimal(38,0)") * F.col("b.v0")
     for k in range(1, MP_W):
@@ -126,17 +131,31 @@ def _q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dsq = F.lit(2.0 * MP_W) * (F.lit(1.0) - corr)
     # non-overlap exclusion zone: BNLJ on the bounded day frame (the
-    # small side broadcasts; ≤ ~5.8M pairs at ANY corpus size)
+    # small side broadcasts; ≤ ~2.9M ordered pairs at ANY corpus
+    # size).  d(i,j) = d(j,i), so each pair is evaluated ONCE
+    # (j ≥ i + w) and both orientations are recovered by a union
+    # before the per-window min — half the nested-loop work.
     pairs = a.join(
         F.broadcast(b),
-        F.abs(F.col("a.i") - F.col("b.i")) >= F.lit(MP_W),
+        F.col("b.i") - F.col("a.i") >= F.lit(MP_W),
     ).select(
         F.col("a.i").alias("i"),
-        F.col("a.day").alias("day"),
-        dsq.alias("dsq"),
+        F.col("a.day").alias("iday"),
         F.col("b.i").alias("j"),
+        F.col("b.day").alias("jday"),
+        dsq.alias("dsq"),
     )
-    mp = pairs.groupBy("i", "day").agg(
+    sym = pairs.select(
+        "i", F.col("iday").alias("day"), "dsq", "j"
+    ).unionByName(
+        pairs.select(
+            F.col("j").alias("i"),
+            F.col("jday").alias("day"),
+            "dsq",
+            F.col("i").alias("j"),
+        )
+    )
+    mp = sym.groupBy("i", "day").agg(
         F.min(F.struct(F.col("dsq"), F.col("j"))).alias("m")
     )
     return mp.select(
@@ -188,16 +207,20 @@ _SQL_MATRIX_PROFILE_DAILY = (
 ), good AS MATERIALIZED (
   SELECT *, {MP_W} * q - s * s AS varn FROM stats
   WHERE {MP_W} * q - s * s > 0
-), pairs AS (
-  SELECT a.i AS i, a.day AS day, b.i AS j,
+), pairs AS MATERIALIZED (
+  SELECT a.i AS i, a.day AS iday, b.i AS j, b.day AS jday,
          {2.0 * MP_W} * (1.0 -
            CAST({MP_W} * ({_DOT}) - a.s * b.s AS DOUBLE)
            / (sqrt(CAST(a.varn AS DOUBLE)) * sqrt(CAST(b.varn AS DOUBLE)))
          ) AS dsq
-  FROM good a JOIN good b ON abs(a.i - b.i) >= {MP_W}
+  FROM good a JOIN good b ON b.i - a.i >= {MP_W}
+), sym AS (
+  SELECT i, iday AS day, dsq, j FROM pairs
+  UNION ALL
+  SELECT j AS i, jday AS day, dsq, i AS j FROM pairs
 ), mp AS (
   SELECT i, day, min(struct_pack(dsq := dsq, j := j)) AS m
-  FROM pairs GROUP BY i, day
+  FROM sym GROUP BY i, day
 )
 SELECT i AS win_idx, strftime(day, '%Y-%m-%d') AS win_day,
        (m).j AS nn_idx,

@@ -117,8 +117,12 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
             .groupBy("u", "v", "shared")
             .agg(F.min("round_added").alias("round_added"))
         ).localCheckpoint(eager=True)
-        # contraction: min-label propagation over FOREST edges
-        for _ in range(MSF_PROP):
+        # contraction: min-label propagation over FOREST edges.
+        # Checkpoint every OTHER sweep — a Spark-side materialization
+        # cadence (the label trajectory is identical either way, so
+        # the DuckDB twin is unaffected); lineage stays ≤2 sweeps deep
+        # while halving the tiny-frame checkpoint jobs.
+        for p in range(1, MSF_PROP + 1):
             fu = forest.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
             fv = forest.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
             nbrs = fu.unionByName(fv).join(
@@ -128,16 +132,14 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
                 "nbr",
             )
             best = nbrs.groupBy("node").agg(F.min("nlbl").alias("blbl"))
-            labels = (
-                labels.join(best, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("lbl"), F.coalesce(F.col("blbl"), F.col("lbl"))
-                    ).alias("lbl"),
-                )
-                .localCheckpoint(eager=True)
+            labels = labels.join(best, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("blbl"), F.col("lbl"))
+                ).alias("lbl"),
             )
+            if p % 2 == 0 or p == MSF_PROP:
+                labels = labels.localCheckpoint(eager=True)
         label_hist.append(labels)
         forest_hist.append(forest)
     return edges, label_hist, forest_hist
