@@ -5105,6 +5105,10 @@ from .round9_msf import SPECS as _ROUND9_MSF_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_MSF_SPECS)
 
+from .round9_ransac import SPECS as _ROUND9_RANSAC_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_RANSAC_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -20,9 +20,9 @@ linear solve).
 
 100-TB shape: one events scan → user-partitioned lead window →
 25-cell transition hash aggregate; every sweep thereafter is a join
-over the ≤5-row state frame (constant work, localCheckpoint'd per
-sweep so the 32-sweep chain replays nothing — the round9_iter
-discipline).
+over the ≤5-row state frame (constant work, localCheckpoint'd every
+4th sweep so the 32-sweep chain replays nothing while lineage stays
+bounded — the round9_iter discipline).
 
 Identity property (tests/test_properties.py): on random absorbing
 chains the bracket holds against the EXACT fundamental-matrix

@@ -27,7 +27,9 @@ propagation, HITS all exist) the catalog did not yet cover.
 gram cutoff bounds the pair join); each round is two label joins +
 one per-component min aggregate + bounded-diameter propagation over
 FOREST edges only (≤ nodes−1 rows); label/forest frames are node-
-sized and localCheckpoint'd per round (the round9_iter discipline).
+sized and localCheckpoint'd on a bounded cadence — every other
+propagation sweep and every Borůvka round (the round9_iter
+discipline with half the tiny-frame jobs).
 Rounds needed grow with log(max cluster size), and dup clusters are
 capped by the same hot-gram discipline that bounds the pair join.
 

@@ -434,6 +434,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # frame (domain bounded by the value RANGE, never data rows —
     # the quantile_merge_audit precedent)
     "ddsketch_price_quantiles",
+    # round 9: day-index row_number + best-flag rank over the
+    # constant 16-row hypothesis frame
+    "ransac_line_daily_det",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep (each

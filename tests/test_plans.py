@@ -921,3 +921,12 @@ def test_msf_boruvka_checkpointed_chain(plan_of):
     plan = plan_of("msf_boruvka_audit")
     assert plan.count("documents.parquet") <= 1
     assert "Scan ExistingRDD" in plan
+
+
+def test_ransac_constant_hypothesis_join(plan_of):
+    """round9_ransac: hypothesis scoring is a broadcast of the ≤16-row
+    line table onto the cached bounded day frame — one orders scan,
+    constant-size join."""
+    plan = plan_of("ransac_line_daily_det")
+    assert plan.count("orders.parquet") == 1
+    assert "InMemoryTableScan" in plan

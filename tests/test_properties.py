@@ -2485,3 +2485,45 @@ def test_boruvka_truncated_equals_kruskal_when_converged(raw_edges, weights):
     assert round1_chosen <= kruskal  # cut property, unconditional
     if converged and tree_check and not remaining:
         assert forest == kruskal
+
+
+@given(
+    ys=st.lists(
+        st.integers(min_value=0, max_value=10**7), min_size=8, max_size=60
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ransac_integer_predicate_and_selection(ys):
+    """round9_ransac: the cross-multiplied integer inlier predicate
+    equals |y − (a + b·x)| ≤ tol in exact Fractions, and the
+    (inliers desc, cand asc) winner matches a brute-force RANSAC
+    replay with the same hash draws."""
+    from fractions import Fraction
+
+    n = len(ys)
+    pts = list(enumerate(ys, start=1))
+    tol = (sum(ys) // n) // 10
+    MULT = 2654435761
+    results = []
+    for cand in range(1, 17):
+        i1 = (cand * MULT) % n + 1
+        i2 = ((2 * cand + 1) * MULT) % n + 1
+        if i1 == i2:
+            continue
+        x1, x2 = min(i1, i2), max(i1, i2)
+        y1, y2 = ys[x1 - 1], ys[x2 - 1]
+        n_in = 0
+        for x, y in pts:
+            lhs = abs((y - y1) * (x2 - x1) - (x - x1) * (y2 - y1))
+            ok_int = lhs <= tol * (x2 - x1)
+            # textbook form in exact rationals
+            b = Fraction(y2 - y1, x2 - x1)
+            resid = abs(Fraction(y) - (Fraction(y1) + b * (x - x1)))
+            ok_frac = resid <= Fraction(tol)
+            assert ok_int == ok_frac
+            n_in += ok_int
+        results.append((cand, n_in))
+    if results:
+        best_brute = min(results, key=lambda r: (-r[1], r[0]))[0]
+        ranked = sorted(results, key=lambda r: (-r[1], r[0]))[0][0]
+        assert best_brute == ranked
