@@ -373,6 +373,10 @@ BNLJ_ALLOWED = {
     # coalition masks, 4 channels x 16 subsets) — corpus-independent
     "shapley_channel_attribution",
     "shapley_efficiency_check",
+    # round 9: 1-row (n, tol) scalar broadcast onto the 16-candidate
+    # frame + the <=16-row hypothesis table crossed onto the bounded
+    # day frame (constant-size hypothesize-and-verify fan-out)
+    "ransac_line_daily_det",
     # round 9: 1-row global (S, Q, n) moments broadcast onto the
     # bounded day frame for the SAX z-score
     "sax_motif_words",
