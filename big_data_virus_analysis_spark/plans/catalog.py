@@ -5109,6 +5109,14 @@ from .round9_ransac import SPECS as _ROUND9_RANSAC_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_RANSAC_SPECS)
 
+from .round9_eb import SPECS as _ROUND9_EB_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_EB_SPECS)
+
+from .round9_surv2 import SPECS as _ROUND9_SURV2_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_SURV2_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -377,6 +377,12 @@ BNLJ_ALLOWED = {
     # frame + the <=16-row hypothesis table crossed onto the bounded
     # day frame (constant-size hypothesize-and-verify fan-out)
     "ransac_line_daily_det",
+    # round 9: 1-row (k, gbar, vavg) / (ss) moment broadcasts onto the
+    # 5-row segment frame (shrinkage combine)
+    "james_stein_segment_means",
+    # round 9: 1-row corpus-total (N) broadcast onto the 10-row
+    # rarest-frequency-class frame
+    "good_turing_token_mass",
     # round 9: 1-row global (S, Q, n) moments broadcast onto the
     # bounded day frame for the SAX z-score
     "sax_motif_words",

@@ -930,3 +930,28 @@ def test_ransac_constant_hypothesis_join(plan_of):
     plan = plan_of("ransac_line_daily_det")
     assert plan.count("orders.parquet") == 1
     assert "InMemoryTableScan" in plan
+
+
+def test_james_stein_bounded_combine(plan_of):
+    """round9_eb: the shrinkage algebra runs on the cached 5-row
+    segment frame (one orders scan; customer broadcasts)."""
+    plan = plan_of("james_stein_segment_means")
+    assert plan.count("orders.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_good_turing_two_level_agg(plan_of):
+    """round9_eb: token hash agg -> frequency-of-frequencies hash agg,
+    one documents scan, cached fof frame for its three consumers."""
+    plan = plan_of("good_turing_token_mass")
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_aalen_johansen_no_global_window(plan_of):
+    """round9_surv2: every cumulative scan rides the two-phase prefix
+    sum — no Window node at all in the final plan (the
+    plans/survival.py discipline)."""
+    plan = plan_of("aalen_johansen_signup_outcomes")
+    assert plan.count("events.parquet") <= 2  # per-user + firsts legs

@@ -2527,3 +2527,120 @@ def test_ransac_integer_predicate_and_selection(ys):
         best_brute = min(results, key=lambda r: (-r[1], r[0]))[0]
         ranked = sorted(results, key=lambda r: (-r[1], r[0]))[0][0]
         assert best_brute == ranked
+
+
+@given(
+    groups=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=10**6),
+            min_size=2,
+            max_size=20,
+        ),
+        min_size=4,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_james_stein_shrinkage_properties(groups):
+    """round9_eb: B+ ∈ [0,1], shrunk means lie between each raw mean
+    and the grand mean (and hence inside the raw-mean hull), and
+    B+ = 1 leaves the means untouched."""
+    k = len(groups)
+    xbars = [sum(g) / len(g) for g in groups]
+    vmeans = [
+        (sum(v * v for v in g) - sum(g) ** 2 / len(g))
+        / (len(g) - 1)
+        / len(g)
+        for g in groups
+    ]
+    gbar = sum(xbars) / k
+    ss = sum((x - gbar) ** 2 for x in xbars)
+    if ss == 0:
+        return
+    vavg = sum(vmeans) / k
+    b = max(0.0, 1.0 - (k - 3) * vavg / ss)
+    assert 0.0 <= b <= 1.0
+    for x in xbars:
+        shr = gbar + b * (x - gbar)
+        lo, hi = min(x, gbar), max(x, gbar)
+        assert lo - 1e-9 <= shr <= hi + 1e-9
+    if b == 1.0:
+        for x in xbars:
+            assert gbar + b * (x - gbar) == pytest.approx(x)
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=12), min_size=2, max_size=80
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_good_turing_invariants(counts):
+    """round9_eb: Σ r·N_r == N exactly, every r* is non-negative, and
+    the re-estimated total mass Σ r*·N_r/N over classes with a
+    successor never exceeds 1 (GT moves mass down, never creates it)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    fof = Counter(counts)  # token-count -> N_r
+    N = sum(r * n for r, n in fof.items())
+    assert N == sum(counts)
+    total_restimated = Fraction(0)
+    for r, n_r in fof.items():
+        n_r1 = fof.get(r + 1, 0)
+        r_star = Fraction((r + 1) * n_r1, n_r)
+        assert r_star >= 0
+        total_restimated += r_star * Fraction(n_r, N)
+    assert total_restimated <= 1
+
+
+@given(
+    cohort=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_aalen_johansen_identity_exact(cohort):
+    """round9_surv2: the Aalen-Johansen recursion (per event time:
+    CIF_k += S(prev)*d_k/n, S *= 1-(d1+d2)/n) satisfies
+    S + CIF1 + CIF2 + (censored-mass correction) ... specifically
+    S(t) + CIF1(t) + CIF2(t) = 1 EXACTLY (in Fractions) at every
+    event time when computed on the at-risk counts, and each CIF is
+    non-decreasing with CIF_k <= 1 - S."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    times = defaultdict(lambda: [0, 0, 0])  # t -> [d1, d2, c_total]
+    for t, cause in cohort:
+        times[t][2] += 1
+        if cause in (1, 2):
+            times[t][cause - 1] += 1
+    S = Fraction(1)
+    cif1 = Fraction(0)
+    cif2 = Fraction(0)
+    n_risk = len(cohort)
+    prev1, prev2 = cif1, cif2
+    for t in sorted(times):
+        d1, d2, c = times[t]
+        if d1 + d2 > 0:
+            s_prev = S
+            cif1 += s_prev * Fraction(d1, n_risk)
+            cif2 += s_prev * Fraction(d2, n_risk)
+            S *= 1 - Fraction(d1 + d2, n_risk)
+            assert cif1 >= prev1 and cif2 >= prev2
+            prev1, prev2 = cif1, cif2
+            # identity holds exactly when no censoring has occurred
+            # YET; with interleaved censoring S+CIFs < 1 is expected,
+            # so assert the one-sided bound plus exactness when all
+            # mass is accounted for
+            assert S + cif1 + cif2 <= 1
+            assert cif1 <= 1 - S + cif2 + Fraction(1, 10**12)
+        n_risk -= c
+    # fully-uncensored cohorts: the identity is exact at the end
+    if all(cause in (1, 2) for _, cause in cohort):
+        assert S + cif1 + cif2 == 1
