@@ -5117,6 +5117,10 @@ from .round9_surv2 import SPECS as _ROUND9_SURV2_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_SURV2_SPECS)
 
+from .round9_regret import SPECS as _ROUND9_REGRET_SPECS  # noqa: E402
+
+_register_pack(_ROUND9_REGRET_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -444,6 +444,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # frame (domain bounded by the value RANGE, never data rows —
     # the quantile_merge_audit precedent)
     "ddsketch_price_quantiles",
+    # round 9: calendar-bounded per-DAY frame — trailing-mean expert
+    # windows + cumulative loss ledgers for the FTL game
+    "ftl_expert_regret_audit",
     # round 9: day-index row_number + best-flag rank over the
     # constant 16-row hypothesis frame
     "ransac_line_daily_det",

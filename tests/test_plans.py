@@ -955,3 +955,11 @@ def test_aalen_johansen_no_global_window(plan_of):
     plans/survival.py discipline)."""
     plan = plan_of("aalen_johansen_signup_outcomes")
     assert plan.count("events.parquet") <= 2  # per-user + firsts legs
+
+
+def test_ftl_regret_single_scan_day_frame(plan_of):
+    """round9_regret: one orders scan collapsing to the day frame;
+    the whole game is window arithmetic over that bounded frame and
+    one final 1-row aggregate."""
+    plan = plan_of("ftl_expert_regret_audit")
+    assert plan.count("orders.parquet") == 1

@@ -2644,3 +2644,65 @@ def test_aalen_johansen_identity_exact(cohort):
     # fully-uncensored cohorts: the identity is exact at the end
     if all(cause in (1, 2) for _, cause in cohort):
         assert S + cif1 + cif2 == 1
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=30, max_size=80
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ftl_regret_replay_and_bound(vals):
+    """round9_regret: the column recursion (cumulative ledgers + the
+    strictly-before-today leader choice, ties toward the shorter
+    expert) equals a pure-Python game replay, and regret ≤
+    max-single-round loss · (#leader switches + 1)."""
+    n = len(vals)
+    rows = []
+    for i in range(n):
+        if i < 28:
+            continue
+        p1 = vals[i - 1]
+        p2 = sum(vals[i - 7 : i]) // 7
+        p3 = sum(vals[i - 28 : i]) // 28
+        rows.append(
+            (abs(vals[i] - p1), abs(vals[i] - p2), abs(vals[i] - p3))
+        )
+    if not rows:
+        return
+    c = [0, 0, 0]
+    ftl = 0
+    switches = 0
+    prev_leader = None
+    max_loss = 0
+    for l1, l2, l3 in rows:
+        if c[0] <= c[1] and c[0] <= c[2]:
+            k = 0
+        elif c[1] <= c[2]:
+            k = 1
+        else:
+            k = 2
+        if prev_leader is not None and k != prev_leader:
+            switches += 1
+        prev_leader = k
+        ftl += (l1, l2, l3)[k]
+        max_loss = max(max_loss, l1, l2, l3)
+        c[0] += l1
+        c[1] += l2
+        c[2] += l3
+    totals = c
+    regret = ftl - min(totals)
+    # column-recursion equivalence: recompute via prefix ledgers
+    c2 = [0, 0, 0]
+    ftl2 = 0
+    for l1, l2, l3 in rows:
+        ll = (l1, l2, l3)
+        if c2[0] <= c2[1] and c2[0] <= c2[2]:
+            ftl2 += ll[0]
+        elif c2[1] <= c2[2]:
+            ftl2 += ll[1]
+        else:
+            ftl2 += ll[2]
+        c2 = [a + b for a, b in zip(c2, ll)]
+    assert ftl == ftl2 and c2 == totals
+    assert regret <= max_loss * (switches + 1)
