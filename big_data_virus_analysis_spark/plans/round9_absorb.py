@@ -80,7 +80,10 @@ def _q_markov_absorption_conversion(
     states = trans.select("cur").distinct()
     r = trans.where(F.col("nxt") == ABSORB_STATE).select(
         "cur",
-        F.expr(f"CAST((cnt * {ABSORB_SCALE}) div tot AS BIGINT)").alias(
+        F.expr(
+            f"CAST((CAST(cnt AS DECIMAL(38,0)) * {ABSORB_SCALE})"
+            " div tot AS BIGINT)"
+        ).alias(
             "r"
         ),
     )
@@ -108,10 +111,16 @@ def _q_markov_absorption_conversion(
             .groupBy("cur")
             .agg(
                 F.sum(
-                    F.expr("CAST((cnt * p_nxt) div tot AS BIGINT)")
+                    F.expr(
+                        "CAST((CAST(cnt AS DECIMAL(38,0)) * p_nxt)"
+                        " div tot AS BIGINT)"
+                    )
                 ).alias("qp"),
                 F.sum(
-                    F.expr("CAST((cnt * m_nxt) div tot AS BIGINT)")
+                    F.expr(
+                        "CAST((CAST(cnt AS DECIMAL(38,0)) * m_nxt)"
+                        " div tot AS BIGINT)"
+                    )
                 ).alias("qm"),
             )
         )
@@ -155,7 +164,7 @@ WITH pairs AS (
   GROUP BY cur, nxt
 ), pm0 AS MATERIALIZED (
   SELECT s.cur,
-         COALESCE((SELECT CAST((cnt * {ABSORB_SCALE}) // tot AS BIGINT)
+         COALESCE((SELECT CAST((CAST(cnt AS HUGEINT) * {ABSORB_SCALE}) // tot AS BIGINT)
                    FROM trans t WHERE t.cur = s.cur
                      AND t.nxt = '{ABSORB_STATE}'), 0) AS r,
          CAST(0 AS BIGINT) AS p,
@@ -175,8 +184,8 @@ WITH pairs AS (
   FROM (SELECT cur, r FROM {prev}) base
   LEFT JOIN (
     SELECT q.cur,
-           sum(CAST((q.cnt * pv.p) // q.tot AS BIGINT)) AS qp,
-           sum(CAST((q.cnt * pv.m) // q.tot AS BIGINT)) AS qm
+           sum(CAST((CAST(q.cnt AS HUGEINT) * pv.p) // q.tot AS BIGINT)) AS qp,
+           sum(CAST((CAST(q.cnt AS HUGEINT) * pv.m) // q.tot AS BIGINT)) AS qm
     FROM q JOIN {prev} pv ON q.nxt = pv.cur
     GROUP BY q.cur
   ) st ON base.cur = st.cur

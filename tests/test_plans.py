@@ -951,10 +951,16 @@ def test_good_turing_two_level_agg(plan_of):
 
 def test_aalen_johansen_no_global_window(plan_of):
     """round9_surv2: every cumulative scan rides the two-phase prefix
-    sum — no Window node at all in the final plan (the
+    sum — partition-bounded Window nodes only (the range-bucket local
+    scans), never an unpartitioned global window (the
     plans/survival.py discipline)."""
     plan = plan_of("aalen_johansen_signup_outcomes")
     assert plan.count("events.parquet") <= 2  # per-user + firsts legs
+    from big_data_virus_analysis_spark.plans.plan_lint import (
+        global_window_findings,
+    )
+
+    assert global_window_findings(plan) == []
 
 
 def test_ftl_regret_single_scan_day_frame(plan_of):
