@@ -7,19 +7,29 @@ directive #3 — previously ``plans/round6_ops.py`` (PageRank),
 duplicated the gram-index edge derivation and its constants):
 
 1. token 8-grams per document via ``split`` + ``slice`` (JVM-side,
-   no Python UDF), deduped per document;
+   no Python UDF), deduped per document NARROWLY — ``array_distinct``
+   over the per-doc gram array before exploding, so dedup costs no
+   shuffle (a ``SELECT DISTINCT`` after explode would);
 2. hot-gram cutoff: a gram appearing in more than ``DF_CAP`` documents
    is boilerplate and contributes quadratically many candidate pairs —
-   drop it before pairing (the dedup family's hot-shingle discipline);
-3. inverted-index self-join on the surviving grams, ``u < v``
-   orientation, pair count >= ``MIN_SHARED`` keeps an edge.
+   drop it BEFORE any per-gram doc list is collected (the dedup
+   family's hot-shingle discipline; the count filter runs first so a
+   boilerplate gram in millions of documents never materializes a
+   million-element aggregation buffer);
+3. surviving grams collect their ≤ ``DF_CAP`` doc ids per gram and the
+   candidate pairs are generated as a BOUNDED array comprehension
+   (``u < v``, ≤ C(DF_CAP, 2) = 2016 structs per gram) — a narrow
+   projection replacing the inverted-index self-join; pair count
+   >= ``MIN_SHARED`` keeps an edge.
 
-100 TB shape: the gram index shuffles once on ``gram`` (the cutoff is
-a partial agg over the same key), the pair join is per-gram quadratic
-bounded by ``DF_CAP``, and the edge aggregation shuffles on the pair
-key.  The gram frame is tracked-cached because both sides of the
-self-join scan it; consumers tracked-cache the edge output when they
-run multiple passes over it (degree + iterations).
+100 TB shape: three shuffles total — the gram-count partial agg, the
+survivor join (whose output keeps the gram hash partitioning, so the
+``collect_list`` aggregate that follows needs NO further exchange),
+and the final pair aggregation.  The quadratic step is in-memory per
+gram and capped by ``DF_CAP``; the gram frame is tracked-cached for
+its two consumers (count agg + survivor join); consumers
+tracked-cache the edge output when they run multiple passes over it
+(degree + iterations).
 
 The DuckDB twin of the same construction is exported as CTE text so
 every consumer's oracle embeds literally identical SQL.
@@ -55,19 +65,17 @@ def dup_graph_edges(
     edge weight when ``keep_shared`` — the round-9 MSF consumer)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("_toks"))
-    positions = F.when(
-        F.size("_toks") >= gram_l,
-        F.sequence(F.lit(1), F.size("_toks") - gram_l + 1),
-    ).otherwise(F.array().cast("array<int>"))
+    # per-doc gram set built narrowly: transform over start positions,
+    # then array_distinct — the within-doc dedup a post-explode
+    # SELECT DISTINCT would otherwise pay a full shuffle for
+    gram_arr = F.expr(
+        f"CASE WHEN size(_toks) >= {gram_l} THEN "
+        f"array_distinct(transform(sequence(1, size(_toks) - {gram_l} + 1), "
+        f"i -> concat_ws(' ', slice(_toks, i, {gram_l})))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
     grams = tracked_cache(
-        toks.select("doc_id", F.explode(positions).alias("pos"), "_toks")
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("_toks", F.col("pos"), gram_l)).alias(
-                "gram"
-            ),
-        )
-        .distinct()
+        toks.select("doc_id", F.explode(gram_arr).alias("gram"))
     )
     cool = (
         grams.groupBy("gram")
@@ -75,12 +83,26 @@ def dup_graph_edges(
         .where(F.col("gdf") <= df_cap)
         .select("gram")
     )
-    capped = grams.join(cool, "gram")
+    # survivor join first (hot grams never reach the list aggregate),
+    # then collect the ≤ df_cap doc ids per gram — the join output is
+    # already hash-partitioned on gram, so this agg adds no exchange —
+    # and generate u < v pairs as a bounded array comprehension
+    pairs = (
+        grams.join(cool, "gram")
+        .groupBy("gram")
+        .agg(F.collect_list("doc_id").alias("_ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ds, x -> "
+                    "transform(filter(_ds, y -> y > x), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("_p")
+        )
+    )
     return (
-        capped.alias("a")
-        .join(capped.alias("b"), "gram")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        pairs.groupBy(F.col("_p.u").alias("u"), F.col("_p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
         .select("u", "v", *(["shared"] if keep_shared else []))

@@ -19,10 +19,17 @@ linear solve).
   truncation error is DATA, not an assumption.
 
 100-TB shape: one events scan → user-partitioned lead window →
-25-cell transition hash aggregate; every sweep thereafter is a join
-over the ≤5-row state frame (constant work, localCheckpoint'd every
-4th sweep so the 32-sweep chain replays nothing while lineage stays
-bounded — the round9_iter discipline).
+25-cell transition hash aggregate → ONE-ROW frame holding the state
+list, r vector, and Q entries as array columns.  The entire 32-sweep
+Neumann series is then a single ``aggregate(sequence(1, 32), ...)``
+fold expression over that row — the sweep body is written once and
+the runtime loops it, so there are NO per-sweep joins, shuffles,
+checkpoints, or jobs at all (the r9 join-per-sweep form spent ~8 s of
+pure stage-scheduling floor on ≤5-row frames; this form is one narrow
+projection).  The bounded-state premise (event-type vocabulary is a
+small closed categorical set) is exactly what licenses the array
+layout — the same constant-size argument as the Shapley coalition
+histogram.
 
 Identity property (tests/test_properties.py): on random absorbing
 chains the bracket holds against the EXACT fundamental-matrix
@@ -39,7 +46,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.caching import tracked_cache
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 
@@ -67,85 +73,99 @@ def _transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    tot = pairs.groupBy("cur").agg(F.sum("cnt").alias("tot"))
-    return tracked_cache(pairs.join(tot, "cur"))
+    # row totals via a cur-partitioned window over the 25-cell frame —
+    # the oracle's sum(count(*)) OVER (PARTITION BY cur) spelling; one
+    # events scan, no self-join
+    return pairs.withColumn(
+        "tot", F.sum("cnt").over(Window.partitionBy("cur"))
+    )
+
+
+#: one Neumann sweep as a fold body: p <- r + Q.p and m <- Q.m in exact
+#: integer micro-units, each cell (cnt * x) div tot widened to
+#: DECIMAL(38,0) (the round9_hits overflow discipline).  ``acc`` is the
+#: named_struct('p', array<bigint>, 'm', array<bigint>) carried by the
+#: outer aggregate() — nested lambdas close over it.
+_SWEEP_BODY = """named_struct(
+  'p', transform(sequence(1, size(st)), i ->
+         element_at(r, i) + aggregate(
+           filter(q, e -> e.i = i AND e.j > 0),
+           CAST(0 AS BIGINT),
+           (a, e) -> a + CAST((CAST(e.cnt AS DECIMAL(38,0))
+                               * element_at(acc.p, e.j)) div e.tot
+                              AS BIGINT))),
+  'm', transform(sequence(1, size(st)), i ->
+         aggregate(
+           filter(q, e -> e.i = i AND e.j > 0),
+           CAST(0 AS BIGINT),
+           (a, e) -> a + CAST((CAST(e.cnt AS DECIMAL(38,0))
+                               * element_at(acc.m, e.j)) div e.tot
+                              AS BIGINT))))"""
 
 
 def _q_markov_absorption_conversion(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     trans = _transitions(spark, sf_dir)
-    # r_micro per state (0 when a state never directly precedes a
-    # purchase) and the state list
-    states = trans.select("cur").distinct()
-    r = trans.where(F.col("nxt") == ABSORB_STATE).select(
-        "cur",
+    # collapse the bounded transition table to ONE row of array
+    # columns: st (sorted states), r (absorption row, micro-units),
+    # q (transient Q entries with 1-based state positions; j = 0 marks
+    # a dead-end successor, which contributes nothing — the same rows
+    # the r9 inner join dropped)
+    one = trans.agg(
+        F.expr("sort_array(collect_set(cur))").alias("st"),
+        F.expr("collect_list(struct(cur, nxt, cnt, tot))").alias("raw"),
+    )
+    prep = one.select(
+        "st",
         F.expr(
-            f"CAST((CAST(cnt AS DECIMAL(38,0)) * {ABSORB_SCALE})"
-            " div tot AS BIGINT)"
-        ).alias(
-            "r"
-        ),
+            f"""transform(st, s -> coalesce(
+              aggregate(
+                filter(raw, e -> e.cur = s AND e.nxt = '{ABSORB_STATE}'),
+                CAST(0 AS BIGINT),
+                (a, e) -> a + CAST((CAST(e.cnt AS DECIMAL(38,0))
+                                    * {ABSORB_SCALE}) div e.tot
+                                   AS BIGINT)),
+              CAST(0 AS BIGINT)))"""
+        ).alias("r"),
+        F.expr(
+            f"""transform(filter(raw, e -> e.nxt <> '{ABSORB_STATE}'),
+              e -> named_struct(
+                'i', CAST(array_position(st, e.cur) AS INT),
+                'j', CAST(array_position(st, e.nxt) AS INT),
+                'cnt', e.cnt, 'tot', e.tot))"""
+        ).alias("q"),
     )
-    pm = (
-        states.join(r, "cur", "left")
-        .select(
-            "cur",
-            F.coalesce(F.col("r"), F.lit(0)).alias("r"),
-            F.lit(0).cast("bigint").alias("p"),
-            F.lit(ABSORB_SCALE).cast("bigint").alias("m"),
-        )
-        .localCheckpoint(eager=True)
+    # the ENTIRE truncated Neumann series as one fold: the sweep body
+    # is written once and looped by the runtime, so the plan is a
+    # single narrow projection — no per-sweep joins or checkpoints
+    swept = prep.select(
+        "st",
+        F.expr(
+            f"""aggregate(
+              sequence(1, {ABSORB_SWEEPS}),
+              named_struct(
+                'p', transform(st, s -> CAST(0 AS BIGINT)),
+                'm', transform(st, s -> CAST({ABSORB_SCALE} AS BIGINT))),
+              (acc, k) -> {_SWEEP_BODY})"""
+        ).alias("pm"),
     )
-    q = trans.where(F.col("nxt") != ABSORB_STATE)
-    for sweep in range(1, ABSORB_SWEEPS + 1):
-        stepped = (
-            q.join(
-                pm.select(
-                    F.col("cur").alias("nxt"),
-                    F.col("p").alias("p_nxt"),
-                    F.col("m").alias("m_nxt"),
-                ),
-                "nxt",
-            )
-            .groupBy("cur")
-            .agg(
-                F.sum(
-                    F.expr(
-                        "CAST((CAST(cnt AS DECIMAL(38,0)) * p_nxt)"
-                        " div tot AS BIGINT)"
-                    )
-                ).alias("qp"),
-                F.sum(
-                    F.expr(
-                        "CAST((CAST(cnt AS DECIMAL(38,0)) * m_nxt)"
-                        " div tot AS BIGINT)"
-                    )
-                ).alias("qm"),
-            )
+    rows = swept.select(
+        F.expr(
+            """inline(transform(sequence(1, size(st)), i ->
+                 named_struct(
+                   'state', element_at(st, i),
+                   'p_absorb_micro', element_at(pm.p, i),
+                   'unabsorbed_micro', element_at(pm.m, i))))"""
         )
-        pm = (
-            pm.select("cur", "r")
-            .join(stepped, "cur", "left")
-            .select(
-                "cur",
-                "r",
-                (F.col("r") + F.coalesce(F.col("qp"), F.lit(0))).alias("p"),
-                F.coalesce(F.col("qm"), F.lit(0)).alias("m"),
-            )
-        )
-        # checkpoint every 4th sweep (Spark-side cadence only — the
-        # trajectory is identical; lineage stays ≤4 sweeps deep while
-        # cutting the tiny-frame checkpoint jobs 4x)
-        if sweep % 4 == 0 or sweep == ABSORB_SWEEPS:
-            pm = pm.localCheckpoint(eager=True)
-    return pm.select(
-        F.col("cur").alias("state"),
-        F.col("p").alias("p_absorb_micro"),
-        F.col("m").alias("unabsorbed_micro"),
-        F.round(F.col("p").cast("double") / ABSORB_SCALE, 4).alias(
-            "p_convert"
-        ),
+    )
+    return rows.select(
+        "state",
+        "p_absorb_micro",
+        "unabsorbed_micro",
+        F.round(
+            F.col("p_absorb_micro").cast("double") / ABSORB_SCALE, 4
+        ).alias("p_convert"),
     ).orderBy("state")
 
 

@@ -17,8 +17,11 @@ propagation, HITS all exist) the catalog did not yet cover.
   audit emits whether it CONVERGED rather than assuming it.
 * ``msf_boruvka_audit`` — per-round honesty ledger: cross edges
   before choosing, new forest edges, components after contraction,
-  cumulative forest size, and ``tree_check`` = (forest edges ==
-  nodes − components) — the acyclicity/spanning witness.  Borůvka
+  cumulative forest size, ``tree_check`` = (forest edges ==
+  nodes − components) — the acyclicity/spanning witness — and
+  ``n_label_moves_last_sweep`` = how many node labels still changed
+  in the round's FINAL propagation sweep (0 certifies the
+  contraction hit its fixpoint inside the sweep budget).  Borůvka
   halves components per round, so round 3's ``n_cross_before`` at 0
   (or ``tree_check`` true) certifies the forest is THE maximum
   spanning forest; a non-converged run is visible as data.
@@ -27,9 +30,10 @@ propagation, HITS all exist) the catalog did not yet cover.
 gram cutoff bounds the pair join); each round is two label joins +
 one per-component min aggregate + bounded-diameter propagation over
 FOREST edges only (≤ nodes−1 rows); label/forest frames are node-
-sized and localCheckpoint'd on a bounded cadence — every other
-propagation sweep and every Borůvka round (the round9_iter
-discipline with half the tiny-frame jobs).
+sized and localCheckpoint'd once per Borůvka round (lineage stays
+≤ MSF_PROP tiny joins deep while the fixed checkpoint-job floor —
+the dominant cost at small SF, measured 8.1 s of the query's 9.3 s
+in the r9 bench — drops from ~16 jobs to ~7).
 Rounds needed grow with log(max cluster size), and dup clusters are
 capped by the same hot-gram discipline that bounds the pair join.
 
@@ -55,13 +59,21 @@ from .catalog import QuerySpec
 #: Borůvka rounds (components at least halve per converged round)
 MSF_ROUNDS = 3
 #: min-label propagation rounds per contraction (bounds the forest
-#: diameter handled per round; dup clusters are hot-gram-capped small)
-MSF_PROP = 8
+#: diameter handled per round; dup clusters are hot-gram-capped small).
+#: Measured plateau on the real dup graphs: 2 sweeps at sf0.1, 1 at
+#: sf0.01, 0 after round 1 (components are tiny stars) — 3 is the
+#: minimum that PROVES the fixpoint (the final sweep must move zero
+#: labels for the audit's n_label_moves_last_sweep witness to read 0),
+#: and a too-shallow budget on a deeper graph is DATA, not an
+#: assumption: the witness goes nonzero and tree_check goes false.
+MSF_PROP = 3
 
 
 def _msf_chain(spark: SparkSession, sf_dir: str):
-    """Returns (edges, labels_per_round, forest_per_round,
-    cross_counts) — forest rows are (u, v, shared, round_added)."""
+    """Returns (edges, labels_per_round, penultimate_labels_per_round,
+    forest_per_round) — forest rows are (u, v, shared, round_added).
+    The penultimate frame (labels BEFORE the round's final sweep) lets
+    the audit count final-sweep label moves — the fixpoint witness."""
     edges = tracked_cache(
         dup_graph_edges(spark, sf_dir, keep_shared=True)
     )
@@ -74,6 +86,7 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
     )
     forest = None
     label_hist: list[DataFrame] = []
+    label_prev_hist: list[DataFrame] = []
     forest_hist: list[DataFrame] = []
     for rnd in range(1, MSF_ROUNDS + 1):
         lab_u = labels.select(
@@ -120,42 +133,51 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
             .agg(F.min("round_added").alias("round_added"))
         ).localCheckpoint(eager=True)
         # contraction: min-label propagation over FOREST edges.
-        # Checkpoint every OTHER sweep — a Spark-side materialization
-        # cadence (the label trajectory is identical either way, so
-        # the DuckDB twin is unaffected); lineage stays ≤2 sweeps deep
-        # while halving the tiny-frame checkpoint jobs.
+        # Checkpoint once per Borůvka round — a Spark-side
+        # materialization cadence (the label trajectory is identical
+        # either way, so the DuckDB twin is unaffected); lineage stays
+        # ≤ MSF_PROP tiny joins deep while the corpus-independent
+        # checkpoint-job floor drops to one labels job per round.
+        prev = labels
         for p in range(1, MSF_PROP + 1):
+            # fused sweep: new label = min(own, forest-neighbor labels)
+            # as ONE union + join + min-aggregate — two shuffles per
+            # sweep instead of the three of the join/agg/left-join form
+            # (identical label trajectory, so the DuckDB twin — which
+            # keeps the textbook least(own, min-nbr) spelling — is
+            # value-for-value unaffected)
             fu = forest.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
             fv = forest.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-            nbrs = fu.unionByName(fv).join(
+            nbr_lbls = fu.unionByName(fv).join(
                 labels.select(
                     F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")
                 ),
                 "nbr",
+            ).select("node", F.col("nlbl").alias("lbl"))
+            if p == MSF_PROP:
+                prev = labels  # penultimate: before the final sweep
+            labels = (
+                labels.select("node", "lbl")
+                .unionByName(nbr_lbls)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
             )
-            best = nbrs.groupBy("node").agg(F.min("nlbl").alias("blbl"))
-            labels = labels.join(best, "node", "left").select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("blbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            if p % 2 == 0 or p == MSF_PROP:
-                labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
         label_hist.append(labels)
+        label_prev_hist.append(prev)
         forest_hist.append(forest)
-    return edges, label_hist, forest_hist
+    return edges, label_hist, label_prev_hist, forest_hist
 
 
 def _q_msf_boruvka_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, _, forest_hist = _msf_chain(spark, sf_dir)
+    _, _, _, forest_hist = _msf_chain(spark, sf_dir)
     return forest_hist[-1].select(
         "u", "v", "shared", "round_added"
     ).orderBy("u", "v")
 
 
 def _q_msf_boruvka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges, label_hist, forest_hist = _msf_chain(spark, sf_dir)
+    edges, label_hist, label_prev_hist, forest_hist = _msf_chain(spark, sf_dir)
     n_nodes = (
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))
@@ -194,11 +216,25 @@ def _q_msf_boruvka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lbl").alias("n_components_after")
         )
         n_forest = forest.agg(F.count(F.lit(1)).alias("forest_edges_total"))
+        # fixpoint witness: labels that still moved in the round's
+        # FINAL propagation sweep (0 == converged inside the budget)
+        n_moves = (
+            label_hist[rnd - 1]
+            .join(
+                label_prev_hist[rnd - 1].select(
+                    "node", F.col("lbl").alias("plbl")
+                ),
+                "node",
+            )
+            .where(F.col("lbl") != F.col("plbl"))
+            .agg(F.count(F.lit(1)).alias("n_label_moves_last_sweep"))
+        )
         legs.append(
             cross_before.crossJoin(F.broadcast(n_new))
             .crossJoin(F.broadcast(n_comp))
             .crossJoin(F.broadcast(n_forest))
             .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(n_moves))
             .select(
                 F.lit(rnd).alias("round"),
                 "n_cross_before",
@@ -209,6 +245,7 @@ def _q_msf_boruvka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("forest_edges_total")
                     == F.col("n_nodes") - F.col("n_components_after")
                 ).alias("tree_check"),
+                "n_label_moves_last_sweep",
             )
         )
         prev_labels = labels
@@ -307,6 +344,10 @@ def _sql_msf_audit() -> str:
     legs = []
     for rnd in range(1, MSF_ROUNDS + 1):
         final_lab = f"lab{rnd}_{MSF_PROP}"
+        penult_lab = (
+            f"lab{rnd}_{MSF_PROP - 1}" if MSF_PROP > 1 else
+            (f"lab{rnd - 1}_{MSF_PROP}" if rnd > 1 else "lab0")
+        )
         legs.append(
             f"""SELECT {rnd} AS round,
        (SELECT count(*) FROM cross{rnd}) AS n_cross_before,
@@ -317,7 +358,10 @@ def _sql_msf_audit() -> str:
        (SELECT count(*) FROM forest{rnd}) AS forest_edges_total,
        (SELECT count(*) FROM forest{rnd})
          = (SELECT count(*) FROM nodes)
-           - (SELECT count(DISTINCT lbl) FROM {final_lab}) AS tree_check"""
+           - (SELECT count(DISTINCT lbl) FROM {final_lab}) AS tree_check,
+       (SELECT count(*) FROM {final_lab} f
+        JOIN {penult_lab} p ON f.node = p.node
+        WHERE f.lbl <> p.lbl) AS n_label_moves_last_sweep"""
         )
     return (
         _sql_msf_ctes()
@@ -339,7 +383,8 @@ SPECS: dict[str, QuerySpec] = {
         _q_msf_boruvka_audit,
         _sql_msf_audit(),
         "per-round Boruvka honesty ledger: cross edges before, new "
-        "edges, components after contraction, forest size, and the "
-        "tree_check acyclicity/spanning witness (convergence as data)",
+        "edges, components after contraction, forest size, the "
+        "tree_check acyclicity/spanning witness, and the final-sweep "
+        "label-move count (propagation fixpoint as data)",
     ),
 }

@@ -900,13 +900,24 @@ def test_ddsketch_single_scan_partial_agg(plan_of):
     assert "partial_count" in plan
 
 
-def test_markov_absorption_checkpointed_chain(plan_of):
-    """round9_absorb: the 32-sweep Neumann chain runs on checkpointed
-    <=5-row state frames — the final plan replays neither the events
-    scan nor earlier sweeps."""
+def test_markov_absorption_single_fold_plan(plan_of):
+    """round9_absorb: the 32-sweep Neumann series is ONE aggregate()
+    fold over a 1-row array frame — a single linear plan with exactly
+    one events scan, no checkpoint scans, and no per-sweep join
+    cascade (zero SortMergeJoin/BroadcastHashJoin from sweeps; the
+    only join is the cnt/tot attach inside the transition build)."""
     plan = plan_of("markov_absorption_conversion")
-    assert plan.count("events.parquet") == 0
-    assert "Scan ExistingRDD" in plan
+    assert plan.count("events.parquet") == 1
+    assert "Scan ExistingRDD" not in plan  # nothing checkpointed
+    # the fold keeps the sweep loop inside one projection: zero joins
+    # (cnt/tot attach is a cur-partitioned window), not a 32-sweep
+    # join cascade
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert n_joins == 0
+    # the 1-row array collapse (collect_set/collect_list) and the
+    # inline() explosion back to rows bracket the fold projection
+    assert "ObjectHashAggregate" in plan
+    assert "Generate" in plan
 
 
 def test_msf_boruvka_checkpointed_chain(plan_of):

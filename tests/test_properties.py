@@ -2423,11 +2423,16 @@ def test_markov_absorption_bracket_vs_exact_solve(counts):
 )
 @settings(max_examples=200, deadline=None)
 def test_boruvka_truncated_equals_kruskal_when_converged(raw_edges, weights):
-    """round9_msf: the truncated Borůvka procedure (3 rounds, 8
-    propagation sweeps, strict (-w, u, v) order) equals Kruskal's
-    unique MSF whenever its own convergence witness holds (no cross
-    edges remaining + tree_check), and every round-1 chosen edge is in
-    the true MSF unconditionally (cut property)."""
+    """round9_msf: the truncated Borůvka procedure (MSF_ROUNDS rounds,
+    MSF_PROP propagation sweeps, strict (-w, u, v) order) equals
+    Kruskal's unique MSF whenever its own convergence witness holds (no
+    cross edges remaining + tree_check), and every round-1 chosen edge
+    is in the true MSF unconditionally (cut property)."""
+    from big_data_virus_analysis_spark.plans.round9_msf import (
+        MSF_PROP,
+        MSF_ROUNDS,
+    )
+
     edges = sorted(
         (min(a, b), max(a, b)) for a, b in raw_edges if a != b
     )
@@ -2457,9 +2462,9 @@ def test_boruvka_truncated_equals_kruskal_when_converged(raw_edges, weights):
     forest = set()
     round1_chosen = None
     converged = True
-    for rnd in range(1, 4):
+    for rnd in range(1, MSF_ROUNDS + 1):
         cross = [(u, v, w) for u, v, w in E if lbl[u] != lbl[v]]
-        if rnd == 3 and cross:
+        if rnd == MSF_ROUNDS and cross:
             converged = False
         best = {}
         for u, v, w in cross:
@@ -2471,7 +2476,7 @@ def test_boruvka_truncated_equals_kruskal_when_converged(raw_edges, weights):
         if rnd == 1:
             round1_chosen = set(chosen)
         forest |= chosen
-        for _ in range(8):
+        for _ in range(MSF_PROP):
             new = dict(lbl)
             for u, v, _ in forest:
                 m = min(lbl[u], lbl[v])
