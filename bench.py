@@ -332,7 +332,10 @@ def _worker_main(out_path: str) -> None:
 
 
 def _drift_vs_prev_snapshot(
-    timings: dict, sf: str, calibration_sec: float | None
+    timings: dict,
+    sf: str,
+    calibration_sec: float | None,
+    group_calibration: dict | None = None,
 ) -> tuple[list[dict], float]:
     """Queries whose median exceeds the fresh-JVM [min, max] recorded in
     the newest committed BENCH_FULL_r{N}.json (same SF only — spreads
@@ -343,9 +346,19 @@ def _drift_vs_prev_snapshot(
     slower than the builder machine that recorded the spreads; the
     calibrated threshold `prev_max * machine_factor` separates machine
     speed from code drift.  The factor is clamped to [0.5, 3.0] so a
-    corrupt probe can't silence (or invent) everything.  Returns
-    (compact dicts {q, sec, prev_max, adj_prev_max}, machine_factor);
-    factor is 1.0 when either side lacks a calibration record."""
+    corrupt probe can't silence (or invent) everything.
+
+    r9 VERDICT directive #1: a run-level factor cannot explain PER-GROUP
+    contention (the r9 driver run flagged two byte-identical queries at
+    3-4x while its run factor read 1.082 — their worker JVMs were
+    co-scheduled against heavier neighbors).  When ``group_calibration``
+    maps a query to ITS OWN worker JVM's calibration-probe median, the
+    threshold for that query uses the group's factor (same clamp), and
+    the entry records it as ``group_factor``.
+
+    Returns (compact dicts {q, sec, prev_max, adj_prev_max,
+    group_factor?, prev_cal?}, machine_factor); factor is 1.0 when
+    either side lacks a calibration record."""
     import glob
     import re
 
@@ -375,15 +388,26 @@ def _drift_vs_prev_snapshot(
     out = []
     for name, med in sorted(timings.items()):
         sp = prev_spread.get(name)
-        if sp and len(sp) == 2 and med > sp[1] * factor:
-            out.append(
-                {
-                    "q": name,
-                    "sec": med,
-                    "prev_max": sp[1],
-                    "adj_prev_max": round(sp[1] * factor, 3),
-                }
-            )
+        if not (sp and len(sp) == 2):
+            continue
+        q_factor = factor
+        q_group_factor = None
+        g_cal = (group_calibration or {}).get(name)
+        if g_cal and prev_cal:
+            q_group_factor = round(min(3.0, max(0.5, g_cal / prev_cal)), 3)
+            q_factor = q_group_factor
+        if med > sp[1] * q_factor:
+            entry = {
+                "q": name,
+                "sec": med,
+                "prev_max": sp[1],
+                "adj_prev_max": round(sp[1] * q_factor, 3),
+            }
+            if q_group_factor is not None:
+                entry["group_factor"] = q_group_factor
+            if prev_cal:
+                entry["prev_cal"] = prev_cal
+            out.append(entry)
     return out, factor
 
 
@@ -416,7 +440,82 @@ def _merge(parts: list[dict]) -> dict:
         if all_runs
         else None
     )
+    # query -> its OWN worker JVM's calibration median, so the drift
+    # check can normalize per group instead of per run (r9 directive #1:
+    # run-level calibration can't see per-group co-scheduling contention)
+    group_cal: dict[str, float] = {}
+    for p in parts:
+        if p.get("calibration_runs"):
+            med = round(statistics.median(p["calibration_runs"]), 3)
+            for q in p.get("queries", {}):
+                group_cal[q] = med
+    merged["group_calibration"] = group_cal
     return merged
+
+
+def _spawn_worker(
+    group: list[str], tag: str, env_extra: dict | None = None
+) -> dict | None:
+    """Measure ``group`` in a fresh subprocess JVM; returns the worker's
+    result dict, or None on failure."""
+    here = os.path.abspath(__file__)
+    with tempfile.NamedTemporaryFile(
+        suffix=f".bench_{tag}.json", delete=False
+    ) as tf:
+        out_path = tf.name
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_NAMES"] = ",".join(group)
+    env.update(env_extra or {})
+    proc = subprocess.run(
+        [sys.executable, here, "--worker-out", out_path],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        if proc.returncode == 0 and os.path.getsize(out_path) > 0:
+            with open(out_path) as f:
+                return json.load(f)
+        return None
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def _solo_triage(entries: list[dict], max_triage: int = 8) -> None:
+    """In-run auto-triage of drift flags (r9 VERDICT directive #1b):
+    each flagged query is re-measured SOLO in a fresh JVM (no group
+    neighbors, scaling legs off) and the solo median is attached as
+    ``triage_sec`` with its own calibration factor.  A flag whose solo
+    median falls back inside the calibrated prior spread is marked
+    ``cleared_by_triage`` — contention, not code; a flag that SURVIVES
+    a solo fresh-JVM re-run is evidence of real drift.  Mutates the
+    entries in place; the compact line reports only survivors."""
+    for e in entries[:max_triage]:
+        part = _spawn_worker(
+            [e["q"]], f"triage_{e['q']}", {"SPARK_GRAFT_SCALING": "0"}
+        )
+        if not part or e["q"] not in part.get("queries", {}):
+            e["triage"] = "worker_failed"
+            continue
+        e["triage_sec"] = part["queries"][e["q"]]
+        t_factor = 1.0
+        cal_runs = part.get("calibration_runs") or []
+        if cal_runs and e.get("prev_cal"):
+            t_factor = round(
+                min(
+                    3.0,
+                    max(0.5, statistics.median(cal_runs) / e["prev_cal"]),
+                ),
+                3,
+            )
+        e["triage_factor"] = t_factor
+        e["triage_adj_prev_max"] = round(e["prev_max"] * t_factor, 3)
+        e["cleared_by_triage"] = (
+            e["triage_sec"] <= e["triage_adj_prev_max"]
+        )
 
 
 def _compact_line(compact: dict, timings: dict, cap: int = 1800) -> str:
@@ -472,34 +571,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SINGLE_JVM", "") == "1":
         parts.append(_measure_group(names, sf_dir, sf))
     else:
-        here = os.path.abspath(__file__)
-
-        def _spawn(group: list[str], gi: int) -> dict | None:
-            with tempfile.NamedTemporaryFile(
-                suffix=f".bench_g{gi}.json", delete=False
-            ) as tf:
-                out_path = tf.name
-            env = dict(os.environ)
-            env["SPARK_GRAFT_BENCH_NAMES"] = ",".join(group)
-            proc = subprocess.run(
-                [sys.executable, here, "--worker-out", out_path],
-                env=env,
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
-            try:
-                if proc.returncode == 0 and os.path.getsize(out_path) > 0:
-                    with open(out_path) as f:
-                        return json.load(f)
-                return None
-            finally:
-                try:
-                    os.unlink(out_path)
-                except OSError:
-                    pass
-
         for gi, group in enumerate(groups):
-            part = _spawn(group, gi)
+            part = _spawn_worker(group, f"g{gi}")
             if part is None:
                 # a worker failure gets ONE retry in a fresh subprocess
                 # first — measuring failed groups in the accumulating
@@ -511,7 +584,7 @@ def main() -> None:
                     "fresh subprocess",
                     file=sys.stderr,
                 )
-                part = _spawn(group, gi)
+                part = _spawn_worker(group, f"g{gi}")
             if part is None:
                 # last resort: in-process, and TAG the queries so
                 # round-over-round drift in them is attributable to the
@@ -536,8 +609,22 @@ def main() -> None:
     # the recorded max are listed as regressions on the compact line so
     # no human has to diff rounds by hand.
     regressions, machine_factor = _drift_vs_prev_snapshot(
-        timings, sf, merged.get("calibration_sec")
+        timings,
+        sf,
+        merged.get("calibration_sec"),
+        merged.get("group_calibration"),
     )
+    # r9 directive #1b: flags that survive the per-group factor get a
+    # SOLO fresh-JVM re-run inside this same bench invocation; a flag
+    # cleared solo was group contention, a flag that survives solo is
+    # real.  SPARK_GRAFT_BENCH_TRIAGE=0 disables (and the in-process
+    # single-JVM debug path skips it).
+    if (
+        regressions
+        and os.environ.get("SPARK_GRAFT_BENCH_TRIAGE", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_BENCH_SINGLE_JVM", "") != "1"
+    ):
+        _solo_triage(regressions)
     payload = {
         "metric": "headline_queries_total",
         "unit": "sec",
@@ -588,7 +675,12 @@ def main() -> None:
         # max (names only on the compact line; {q, sec, prev_max,
         # adj_prev_max} detail in the full payload) + queries measured
         # on the degraded in-process path
-        "regressions": [r["q"] for r in regressions],
+        # survivors only: a flag cleared by the solo fresh-JVM triage
+        # re-run was group contention, not code (full detail — incl.
+        # triage_sec / cleared_by_triage — stays in the full payload)
+        "regressions": [
+            r["q"] for r in regressions if not r.get("cleared_by_triage")
+        ],
         "machine_factor": machine_factor,
         "calibration_sec": merged.get("calibration_sec"),
         "fallback_queries": fallback_queries,

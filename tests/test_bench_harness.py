@@ -186,3 +186,78 @@ def test_drift_factor_clamped(snapshot_dir):
 def test_drift_other_sf_is_not_compared(snapshot_dir):
     regs, factor = bench._drift_vs_prev_snapshot({"q_fast": 9.9}, "0.01", 0.5)
     assert regs == [] and factor == 1.0
+
+
+# --------------------------------------------------------------------------
+# r10: per-group calibration + solo-JVM auto-triage (r9 VERDICT dir. #1)
+# --------------------------------------------------------------------------
+
+
+def test_drift_per_group_factor_overrides_run_factor(snapshot_dir):
+    """A query whose OWN worker JVM ran hot uses its group's factor:
+    run-level calibration 0.50 (factor 1.0) but q_fast's group probe
+    came back at 0.75 (group factor 1.5) — a +40% median is group
+    contention, not code, and must not flag."""
+    regs, factor = bench._drift_vs_prev_snapshot(
+        {"q_fast": 1.40, "q_slow": 2.80},
+        "0.1",
+        0.50,
+        {"q_fast": 0.75, "q_slow": 0.50},
+    )
+    assert factor == 1.0  # run-level factor unchanged
+    assert [r["q"] for r in regs] == []
+
+
+def test_drift_per_group_factor_still_flags_outsized(snapshot_dir):
+    """Even under a hot group (factor 1.5) a 2x query flags, and the
+    entry records the group factor + prev_cal for the triage stage."""
+    regs, _ = bench._drift_vs_prev_snapshot(
+        {"q_fast": 2.10}, "0.1", 0.50, {"q_fast": 0.75}
+    )
+    assert [r["q"] for r in regs] == ["q_fast"]
+    assert regs[0]["group_factor"] == 1.5
+    assert regs[0]["adj_prev_max"] == pytest.approx(1.50)
+    assert regs[0]["prev_cal"] == 0.50
+
+
+def test_solo_triage_clears_contention_flag(monkeypatch):
+    """A flag whose solo fresh-JVM median falls back inside the
+    calibrated prior spread is marked cleared_by_triage."""
+    def fake_spawn(group, tag, env_extra=None):
+        assert group == ["q_fast"]
+        assert env_extra == {"SPARK_GRAFT_SCALING": "0"}
+        return {"queries": {"q_fast": 0.95}, "calibration_runs": [0.50]}
+
+    monkeypatch.setattr(bench, "_spawn_worker", fake_spawn)
+    entries = [
+        {"q": "q_fast", "sec": 3.10, "prev_max": 1.00, "prev_cal": 0.50}
+    ]
+    bench._solo_triage(entries)
+    assert entries[0]["triage_sec"] == 0.95
+    assert entries[0]["triage_factor"] == 1.0
+    assert entries[0]["cleared_by_triage"] is True
+
+
+def test_solo_triage_keeps_real_regression(monkeypatch):
+    """A flag that SURVIVES the solo re-run stays a regression (and the
+    solo calibration still normalizes the threshold)."""
+    def fake_spawn(group, tag, env_extra=None):
+        return {"queries": {"q_fast": 2.60}, "calibration_runs": [0.60]}
+
+    monkeypatch.setattr(bench, "_spawn_worker", fake_spawn)
+    entries = [
+        {"q": "q_fast", "sec": 3.10, "prev_max": 1.00, "prev_cal": 0.50}
+    ]
+    bench._solo_triage(entries)
+    assert entries[0]["triage_factor"] == 1.2
+    assert entries[0]["triage_adj_prev_max"] == pytest.approx(1.20)
+    assert entries[0]["cleared_by_triage"] is False
+
+
+def test_solo_triage_worker_failure_keeps_flag(monkeypatch):
+    """A failed triage worker must not silently clear the flag."""
+    monkeypatch.setattr(bench, "_spawn_worker", lambda *a, **k: None)
+    entries = [{"q": "q_fast", "sec": 3.10, "prev_max": 1.00}]
+    bench._solo_triage(entries)
+    assert entries[0].get("cleared_by_triage") is not True
+    assert entries[0]["triage"] == "worker_failed"
