@@ -5121,6 +5121,10 @@ from .round9_regret import SPECS as _ROUND9_REGRET_SPECS  # noqa: E402
 
 _register_pack(_ROUND9_REGRET_SPECS)
 
+from .round10_dag import SPECS as _ROUND10_DAG_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_DAG_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -369,6 +369,10 @@ BNLJ_ALLOWED = {
     # round 9: per-round 1-row scalar ledger combines (cross count x
     # new-edge count x component count x forest size x node count)
     "msf_boruvka_audit",
+    # round 10: 1-row fixpoint-witness broadcast (moves_last_round,
+    # converged) crossed onto the level histogram / top-10 chain frame
+    "dag_topo_levels_dup",
+    "dag_critical_path_dup",
     # round 9: constant-size bitwise subset joins (16 subsets x <=16
     # coalition masks, 4 channels x 16 subsets) — corpus-independent
     "shapley_channel_attribution",

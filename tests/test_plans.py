@@ -980,3 +980,32 @@ def test_ftl_regret_single_scan_day_frame(plan_of):
     one final 1-row aggregate."""
     plan = plan_of("ftl_expert_regret_audit")
     assert plan.count("orders.parquet") == 1
+
+
+def test_dag_dup_relaxation_checkpointed_chain(plan_of):
+    """round10_dag: the dup-DAG relaxation runs on per-round
+    checkpointed node-sized state frames riding the cached capped edge
+    builder — the final plan replays neither the documents scan nor
+    the gram pair comprehension."""
+    plan = plan_of("dag_critical_path_dup")
+    assert plan.count("documents.parquet") <= 1
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10, never a full sort
+    from big_data_virus_analysis_spark.plans.plan_lint import (
+        global_window_findings,
+    )
+
+    assert global_window_findings(plan) == []
+
+
+def test_dag_task_cpm_single_fold_plan(plan_of):
+    """round10_dag: the 4095-task CPM is one lineitem scan collapsing
+    to a 1-row array frame, then two fold expressions — zero joins,
+    zero checkpoint scans, and the inline() explosion back to rows."""
+    plan = plan_of("dag_task_schedule_critical")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Scan ExistingRDD" not in plan
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert n_joins == 0
+    assert "ObjectHashAggregate" in plan  # the map collapse
+    assert "Generate" in plan  # inline() back to per-task rows

@@ -2711,3 +2711,148 @@ def test_ftl_regret_replay_and_bound(vals):
         c2 = [a + b for a, b in zip(c2, ll)]
     assert ftl == ftl2 and c2 == totals
     assert regret <= max_loss * (switches + 1)
+
+
+# --------------------------------------------------------------------------
+# round-10 DAG-scheduling pack (plans/round10_dag.py)
+# --------------------------------------------------------------------------
+
+
+def _topo_dp(n, edges):
+    """Exact longest-path DP over nodes 0..n-1, edges (u, v, w) with
+    u < v (topological by id): returns (lvl, dist) dicts."""
+    lvl = {x: 0 for x in range(n)}
+    dist = {x: 0 for x in range(n)}
+    for v in range(n):
+        for u, vv, w in edges:
+            if vv == v:
+                lvl[v] = max(lvl[v], lvl[u] + 1)
+                dist[v] = max(dist[v], dist[u] + w)
+    return lvl, dist
+
+
+@given(
+    raw=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    weights=st.lists(
+        st.integers(min_value=1, max_value=9), min_size=40, max_size=40
+    ),
+    rounds=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_dag_relaxation_equals_topo_dp_when_converged(raw, weights, rounds):
+    """round10_dag: the bounded union-max relaxation (the
+    dag_topo_levels_dup / dag_critical_path_dup recurrence) equals the
+    exact topological DP WHENEVER its own no-move witness holds, and
+    the witness always holds once rounds exceed the DAG depth."""
+    edges = [
+        (min(a, b), max(a, b), w)
+        for (a, b), w in zip(sorted(raw), weights)
+        if a != b
+    ]
+    if not edges:
+        return
+    n = 12
+    lvl = {x: 0 for x in range(n)}
+    dist = {x: 0 for x in range(n)}
+    moves_last = None
+    for _ in range(rounds):
+        new_lvl, new_dist = dict(lvl), dict(dist)
+        for u, v, w in edges:
+            new_lvl[v] = max(new_lvl[v], lvl[u] + 1)
+            new_dist[v] = max(new_dist[v], dist[u] + w)
+        moves_last = sum(
+            1
+            for x in range(n)
+            if (new_lvl[x], new_dist[x]) != (lvl[x], dist[x])
+        )
+        lvl, dist = new_lvl, new_dist
+    exact_lvl, exact_dist = _topo_dp(n, edges)
+    depth = max(exact_lvl.values())
+    if moves_last == 0:
+        assert lvl == exact_lvl and dist == exact_dist
+    if rounds > depth:
+        assert moves_last == 0
+
+
+@given(
+    ws=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=2, max_size=60
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_cpm_folds_match_topo_dp_and_slack_invariants(ws):
+    """round10_dag: the forward/backward CPM folds (task t's parents
+    are t div 2 and t div 3; children {2t, 2t+1, 3t, 3t+1, 3t+2})
+    reproduce the exact topological DP, the witness sweep moves
+    nothing once sweeps exceed depth, and the schedule satisfies the
+    textbook invariants: slack >= 0, min slack == 0, makespan ==
+    max finish, and every critical task chains to a critical parent
+    achieving its est."""
+    n = len(ws)
+    w = {t: ws[t - 1] for t in range(1, n + 1)}
+
+    def parents(t):
+        ps = {t // 2}
+        if t >= 3:
+            ps.add(t // 3)
+        return sorted(p for p in ps if p >= 1)
+
+    # exact forward DP in topological (id) order
+    est_exact = {1: 0}
+    for t in range(2, n + 1):
+        est_exact[t] = max(est_exact[p] + w[p] for p in parents(t))
+    depth = {1: 0}
+    for t in range(2, n + 1):
+        depth[t] = 1 + max(depth[p] for p in parents(t))
+    sweeps = max(depth.values()) + 1  # fold budget: depth + witness
+
+    def fwd_sweep(prev):
+        out = {1: 0}
+        for t in range(2, n + 1):
+            out[t] = max(prev[p] + w[p] for p in parents(t))
+        return out
+
+    est = {t: 0 for t in range(1, n + 1)}
+    for _ in range(sweeps):
+        est = fwd_sweep(est)
+    est_wit = fwd_sweep(est)
+    assert est_wit == est  # fixpoint proven by the witness sweep
+    assert est == est_exact
+
+    mk = max(est[t] + w[t] for t in est)
+
+    def children(t):
+        return [
+            c
+            for c in (2 * t, 2 * t + 1, 3 * t, 3 * t + 1, 3 * t + 2)
+            if 2 <= c <= n
+        ]
+
+    def bwd_sweep(prev):
+        return {
+            t: min([mk] + [prev[c] - w[c] for c in children(t)])
+            for t in range(1, n + 1)
+        }
+
+    lft = {t: mk for t in range(1, n + 1)}
+    for _ in range(sweeps):
+        lft = bwd_sweep(lft)
+    assert bwd_sweep(lft) == lft
+
+    slack = {t: (lft[t] - w[t]) - est[t] for t in range(1, n + 1)}
+    assert all(s >= 0 for s in slack.values())
+    assert min(slack.values()) == 0
+    assert mk == max(est[t] + w[t] for t in range(1, n + 1))
+    for t in range(2, n + 1):
+        if slack[t] == 0:
+            assert any(
+                slack[p] == 0 and est[t] == est[p] + w[p]
+                for p in parents(t)
+            )
