@@ -5125,6 +5125,14 @@ from .round10_dag import SPECS as _ROUND10_DAG_SPECS  # noqa: E402
 
 _register_pack(_ROUND10_DAG_SPECS)
 
+from .round10_sched import SPECS as _ROUND10_SCHED_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_SCHED_SPECS)
+
+from .round10_replay import SPECS as _ROUND10_REPLAY_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_REPLAY_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -373,6 +373,10 @@ BNLJ_ALLOWED = {
     # converged) crossed onto the level histogram / top-10 chain frame
     "dag_topo_levels_dup",
     "dag_critical_path_dup",
+    # round 10: 1-row corpus-totals broadcast (total_selected /
+    # total_allowed etc.) crossed onto the per-key fold results
+    "interval_greedy_sessions",
+    "token_bucket_throttle_audit",
     # round 9: constant-size bitwise subset joins (16 subsets x <=16
     # coalition masks, 4 channels x 16 subsets) — corpus-independent
     "shapley_channel_attribution",

@@ -2856,3 +2856,162 @@ def test_cpm_folds_match_topo_dp_and_slack_invariants(ws):
                 slack[p] == 0 and est[t] == est[p] + w[p]
                 for p in parents(t)
             )
+
+
+# --------------------------------------------------------------------------
+# round-10 makespan-scheduling pack (plans/round10_sched.py)
+# --------------------------------------------------------------------------
+
+
+def _list_schedule(jobs, m):
+    """The query fold: each job to the FIRST least-loaded machine."""
+    loads = [0] * m
+    for j in jobs:
+        k = loads.index(min(loads))
+        loads[k] += j
+    return loads
+
+
+def _opt_makespan(jobs, m):
+    """Exact OPT by exhaustive assignment (tiny instances only)."""
+    best = [sum(jobs)]
+
+    def rec(i, loads):
+        if max(loads) >= best[0]:
+            return
+        if i == len(jobs):
+            best[0] = max(loads)
+            return
+        seen = set()
+        for k in range(m):
+            if loads[k] in seen:
+                continue  # symmetric machine states prune
+            seen.add(loads[k])
+            loads[k] += jobs[i]
+            rec(i + 1, loads)
+            loads[k] -= jobs[i]
+
+    rec(0, [0] * m)
+    return best[0]
+
+
+@given(
+    jobs=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=9
+    ),
+    m=st.integers(min_value=2, max_value=3),
+)
+@settings(max_examples=150, deadline=None)
+def test_list_scheduling_guarantees_vs_brute_force_opt(jobs, m):
+    """round10_sched: on brute-forceable instances the fold respects
+    the classical guarantees — LPT <= (4/3 - 1/(3m))*OPT, arrival
+    order <= (2 - 1/m)*OPT — and both emitted lower bounds never
+    exceed OPT."""
+    opt = _opt_makespan(jobs, m)
+    lb_avg = -(-sum(jobs) // m)
+    lb_max = max(jobs)
+    assert lb_avg <= opt and lb_max <= opt
+
+    lpt = max(_list_schedule(sorted(jobs, reverse=True), m))
+    online = max(_list_schedule(jobs, m))
+    # integer-safe forms of the rational bounds
+    assert lpt * 3 * m <= (4 * m - 1) * opt
+    assert online * m <= (2 * m - 1) * opt
+    assert lpt >= opt and online >= opt
+
+
+def test_list_schedule_first_index_tie_break_matches_engines():
+    """round10_sched: the python replication's loads.index(min(...))
+    is exactly the engines' array_position(acc, array_min(acc))
+    first-occurrence rule — pinned on a tie-heavy instance."""
+    jobs = [5, 5, 5, 3, 3, 2]
+    # manual fold with explicit first-min scanning
+    loads = [0, 0, 0]
+    expect = []
+    for j in jobs:
+        mn = min(loads)
+        k = next(i for i, v in enumerate(loads) if v == mn)
+        loads[k] += j
+        expect.append(tuple(loads))
+    assert tuple(loads) == tuple(_list_schedule(jobs, 3))
+    # ties landed on the FIRST machine each time
+    assert expect[0] == (5, 0, 0) and expect[1] == (5, 5, 0)
+
+
+# --------------------------------------------------------------------------
+# round-10 per-key replay pack (plans/round10_replay.py)
+# --------------------------------------------------------------------------
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=1, max_value=20),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_eft_greedy_is_optimal_nonoverlap(raw):
+    """round10_replay: the earliest-finish-time fold (the
+    interval_greedy_sessions recurrence, half-open [st, fin)
+    non-overlap) equals the brute-force maximum non-overlapping
+    subset — the classical optimality theorem, exercised on the exact
+    fold arithmetic."""
+    ivs = sorted((s + d, s) for s, d in raw)
+    last, cnt = -1, 0
+    for fin, st_ in ivs:
+        if st_ >= last:
+            last, cnt = fin, cnt + 1
+
+    best = 0
+    n = len(ivs)
+    for mask in range(1 << n):
+        chosen = [ivs[i] for i in range(n) if mask >> i & 1]
+        chosen.sort(key=lambda fs: fs[1])
+        ok = all(
+            chosen[i + 1][1] >= chosen[i][0]
+            for i in range(len(chosen) - 1)
+        )
+        if ok:
+            best = max(best, len(chosen))
+    assert cnt == best
+
+
+@given(
+    gaps=st.lists(
+        st.integers(min_value=0, max_value=40_000_000),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_token_bucket_conservation_and_bounds(gaps):
+    """round10_replay: the token-bucket fold conserves events
+    (allowed + rejected == n), never overdraws (balance stays in
+    [0, CAP]), and is monotone in the refill rate."""
+    from big_data_virus_analysis_spark.plans.round10_replay import (
+        TB_CAP_MICRO,
+    )
+
+    def replay(rate):
+        ts0, tok, alw, rej = 0, TB_CAP_MICRO, 0, 0
+        t = 0
+        for g in gaps:
+            t += g
+            tok = min(TB_CAP_MICRO, tok + ((t - ts0) * rate) // 1_000_000)
+            assert 0 <= tok <= TB_CAP_MICRO
+            if tok >= 1_000_000:
+                tok, alw = tok - 1_000_000, alw + 1
+            else:
+                rej += 1
+            assert 0 <= tok <= TB_CAP_MICRO
+            ts0 = t
+        return alw, rej
+
+    a1, r1 = replay(120)
+    assert a1 + r1 == len(gaps)
+    a2, r2 = replay(240)
+    assert a2 >= a1  # more refill can only allow more
