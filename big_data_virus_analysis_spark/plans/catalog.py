@@ -5133,6 +5133,10 @@ from .round10_replay import SPECS as _ROUND10_REPLAY_SPECS  # noqa: E402
 
 _register_pack(_ROUND10_REPLAY_SPECS)
 
+from .round10_dp import SPECS as _ROUND10_DP_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_DP_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -1009,3 +1009,17 @@ def test_dag_task_cpm_single_fold_plan(plan_of):
     assert n_joins == 0
     assert "ObjectHashAggregate" in plan  # the map collapse
     assert "Generate" in plan  # inline() back to per-task rows
+
+
+def test_dp_folds_single_scan_no_joins(plan_of):
+    """round10_dp: both DP queries are one orders scan collapsing to a
+    1-row array frame, then pure fold projections — zero joins, zero
+    checkpoint scans."""
+    for name in ("lis_daily_revenue", "dtw_month_shape_distance"):
+        plan = plan_of(name)
+        assert plan.count("orders.parquet") == 1
+        assert "Scan ExistingRDD" not in plan
+        n_joins = (
+            plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+        )
+        assert n_joins == 0

@@ -3015,3 +3015,106 @@ def test_token_bucket_conservation_and_bounds(gaps):
     assert a1 + r1 == len(gaps)
     a2, r2 = replay(240)
     assert a2 >= a1  # more refill can only allow more
+
+
+# --------------------------------------------------------------------------
+# round-10 DP pack (plans/round10_dp.py)
+# --------------------------------------------------------------------------
+
+
+def _lis_fold_py(v, cmp):
+    dp = []
+    for i, x in enumerate(v):
+        best = 0
+        for j in range(i):
+            if cmp(v[j], x) and dp[j] > best:
+                best = dp[j]
+        dp.append(1 + best)
+    return max(dp) if dp else 0
+
+
+@given(
+    v=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_lis_fold_matches_patience_sorting(v):
+    """round10_dp: the appending DP fold equals the O(n log n)
+    patience-sorting LIS length (strict increase)."""
+    import bisect
+
+    tails = []
+    for x in v:
+        k = bisect.bisect_left(tails, x)
+        if k == len(tails):
+            tails.append(x)
+        else:
+            tails[k] = x
+    assert _lis_fold_py(v, lambda a, b: a < b) == len(tails)
+
+
+@given(
+    v=st.lists(
+        st.integers(min_value=0, max_value=10**6),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_erdos_szekeres_bound_on_distinct(v):
+    """round10_dp: lis * lds >= n for distinct-valued sequences (the
+    es_product/es_bound_ok columns' theorem)."""
+    lis = _lis_fold_py(v, lambda a, b: a < b)
+    lds = _lis_fold_py(v, lambda a, b: a > b)
+    assert lis * lds >= len(v)
+
+
+def _dtw_fold_py(a, b):
+    prev = None
+    for i in range(1, len(a) + 1):
+        row = []
+        for j in range(1, len(b) + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            if i == 1 and j == 1:
+                c += 0
+            elif i == 1:
+                c += row[j - 2]
+            elif j == 1:
+                c += prev[0]
+            else:
+                c += min(prev[j - 1], row[j - 2], prev[j - 2])
+            row.append(c)
+        prev = row
+    return prev[-1]
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=5),
+    b=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=5),
+)
+@settings(max_examples=150, deadline=None)
+def test_dtw_fold_matches_bruteforce_paths(a, b):
+    """round10_dp: the nested DTW fold equals brute-force minimization
+    over all monotone alignment paths, is symmetric, and is zero on
+    identical inputs."""
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def brute(i, j):
+        c = abs(a[i] - b[j])
+        if i == 0 and j == 0:
+            return c
+        cands = []
+        if i > 0:
+            cands.append(brute(i - 1, j))
+        if j > 0:
+            cands.append(brute(i, j - 1))
+        if i > 0 and j > 0:
+            cands.append(brute(i - 1, j - 1))
+        return c + min(cands)
+
+    assert _dtw_fold_py(a, b) == brute(len(a) - 1, len(b) - 1)
+    assert _dtw_fold_py(a, b) == _dtw_fold_py(b, a)
+    assert _dtw_fold_py(a, a) == 0

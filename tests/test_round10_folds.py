@@ -115,3 +115,62 @@ def test_lpt_fold_matches_pure_python_replay(spark):
     assert got[0]["makespan_cents"] == max(loads)
     assert got[0]["lb_max_cents"] == max(jobs)
     assert got[0]["lb_avg_cents"] == -(-sum(jobs) // SCHED_M)
+
+
+def test_lis_and_dtw_match_pure_python_replay(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(o_orderdate AS DATE) d,"
+        " sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) c "
+        f"FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    v = [c for _d, c in rows]
+
+    def lis(vals, cmp):
+        dp = []
+        for i, x in enumerate(vals):
+            best = 0
+            for j in range(i):
+                if cmp(vals[j], x) and dp[j] > best:
+                    best = dp[j]
+            dp.append(1 + best)
+        return max(dp)
+
+    got = CATALOG["lis_daily_revenue"].spark(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == len(v)
+    assert got["lis_len"] == lis(v, lambda a, b: a < b)
+    assert got["lds_len"] == lis(v, lambda a, b: a > b)
+
+    per = con.execute(
+        "SELECT month(o_orderdate) mo, day(o_orderdate) dom,"
+        " sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) c "
+        f"FROM read_parquet('{SF_DIR}/orders.parquet')"
+        " WHERE month(o_orderdate) IN (1, 2) GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    a = [c for mo, _d, c in per if mo == 1]
+    b = [c for mo, _d, c in per if mo == 2]
+
+    def dtw(x, y):
+        prev = None
+        for i in range(1, len(x) + 1):
+            row = []
+            for j in range(1, len(y) + 1):
+                c = abs(x[i - 1] - y[j - 1])
+                if i == 1 and j == 1:
+                    pass
+                elif i == 1:
+                    c += row[j - 2]
+                elif j == 1:
+                    c += prev[0]
+                else:
+                    c += min(prev[j - 1], row[j - 2], prev[j - 2])
+                row.append(c)
+            prev = row
+        return prev[-1]
+
+    got = (
+        CATALOG["dtw_month_shape_distance"].spark(spark, SF_DIR).collect()[0]
+    )
+    assert (got["len_a"], got["len_b"]) == (len(a), len(b))
+    assert got["dtw_ab"] == dtw(a, b)
+    assert got["symmetric_ok"] and got["self_zero_ok"]
