@@ -5137,6 +5137,10 @@ from .round10_dp import SPECS as _ROUND10_DP_SPECS  # noqa: E402
 
 _register_pack(_ROUND10_DP_SPECS)
 
+from .round10_hll import SPECS as _ROUND10_HLL_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_HLL_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -3118,3 +3118,74 @@ def test_dtw_fold_matches_bruteforce_paths(a, b):
     assert _dtw_fold_py(a, b) == brute(len(a) - 1, len(b) - 1)
     assert _dtw_fold_py(a, b) == _dtw_fold_py(b, a)
     assert _dtw_fold_py(a, a) == 0
+
+
+# --------------------------------------------------------------------------
+# round-10 HyperLogLog pack (plans/round10_hll.py)
+# --------------------------------------------------------------------------
+
+
+def _hll_py(items):
+    """Pure-Python replication of the engines' exact-integer HLL."""
+    import hashlib
+
+    from big_data_virus_analysis_spark.plans.round10_hll import (
+        HLL_M,
+        HLL_NUMERATOR,
+        HLL_SHIFT,
+    )
+
+    reg: dict[int, int] = {}
+    for it in items:
+        h = hashlib.md5(str(it).encode()).hexdigest()
+        bucket = int(h[0:3], 16)
+        v = int(h[3:16], 16)
+        rho = 53 if v == 0 else 53 - len(bin(v)) - (-2)  # see below
+        # bin(v) includes '0b': effective length = len(bin(v)) - 2
+        rho = 53 if v == 0 else 53 - (len(bin(v)) - 2)
+        reg[bucket] = max(reg.get(bucket, 0), rho)
+    s = sum(1 << (HLL_SHIFT - r) for r in reg.values())
+    s += (HLL_M - len(reg)) * (1 << HLL_SHIFT)
+    est_micro = HLL_NUMERATOR // s
+    return reg, est_micro // 1_000_000
+
+
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=30, deadline=None)
+def test_hll_replication_and_merge_theorem(n, seed):
+    """round10_hll: per-shard max-merged registers equal whole-set
+    registers on random shardings (the mergeability theorem the audit
+    query emits), and the estimate is deterministic in the item SET
+    (duplicates and order cannot move a max-of-rho register)."""
+    items = [f"tok_{seed}_{i}" for i in range(n)]
+    reg_all, est_all = _hll_py(items)
+    # shard by a hash-independent rule, merge by max
+    shards = [items[0::3], items[1::3], items[2::3]]
+    merged: dict[int, int] = {}
+    for sh in shards:
+        r, _ = _hll_py(sh)
+        for b, v in r.items():
+            merged[b] = max(merged.get(b, 0), v)
+    assert merged == reg_all
+    # duplicates + permutation invariance
+    _, est_dup = _hll_py(items * 2 + items[::-1])
+    assert est_dup == est_all
+
+
+def test_hll_error_within_3sigma_on_large_sets():
+    """round10_hll: ABOVE the linear-counting handoff (n >= 2.5m,
+    where raw HLL is the operative estimator and the query's
+    above_lc_cutoff column reads true) the integer-exact estimate
+    lands within the emitted 3-sigma bound.  Below 2.5m raw HLL is
+    biased high by design — that is exactly why the handoff exists,
+    and why the query emits the cutoff flag next to the bound check."""
+    from big_data_virus_analysis_spark.plans.round10_hll import (
+        HLL_3SIGMA_1E5,
+    )
+
+    for n in (12_000, 40_000, 160_000):
+        _, est = _hll_py(f"item_{i}" for i in range(n))
+        assert abs(est - n) * 100_000 <= HLL_3SIGMA_1E5 * n, (n, est)
