@@ -164,6 +164,21 @@ HEADLINE = [
     "hits_bipartite_topk",
     "shapley_channel_attribution",
     "msf_boruvka_dup_graph",
+    # round-10 additions: the bounded-relaxation dup-DAG critical
+    # path (rides the slimmed 3-shuffle edge builder); the CPM /
+    # Markov single-fold plans (the zero-iteration-job shape); the
+    # Graham LPT fold; the two per-key replay folds; the quadratic
+    # DP folds; the from-scratch HLL register aggregate + merge audit
+    "dag_critical_path_dup",
+    "dag_task_schedule_critical",
+    "markov_absorption_conversion",
+    "lpt_makespan_daily",
+    "interval_greedy_sessions",
+    "token_bucket_throttle_audit",
+    "lis_daily_revenue",
+    "dtw_month_shape_distance",
+    "hll_shingle_estimate",
+    "hll_shard_merge_audit",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is
@@ -187,6 +202,12 @@ SF1_FAMILY = {
     # round-9: the full peel rides the same capped graph as the
     # edge-support pass — its sf1 leg shows the per-round thinning
     "ktruss_peel_exact",
+    # round-10 (r9 VERDICT directive #4): the round-9 heavyweights get
+    # the out-of-grid decade — capped-graph thinning (Boruvka), the
+    # distinct-edge HITS sweeps, and the bigram-type sublinearity
+    "msf_boruvka_dup_graph",
+    "hits_bipartite_topk",
+    "kneser_ney_bigram_ppl",
 }
 
 

@@ -5199,47 +5199,46 @@ _PINNED_CORE: tuple[str, ...] = (
     "auc_rank_based",
 )
 
-#: round-9 rotation: the 16 first-wave round-9 exact entries (the
-#: iterative-to-fixpoint family — truss peel, min-label propagation,
-#: IPF raking, IRR bisection, damped-Newton isqrt — plus the
-#: distribution distances, stratified/multi-rater tests, planner
-#: audits, and Page–Hinkley), three second-wave round-9 flagships
-#: (matrix profile / Kneser–Ney / Shapley — the rest of the second
-#: wave is LOCALCHECK_r09-verified), the r8-ADVICE-fixed conformal
-#: split, the VERDICT-nit-fixed k-truss support histogram, the
-#: reference feature job e2e, and the composed-pipeline canaries.
+#: round-10 rotation (r9 VERDICT directive #3: >= 15 previously
+#: driver-unseen names, heavyweights included): all 11 round-10
+#: queries (DAG scheduling, CPM, Graham makespan folds, per-key
+#: replay folds, LIS/DTW DPs, from-scratch HLL) plus 11 of the 24
+#: round-9 entries the driver window never saw — led by the
+#: heavyweights the judge asked for (Borůvka MSF, HITS,
+#: Markov absorption, Shapley efficiency) — and the three standing
+#: composed-pipeline canaries.  The r9 rotating names all stay
+#: LOCALCHECK-verified every round; the 13 round-9 judge-only names
+#: not rotated in remain LOCALCHECK + judge-recheck verified.
 _ROTATING_WINDOW: tuple[str, ...] = (
-    # round-9 iterative-to-fixpoint family
-    "ktruss_peel_exact",
-    "ktruss_peel_edges",
-    "min_label_propagation_fixpoint",
-    "ipf_raking_fixpoint",
-    "ipf_raking_cells",
-    "irr_bisection_fixpoint",
-    "isqrt_newton_fixpoint",
-    # round-9 distribution distances + rank tests
-    "wasserstein_1d_price_periods",
-    "cramer_von_mises_two_sample",
-    "energy_distance_two_periods",
-    "friedman_test_segments",
-    # round-9 stratified / multi-rater
-    "mantel_haenszel_or",
-    "cochrans_q_scorers",
-    # round-9 planner audits + sequential detection
-    "histogram_selectivity_audit",
-    "posting_intersection_order_audit",
-    "page_hinkley_drift",
-    # r8-ADVICE-fixed split (re-verify the fix independently)
-    "conformal_interval_coverage",
-    # r8-VERDICT-nit-fixed plan (count() -> 1-row-agg broadcast)
-    "ktruss_edge_support",
-    # reference feature job end-to-end (measured BASELINE figure)
-    "api_log_feature_job_e2e",
-    # round-9 second-wave flagships (new families: matrix profile,
-    # Kneser-Ney smoothing, Shapley attribution)
-    "matrix_profile_daily",
-    "kneser_ney_bigram_ppl",
-    "shapley_channel_attribution",
+    # round-10: DAG scheduling + CPM
+    "dag_topo_levels_dup",
+    "dag_critical_path_dup",
+    "dag_task_schedule_critical",
+    # round-10: Graham list-scheduling folds
+    "lpt_makespan_daily",
+    "makespan_strategy_audit",
+    # round-10: per-key replay folds
+    "interval_greedy_sessions",
+    "token_bucket_throttle_audit",
+    # round-10: quadratic DP folds
+    "lis_daily_revenue",
+    "dtw_month_shape_distance",
+    # round-10: from-scratch oracle-exact HLL
+    "hll_shingle_estimate",
+    "hll_shard_merge_audit",
+    # round-9 judge-only heavyweights (driver-unseen until now)
+    "msf_boruvka_dup_graph",
+    "hits_bipartite_topk",
+    "markov_absorption_conversion",
+    "shapley_efficiency_check",
+    # round-9 judge-only breadth (driver-unseen until now)
+    "aalen_johansen_signup_outcomes",
+    "good_turing_token_mass",
+    "james_stein_segment_means",
+    "ddsketch_price_quantiles",
+    "haar_wavelet_topk",
+    "ransac_line_daily_det",
+    "ftl_expert_regret_audit",
     # standing composed-pipeline canaries (always re-verified)
     "dedup_pipeline_e2e",
     "corpus_curation_e2e",

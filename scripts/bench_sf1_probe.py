@@ -54,7 +54,17 @@ PROBE = [
     "dup_span_doc_fraction",
     "minhash_lsh_pairs",
     "semantic_dedup_pairs",
+    # round-10 (r9 VERDICT directive #4): the round-9 heavyweights
+    "msf_boruvka_dup_graph",
+    "hits_bipartite_topk",
+    "kneser_ney_bigram_ppl",
 ]
+
+#: SPARK_GRAFT_SF1_PROBE_ONLY=a,b,c restricts the probe to named
+#: queries (any catalog name) — the bench.py triage-hook convention
+_ONLY = os.environ.get("SPARK_GRAFT_SF1_PROBE_ONLY", "")
+if _ONLY:
+    PROBE = [c for c in _ONLY.split(",") if c]
 
 def main() -> None:
     spark = get_spark("bdva-sf1-probe")
