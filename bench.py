@@ -179,6 +179,25 @@ HEADLINE = [
     "dtw_month_shape_distance",
     "hll_shingle_estimate",
     "hll_shard_merge_audit",
+    # round-10 session-2 additions: the month-frame hull predicate
+    # joins; the strip-pruned closest pair (band self-join); the
+    # last-greater span self-join; the 1/e replay's partitioned
+    # windows; the ski-rental counting rollup; the Kadane 1-row fold;
+    # the two due-date sequencing folds over the 1995 day-job frame
+    "convex_hull_monthly",
+    "closest_pair_strip",
+    "stock_span_daily",
+    "secretary_stopping_audit",
+    "ski_rental_break_even",
+    "max_subarray_daily_kadane",
+    "edd_lateness_audit",
+    "moore_hodgson_late_jobs",
+    # round-10 session-2: the cache-replay folds (per-key linear
+    # state, the heaviest per-key arithmetic in the replay family)
+    "lru_stack_distance_hit_curve",
+    "belady_opt_vs_lru_audit",
+    # round-10 session-2: the G-S fold + 25-cell preference build
+    "stable_matching_segments_regions",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is

@@ -5141,6 +5141,26 @@ from .round10_hll import SPECS as _ROUND10_HLL_SPECS  # noqa: E402
 
 _register_pack(_ROUND10_HLL_SPECS)
 
+from .round10_geo import SPECS as _ROUND10_GEO_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_GEO_SPECS)
+
+from .round10_online import SPECS as _ROUND10_ONLINE_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_ONLINE_SPECS)
+
+from .round10_sched2 import SPECS as _ROUND10_SCHED2_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_SCHED2_SPECS)
+
+from .round10_cache import SPECS as _ROUND10_CACHE_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_CACHE_SPECS)
+
+from .round10_match import SPECS as _ROUND10_MATCH_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_MATCH_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -394,6 +394,29 @@ BNLJ_ALLOWED = {
     # round 9: 1-row global (S, Q, n) moments broadcast onto the
     # bounded day frame for the SAX z-score
     "sax_motif_words",
+    # round 10: month-frame (~84 rows at any SF) hull pair/witness
+    # non-equi joins + 1-row point-count broadcast — every side is
+    # calendar-bounded, never corpus rows
+    "convex_hull_monthly",
+    # round 10: 1-row d0-bound broadcast + the strip band self-join
+    # over the calendar-bounded day frame (non-equi by construction;
+    # the matrix_profile_daily precedent) + 1-row counts combine
+    "closest_pair_strip",
+    # round 10: last-strictly-greater non-equi self-join over the
+    # calendar-bounded day frame
+    "stock_span_daily",
+    # round 10: 1-row (total, n) capacity broadcast onto the
+    # calendar-bounded 1995 day-job frame
+    "edd_lateness_audit",
+    "moore_hodgson_late_jobs",
+    # round 10: 1-row estimate x 1-row exact-count / 1-row shard-count
+    # crosses (sketch-vs-truth audits, the corpus_minhash_jaccard
+    # precedent)
+    "hll_shingle_estimate",
+    "hll_shard_merge_audit",
+    # round 10: 1-row blocking-pair certificate broadcast onto the
+    # 5-row matched frame (constant-size matching algebra)
+    "stable_matching_segments_regions",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the
@@ -458,6 +481,21 @@ GLOBAL_WINDOW_ALLOWED = {
     # round 9: day-index row_number + best-flag rank over the
     # constant 16-row hypothesis frame
     "ransac_line_daily_det",
+    # round 10: x-sorted lead() over the calendar-bounded day frame
+    # (the rank-adjacent d0 upper-bound pass)
+    "closest_pair_strip",
+    # round 10: day-index row_number over the calendar-bounded day
+    # frame (span positions / 1995 day-job positions)
+    "stock_span_daily",
+    "edd_lateness_audit",
+    "moore_hodgson_late_jobs",
+    # round 10: alphabetical rank over the DISTINCT event-type frame
+    # (|alphabet| rows at any SF — the type-code dictionary)
+    "lru_stack_distance_hit_curve",
+    "belady_opt_vs_lru_audit",
+    # round 10: dense_rank code assignment over the 25-cell
+    # (segment x region) preference frame
+    "stable_matching_segments_regions",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep (each

@@ -1023,3 +1023,52 @@ def test_dp_folds_single_scan_no_joins(plan_of):
             plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
         )
         assert n_joins == 0
+
+
+def test_geo_pack_bounded_frames_single_scans(plan_of):
+    """round10_geo: the hull reads lineitem ONCE into the cached
+    month frame (three logical legs, one scan via cache); the strip
+    closest-pair reads orders once per phase over the cached day
+    frame — both joins run on calendar-bounded frames, never rows."""
+    plan = plan_of("convex_hull_monthly")
+    assert plan.count("lineitem.parquet") <= 1
+    plan2 = plan_of("closest_pair_strip")
+    assert plan2.count("orders.parquet") <= 1
+
+
+def test_online_pack_single_scan_shapes(plan_of):
+    """round10_online: ski-rental and Kadane are one events/orders
+    scan each; Kadane has zero joins (pure 1-row fold)."""
+    assert plan_of("ski_rental_break_even").count("events.parquet") == 1
+    kad = plan_of("max_subarray_daily_kadane")
+    assert kad.count("orders.parquet") == 1
+    assert kad.count("SortMergeJoin") + kad.count("BroadcastHashJoin") == 0
+
+
+def test_secretary_two_table_join_shape(plan_of):
+    """round10_online: the secretary replay is one orders scan joined
+    to the broadcast customer dim, then partitioned windows only."""
+    plan = plan_of("secretary_stopping_audit")
+    assert plan.count("orders.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sched2_day_job_frame_shape(plan_of):
+    """round10_sched2: both queries build the 1995 day-job frame from
+    one orders scan + one lineitem scan (the lead join), then fold or
+    window over the calendar-bounded frame."""
+    for name in ("edd_lateness_audit", "moore_hodgson_late_jobs"):
+        plan = plan_of(name)
+        assert plan.count("lineitem.parquet") == 1
+        assert "PushedFilters" in plan
+
+
+def test_cache_pack_single_events_scan_no_windows_sparkside(plan_of):
+    """round10_cache: both queries are one events scan + the tiny
+    type-code dictionary join; the LRU curve has no corpus-row
+    windows on the Spark side (distances come from the per-key fold,
+    not lead/lag), and the histogram rollup is a plain aggregate."""
+    curve = plan_of("lru_stack_distance_hit_curve")
+    assert curve.count("events.parquet") <= 2  # stream + type dict
+    audit = plan_of("belady_opt_vs_lru_audit")
+    assert audit.count("events.parquet") <= 2

@@ -3189,3 +3189,607 @@ def test_hll_error_within_3sigma_on_large_sets():
     for n in (12_000, 40_000, 160_000):
         _, est = _hll_py(f"item_{i}" for i in range(n))
         assert abs(est - n) * 100_000 <= HLL_3SIGMA_1E5 * n, (n, est)
+
+
+# --------------------------------------------------------------------------
+# round-10 computational-geometry pack (plans/round10_geo.py)
+# --------------------------------------------------------------------------
+
+
+def _cross(o, a, b):
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _monotone_chain(pts):
+    """Andrew's monotone chain, vertex-minimal (strict turns only).
+    Returns the CCW vertex cycle starting at the lexicographic min."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+    lower, upper = [], []
+    for p in pts:
+        while len(lower) >= 2 and _cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    for p in reversed(pts):
+        while len(upper) >= 2 and _cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def _hull_edges_predicate(pts):
+    """The engine/oracle spelling: directed edge p->q is on the hull
+    iff every other point is strictly CCW of it or strictly inside
+    the segment (round10_geo's all-witness predicate)."""
+    pts = sorted(set(pts))
+    edges = set()
+    for p in pts:
+        for q in pts:
+            if p == q:
+                continue
+            ok = True
+            for r in pts:
+                if r in (p, q):
+                    continue
+                c = _cross(p, q, r)
+                if c > 0:
+                    continue
+                if c == 0:
+                    dot = (q[0] - p[0]) * (r[0] - p[0]) + (
+                        q[1] - p[1]
+                    ) * (r[1] - p[1])
+                    l2 = (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2
+                    if 0 < dot < l2:
+                        continue
+                ok = False
+                break
+            if ok:
+                edges.add((p, q))
+    return edges
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=3,
+        max_size=16,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_hull_edge_predicate_equals_monotone_chain(raw):
+    """round10_geo: the all-witness edge predicate (the engine AND
+    oracle spelling) yields exactly the CCW edge cycle of Andrew's
+    monotone chain — on random integer sets including collinear runs
+    and duplicates."""
+    pts = sorted(set(raw))
+    if len(pts) < 3:
+        return
+    hull = _monotone_chain(pts)
+    if len(hull) < 3:
+        # all points collinear: the vertex-minimal "hull" is the
+        # extreme segment; the predicate emits both directed edges
+        edges = _hull_edges_predicate(pts)
+        if len(hull) == 2:
+            assert edges == {(hull[0], hull[1]), (hull[1], hull[0])}
+        return
+    expect = {
+        (hull[i], hull[(i + 1) % len(hull)]) for i in range(len(hull))
+    }
+    assert _hull_edges_predicate(pts) == expect
+
+
+def test_hull_predicate_on_planted_square():
+    """round10_geo: square corners win; interior, edge-collinear and
+    duplicate points are excluded from the vertex-minimal hull."""
+    corners = [(0, 0), (4, 0), (4, 4), (0, 4)]
+    noise = [(2, 2), (2, 0), (0, 2), (4, 2), (2, 4), (0, 0), (2, 2)]
+    edges = _hull_edges_predicate(corners + noise)
+    assert edges == {
+        ((0, 0), (4, 0)),
+        ((4, 0), (4, 4)),
+        ((4, 4), (0, 4)),
+        ((0, 4), (0, 0)),
+    }
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_strip_prune_never_loses_the_closest_pair(raw):
+    """round10_geo: the closest pair always survives the strip prune —
+    d0 from x-sorted rank-adjacent pairs bounds the true min, and the
+    band |x1-x2|^2 <= d0 contains every optimal pair (the
+    closest_pair_strip two-phase vs the oracle's brute force)."""
+    pts = sorted(set(raw))
+    if len(pts) < 2:
+        return
+    d2 = lambda a, b: (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2  # noqa: E731
+    srt = sorted(pts)
+    d0 = min(d2(srt[i], srt[i + 1]) for i in range(len(srt) - 1))
+    brute = min(
+        d2(a, b) for i, a in enumerate(pts) for b in pts[i + 1 :]
+    )
+    strip = min(
+        d2(a, b)
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+        if (a[0] - b[0]) ** 2 <= d0
+    )
+    assert d0 >= brute
+    assert strip == brute
+
+
+# --------------------------------------------------------------------------
+# round-10 online-decision pack (plans/round10_online.py)
+# --------------------------------------------------------------------------
+
+
+def _kadane(devs):
+    """The engine fold: restart on cur < 0, best updates on strict >.
+    Returns (best, start_idx, end_idx), 1-based inclusive."""
+    i = cur = 0
+    cs, best, bs, be = 1, None, 0, 0
+    for d in devs:
+        i += 1
+        new_cur = d if cur < 0 else cur + d
+        new_cs = i if cur < 0 else cs
+        if best is None or new_cur > best:
+            best, bs, be = new_cur, new_cs, i
+        cur, cs = new_cur, new_cs
+    return best, bs, be
+
+
+@given(
+    devs=st.lists(
+        st.integers(min_value=-30, max_value=30), min_size=1, max_size=20
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_kadane_fold_matches_bruteforce_with_tie_rules(devs):
+    """round10_online: the Kadane fold equals the brute O(n^2) max
+    subarray under the documented tie rules (max sum, then earliest
+    end, then earliest start) — the same rules the oracle's
+    prefix-sum identity implements."""
+    best = None
+    for j in range(1, len(devs) + 1):
+        for i in range(1, j + 1):
+            s = sum(devs[i - 1 : j])
+            if best is None or s > best[0]:
+                best = (s, i, j)
+    kb, ks, ke = _kadane(devs)
+    assert (kb, ks, ke) == (best[0], best[1], best[2]) or (
+        kb == best[0]
+        and ke <= best[2]
+        and sum(devs[ks - 1 : ke]) == kb
+    )
+    # the strict form: recompute brute with (sum desc, end asc,
+    # start asc) and require exact equality
+    cands = [
+        (sum(devs[i - 1 : j]), j, i)
+        for j in range(1, len(devs) + 1)
+        for i in range(1, j + 1)
+    ]
+    s, j, i = max(cands, key=lambda t: (t[0], -t[1], -t[2]))
+    assert (kb, ke, ks) == (s, j, i)
+
+
+def _stock_spans(vals):
+    """O(n) monotonic-stack replay (the pytest twin of the engine's
+    last-strictly-greater join)."""
+    spans, stack = [], []  # stack: (value, index)
+    for i, v in enumerate(vals, 1):
+        while stack and stack[-1][0] <= v:
+            stack.pop()
+        spans.append(i - (stack[-1][1] if stack else 0))
+        stack.append((v, i))
+    return spans
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=15), min_size=1, max_size=30
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_stock_span_stack_equals_last_greater_join(vals):
+    """round10_online: the monotonic-stack replay equals the engine's
+    definition span_i = i - max{j < i : v_j > v_i} (0 when none)."""
+    expect = []
+    for i, v in enumerate(vals, 1):
+        lg = max(
+            (j for j in range(1, i) if vals[j - 1] > v), default=0
+        )
+        expect.append(i - lg)
+    assert _stock_spans(vals) == expect
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=100),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    obs_millis=st.sampled_from([370]),
+)
+@settings(max_examples=300, deadline=None)
+def test_secretary_replay_identities(vals, obs_millis):
+    """round10_online: the 1/e-rule replay — picked exists iff some
+    post-observation value strictly beats the observed max, and
+    success iff the FIRST such value is the global max."""
+    n = len(vals)
+    r = -(-n * obs_millis // 1000)  # ceil
+    thr = max(vals[:r]) if r else None
+    later = vals[r:]
+    picked = next((v for v in later if v > thr), None)
+    success = picked is not None and picked == max(vals)
+    # identity 1: no pick iff the observed max dominates the rest
+    assert (picked is None) == (not later or max(later) <= thr)
+    # identity 2: if the global max sits inside the observation
+    # window it can never be picked
+    if vals.index(max(vals)) < r:
+        assert not success
+    # identity 3: success iff the first post-window record-breaker is
+    # the global argmax
+    if picked is not None:
+        assert success == (picked == max(vals))
+
+
+@given(v=st.integers(min_value=1, max_value=200))
+@settings(max_examples=200, deadline=None)
+def test_ski_rental_break_even_bound(v):
+    """round10_online: break-even rent-then-buy costs v below B and
+    2B-1 from B on, the offline optimum is min(v, B), and the ratio
+    never exceeds (2B-1)/B — checked in integers (cross-multiplied)."""
+    from big_data_virus_analysis_spark.plans.round10_online import SKI_B
+
+    b = SKI_B
+    # day-by-day simulation of the break-even strategy
+    cost = 0
+    for day in range(1, v + 1):
+        if day < b:
+            cost += 1  # rent
+        else:
+            cost += b  # buy on day B
+            break
+    online = v if v <= b - 1 else (b - 1) + b
+    assert cost == online
+    opt = min(v, b)
+    assert online * b <= (2 * b - 1) * opt
+
+
+# --------------------------------------------------------------------------
+# round-10 due-date scheduling pack (plans/round10_sched2.py)
+# --------------------------------------------------------------------------
+
+
+def _lmax(seq):
+    """Max lateness of (p, due) jobs in the given order."""
+    t, worst = 0, None
+    for p, due in seq:
+        t += p
+        worst = t - due if worst is None else max(worst, t - due)
+    return worst
+
+
+@given(
+    jobs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),
+            st.integers(min_value=1, max_value=60),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_edd_minimizes_max_lateness(jobs):
+    """round10_sched2: Jackson's rule — EDD's Lmax is minimal over
+    ALL permutations on brute-forceable instances, hence <= the
+    arrival and SPT orderings the audit emits."""
+    from itertools import permutations
+
+    edd = _lmax(sorted(jobs, key=lambda j: (j[1], j[0])))
+    opt = min(_lmax(perm) for perm in permutations(jobs))
+    assert edd == opt
+    assert edd <= _lmax(jobs)
+    assert edd <= _lmax(sorted(jobs, key=lambda j: (j[0], j[1])))
+
+
+def _moore_hodgson(jobs):
+    """The engine fold: EDD walk, eject the largest accepted p on
+    overshoot.  jobs = [(p, due)] already EDD-sorted.  Returns
+    (kept_sorted, total, dropped, invariant_ok)."""
+    lst, tot, dropped, ok = [], 0, 0, True
+    for p, due in jobs:
+        if tot + p <= due:
+            lst = sorted(lst + [p])
+            tot += p
+        else:
+            merged = sorted(lst + [p])
+            tot = tot + p - merged[-1]
+            lst = merged[:-1]
+            dropped += 1
+            ok = ok and tot <= due
+    return lst, tot, dropped, ok
+
+
+@given(
+    jobs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=15),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_moore_hodgson_is_optimal_and_feasible(jobs):
+    """round10_sched2: the fold's on-time count equals the brute-force
+    maximum feasible subset (a set is feasible iff EDD-sequencing it
+    meets every due date — the classical reduction), and the emitted
+    step invariant always holds."""
+    from itertools import combinations
+
+    edd = sorted(jobs, key=lambda j: (j[1], j[0]))
+
+    def feasible(sub):
+        t = 0
+        for p, due in sorted(sub, key=lambda j: (j[1], j[0])):
+            t += p
+            if t > due:
+                return False
+        return True
+
+    brute = max(
+        (len(sub) for k in range(len(jobs) + 1)
+         for sub in combinations(jobs, k) if feasible(sub)),
+        default=0,
+    )
+    lst, tot, dropped, ok = _moore_hodgson(edd)
+    assert len(lst) == brute
+    assert len(lst) + dropped == len(jobs)
+    assert tot == sum(lst)
+    assert ok
+
+
+# --------------------------------------------------------------------------
+# round-10 cache-replacement pack (plans/round10_cache.py)
+# --------------------------------------------------------------------------
+
+
+def _mattson_distances(seq):
+    """Move-to-front recency-list replay (the engine fold): returns
+    the stack distance per access (None = cold miss)."""
+    lst, out = [], []
+    for t in seq:
+        if t in lst:
+            d = lst.index(t) + 1
+            out.append(d)
+            lst.remove(t)
+        else:
+            out.append(None)
+        lst.insert(0, t)
+    return out
+
+
+def _lru_sim_hits(seq, k):
+    """Direct LRU simulation at one fixed cache size."""
+    lst, hits = [], 0
+    for t in seq:
+        if t in lst:
+            hits += 1
+            lst.remove(t)
+        lst.insert(0, t)
+        lst = lst[:k]
+    return hits
+
+
+def _belady_hits(seq, k):
+    """Clairvoyant OPT replay with the pack's unique next-use keys."""
+    n = len(seq)
+    nxt, last = [0] * n, {}
+    for i in range(n - 1, -1, -1):
+        nxt[i] = last.get(seq[i], 1_000_000 + (i + 1))
+        last[seq[i]] = i + 1
+    cache, hits = {}, 0
+    for i, t in enumerate(seq):
+        if t in cache:
+            hits += 1
+        elif len(cache) >= k:
+            victim = max(cache, key=lambda q: cache[q])
+            del cache[victim]
+        cache[t] = nxt[i]
+    return hits
+
+
+@given(
+    seq=st.lists(
+        st.integers(min_value=1, max_value=5), min_size=1, max_size=60
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=300, deadline=None)
+def test_mattson_curve_equals_direct_lru_simulation(seq, k):
+    """round10_cache: hits at cache size k from the stack-distance
+    histogram (count of distances <= k) equal a direct LRU simulation
+    at that k — Mattson's inclusion property, the identity the
+    one-pass hit curve rests on."""
+    dists = _mattson_distances(seq)
+    assert sum(1 for d in dists if d is not None and d <= k) == (
+        _lru_sim_hits(seq, k)
+    )
+    # cold misses = first touches = distinct items
+    assert sum(1 for d in dists if d is None) == len(set(seq))
+
+
+@given(
+    seq=st.lists(
+        st.integers(min_value=1, max_value=5), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_distinct_identity_equals_recency_list(seq):
+    """round10_cache: the ORACLE's spelling — stack distance = 1 +
+    count of in-between accesses that are their type's last occurrence
+    before position i — equals the recency-list distance."""
+    dists = _mattson_distances(seq)
+    prev = {}
+    for i, t in enumerate(seq, 1):
+        if t in prev:
+            j = prev[t]
+            cnt = 0
+            for m in range(j + 1, i):
+                tm = seq[m - 1]
+                nxt = next(
+                    (x for x in range(m + 1, len(seq) + 1)
+                     if seq[x - 1] == tm),
+                    10**9,
+                )
+                if nxt >= i:
+                    cnt += 1
+            assert dists[i - 1] == 1 + cnt
+        else:
+            assert dists[i - 1] is None
+        prev[t] = i
+
+
+@given(
+    seq=st.lists(
+        st.integers(min_value=1, max_value=6), min_size=1, max_size=50
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_belady_dominates_lru_and_any_policy_bound(seq, k):
+    """round10_cache: Belady's theorem exercised end-to-end — the
+    clairvoyant replay's hits are >= LRU's at the same cache size,
+    and both are bounded by accesses minus distinct items."""
+    opt = _belady_hits(seq, k)
+    lru = _lru_sim_hits(seq, k)
+    assert opt >= lru
+    assert opt <= len(seq) - len(set(seq))
+    # with the alphabet inside the cache, every policy is perfect
+    if len(set(seq)) <= k:
+        assert opt == lru == len(seq) - len(set(seq))
+
+
+# --------------------------------------------------------------------------
+# round-10 two-sided matching pack (plans/round10_match.py)
+# --------------------------------------------------------------------------
+
+
+def _gs_sequential(pref, rrank):
+    """McVitie-Wilson replay (the engine fold): lowest-coded free
+    proposer next.  pref[s][k] = s's k-th choice (0-based lists of
+    1-based codes); rrank[r][s-1] = r's rank of s.  Returns
+    (match s->r dict, n_proposals)."""
+    n = len(pref)
+    sm, rm, pt = {}, {}, [0] * n
+    steps = 0
+    while True:
+        s = next(
+            (i + 1 for i in range(n) if i + 1 not in sm and pt[i] < n),
+            None,
+        )
+        if s is None:
+            return sm, steps
+        r = pref[s - 1][pt[s - 1]]
+        pt[s - 1] += 1
+        steps += 1
+        inc = rm.get(r)
+        if inc is None or rrank[r - 1][s - 1] < rrank[r - 1][inc - 1]:
+            if inc is not None:
+                del sm[inc]
+            sm[s], rm[r] = r, s
+        # else rejected: loop
+
+
+def _stable_optimal_brute(pref, rrank):
+    """The ORACLE's algorithm: enumerate all matchings, filter
+    stable, take each proposer's best stable partner."""
+    from itertools import permutations
+
+    n = len(pref)
+    seg_rank = {
+        (s, r): pref[s - 1].index(r) + 1
+        for s in range(1, n + 1)
+        for r in range(1, n + 1)
+    }
+    stable = []
+    for perm in permutations(range(1, n + 1)):
+        ok = True
+        for s in range(1, n + 1):
+            for r in range(1, n + 1):
+                if perm[s - 1] == r:
+                    continue
+                # blocking pair: both strictly prefer each other
+                if seg_rank[(s, r)] < seg_rank[(s, perm[s - 1])] and (
+                    rrank[r - 1][s - 1]
+                    < rrank[r - 1][perm.index(r)]
+                ):
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            stable.append(perm)
+    assert stable  # G-S theorem: a stable matching always exists
+    return {
+        s: min(
+            (seg_rank[(s, perm[s - 1])], perm[s - 1]) for perm in stable
+        )[1]
+        for s in range(1, n + 1)
+    }
+
+
+@given(data=st.data())
+@settings(max_examples=120, deadline=None)
+def test_gale_shapley_fold_equals_stable_lattice_brute(data):
+    """round10_match: the sequential G-S replay equals the oracle's
+    segment-optimal stable matching on random 4x4/5x5 preference
+    matrices (the lattice theorem, exercised end-to-end), terminates
+    within n(n-1)+1 proposals, and is blocking-pair-free."""
+    import random as _random
+
+    n = data.draw(st.integers(min_value=2, max_value=5))
+    seed = data.draw(st.integers(min_value=0, max_value=10**6))
+    rng = _random.Random(seed)
+    pref = [rng.sample(range(1, n + 1), n) for _ in range(n)]
+    rperm = [rng.sample(range(1, n + 1), n) for _ in range(n)]
+    # rrank[r][s-1] = rank of s in r's preference order
+    rrank = [
+        [rperm[r].index(s + 1) + 1 for s in range(n)] for r in range(n)
+    ]
+    sm, steps = _gs_sequential(pref, rrank)
+    assert steps <= n * (n - 1) + 1
+    assert len(sm) == n
+    assert sm == _stable_optimal_brute(pref, rrank)
+    # no blocking pair in the G-S outcome
+    seg_rank = {
+        (s, r): pref[s - 1].index(r) + 1
+        for s in range(1, n + 1)
+        for r in range(1, n + 1)
+    }
+    rm = {r: s for s, r in sm.items()}
+    for s in range(1, n + 1):
+        for r in range(1, n + 1):
+            if sm[s] == r:
+                continue
+            assert not (
+                seg_rank[(s, r)] < seg_rank[(s, sm[s])]
+                and rrank[r - 1][s - 1] < rrank[r - 1][rm[r] - 1]
+            )
