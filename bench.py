@@ -198,6 +198,9 @@ HEADLINE = [
     "belady_opt_vs_lru_audit",
     # round-10 session-2: the G-S fold + 25-cell preference build
     "stable_matching_segments_regions",
+    # round-10 session-2: one-scan pure-map agreement statistics
+    "fleiss_kappa_rules",
+    "krippendorff_alpha_rules",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is

@@ -5161,6 +5161,10 @@ from .round10_match import SPECS as _ROUND10_MATCH_SPECS  # noqa: E402
 
 _register_pack(_ROUND10_MATCH_SPECS)
 
+from .round10_agree import SPECS as _ROUND10_AGREE_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_AGREE_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -1072,3 +1072,17 @@ def test_cache_pack_single_events_scan_no_windows_sparkside(plan_of):
     assert curve.count("events.parquet") <= 2  # stream + type dict
     audit = plan_of("belady_opt_vs_lru_audit")
     assert audit.count("events.parquet") <= 2
+
+
+def test_agreement_pack_single_scan_pure_map(plan_of):
+    """round10_agree: both statistics are ONE documents scan, a pure
+    column-predicate map, and a single hash aggregate — no joins, no
+    windows, no second pass."""
+    for name in ("fleiss_kappa_rules", "krippendorff_alpha_rules"):
+        plan = plan_of(name)
+        assert plan.count("documents.parquet") == 1
+        assert (
+            plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+            == 0
+        )
+        assert "Window" not in plan

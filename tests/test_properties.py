@@ -3793,3 +3793,100 @@ def test_gale_shapley_fold_equals_stable_lattice_brute(data):
                 seg_rank[(s, r)] < seg_rank[(s, sm[s])]
                 and rrank[r - 1][s - 1] < rrank[r - 1][rm[r] - 1]
             )
+
+
+# --------------------------------------------------------------------------
+# round-10 inter-rater agreement pack (plans/round10_agree.py)
+# --------------------------------------------------------------------------
+
+
+def _fleiss_int(counts, m):
+    """The engine's exact integer Fleiss kappa: (num, den)."""
+    n = len(counts)
+    s1 = sum(c for c in counts)
+    s0 = n * m - s1
+    a = sum(c * (c - 1) + (m - c) * (m - c - 1) for c in counts)
+    nm = n * m
+    num = a * nm * nm - n * m * (m - 1) * (s1 * s1 + s0 * s0)
+    den = n * m * (m - 1) * (nm * nm - s1 * s1 - s0 * s0)
+    return num, den
+
+
+def _alpha_int(counts, m):
+    """The engine's exact integer Krippendorff alpha: (num, den)."""
+    n = len(counts)
+    s1 = sum(counts)
+    s0 = n * m - s1
+    d = sum(c * (m - c) for c in counts)
+    num = (m - 1) * s0 * s1 - d * (n * m - 1)
+    den = (m - 1) * s0 * s1
+    return num, den
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=3), min_size=3, max_size=60
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_fleiss_integer_formula_matches_float_reference(counts):
+    """round10_agree: the integer num/den equals the textbook float
+    Fleiss kappa (P-bar - Pe)/(1 - Pe) on random 3-rater matrices."""
+    m = 3
+    n = len(counts)
+    s1 = sum(counts)
+    if s1 == 0 or s1 == n * m:
+        return  # degenerate: Pe = 1, kappa undefined (den = 0)
+    pbar = sum(
+        (c * (c - 1) + (m - c) * (m - c - 1)) / (m * (m - 1))
+        for c in counts
+    ) / n
+    p1 = s1 / (n * m)
+    pe = p1 * p1 + (1 - p1) * (1 - p1)
+    num, den = _fleiss_int(counts, m)
+    assert den > 0
+    assert abs(num / den - (pbar - pe) / (1 - pe)) < 1e-9
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=3), min_size=3, max_size=60
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_alpha_integer_formula_matches_float_reference(counts):
+    """round10_agree: the integer num/den equals the coincidence-
+    matrix Krippendorff alpha 1 - Do/De on random 3-rater matrices,
+    and perfect agreement gives exactly 1."""
+    m = 3
+    n = len(counts)
+    s1 = sum(counts)
+    if s1 == 0 or s1 == n * m:
+        return  # De = 0: alpha undefined (den = 0)
+    d = sum(c * (m - c) for c in counts)
+    do = 2 * d / (n * m * (m - 1))
+    nm = n * m
+    de = 2 * s1 * (nm - s1) / (nm * (nm - 1))
+    num, den = _alpha_int(counts, m)
+    assert den > 0
+    assert abs(num / den - (1 - do / de)) < 1e-9
+    # perfect agreement (all 0 or all 3 per item, mixed across items)
+    perfect = [0, 3, 3, 0, 3]
+    pn, pd = _alpha_int(perfect, m)
+    assert pn == pd  # alpha == 1 exactly
+    fn, fd = _fleiss_int(perfect, m)
+    assert fn == fd  # kappa == 1 exactly
+
+
+def test_agreement_single_flip_strictly_lowers_both():
+    """round10_agree: flipping one rater's vote on one unanimous item
+    strictly lowers both statistics (sensitivity check on the exact
+    rationals, no floats)."""
+    from fractions import Fraction
+
+    base = [3, 0, 3, 0, 3, 0]
+    flipped = [2, 0, 3, 0, 3, 0]
+    for fn in (_fleiss_int, _alpha_int):
+        n0, d0 = fn(base, 3)
+        n1, d1 = fn(flipped, 3)
+        assert Fraction(n1, d1) < Fraction(n0, d0) == 1
