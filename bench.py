@@ -201,6 +201,8 @@ HEADLINE = [
     # round-10 session-2: one-scan pure-map agreement statistics
     "fleiss_kappa_rules",
     "krippendorff_alpha_rules",
+    # round-10 session-2: char explode + bounded optimal-merge fold
+    "huffman_code_cost_chars",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is

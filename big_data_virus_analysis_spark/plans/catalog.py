@@ -5165,6 +5165,10 @@ from .round10_agree import SPECS as _ROUND10_AGREE_SPECS  # noqa: E402
 
 _register_pack(_ROUND10_AGREE_SPECS)
 
+from .round10_huffman import SPECS as _ROUND10_HUFFMAN_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_HUFFMAN_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

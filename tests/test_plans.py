@@ -1086,3 +1086,12 @@ def test_agreement_pack_single_scan_pure_map(plan_of):
             == 0
         )
         assert "Window" not in plan
+
+
+def test_huffman_single_scan_bounded_fold(plan_of):
+    """round10_huffman: one documents scan, the char hash aggregate,
+    and a constant-size fold — no joins, no windows."""
+    plan = plan_of("huffman_code_cost_chars")
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 0
+    assert "Window" not in plan

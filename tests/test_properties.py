@@ -3890,3 +3890,73 @@ def test_agreement_single_flip_strictly_lowers_both():
         n0, d0 = fn(base, 3)
         n1, d1 = fn(flipped, 3)
         assert Fraction(n1, d1) < Fraction(n0, d0) == 1
+
+
+# --------------------------------------------------------------------------
+# round-10 optimal-coding pack (plans/round10_huffman.py)
+# --------------------------------------------------------------------------
+
+
+def _huffman_fold(ws):
+    """The engine fold: acc = [cost] + sorted weights; merge the two
+    smallest until one remains.  Returns the total merge cost."""
+    acc = [0] + sorted(ws)
+    while len(acc) > 2:
+        m = acc[1] + acc[2]
+        acc = [acc[0] + m] + sorted(acc[3:] + [m])
+    return acc[0]
+
+
+def _min_merge_cost_brute(ws):
+    """Minimum total cost over ALL pairwise merge orders (the
+    optimal-merge-pattern theorem says Huffman attains it)."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def rec(t):
+        if len(t) == 1:
+            return 0
+        best = None
+        for i in range(len(t)):
+            for j in range(i + 1, len(t)):
+                m = t[i] + t[j]
+                rest = tuple(
+                    sorted(t[:i] + t[i + 1 : j] + t[j + 1 :] + (m,))
+                )
+                c = m + rec(rest)
+                if best is None or c < best:
+                    best = c
+        return best
+
+    return rec(tuple(sorted(ws)))
+
+
+@given(
+    ws=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=1, max_size=6
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_huffman_fold_is_optimal_merge_pattern(ws):
+    """round10_huffman: the list fold equals the brute-force minimum
+    over all merge orders (Huffman's optimality), and both emitted
+    dominance bounds hold."""
+    import heapq
+    import math
+
+    cost = _huffman_fold(ws)
+    assert cost == _min_merge_cost_brute(ws)
+    # heapq reference
+    h = sorted(ws)
+    heapq.heapify(h)
+    ref = 0
+    while len(h) > 1:
+        a, b = heapq.heappop(h), heapq.heappop(h)
+        ref += a + b
+        heapq.heappush(h, a + b)
+    assert cost == ref
+    n, total = len(ws), sum(ws)
+    k = sum(1 for j in range(0, 63) if (1 << j) < n)
+    assert k == (math.ceil(math.log2(n)) if n >= 2 else 0)
+    assert cost <= total * k or n < 2
+    assert cost >= total or n < 2
