@@ -203,6 +203,8 @@ HEADLINE = [
     "krippendorff_alpha_rules",
     # round-10 session-2: char explode + bounded optimal-merge fold
     "huffman_code_cost_chars",
+    # round-10 session-2: hull predicate + hull-vertex pair max
+    "farthest_pair_diameter",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is

@@ -417,6 +417,9 @@ BNLJ_ALLOWED = {
     # round 10: 1-row blocking-pair certificate broadcast onto the
     # 5-row matched frame (constant-size matching algebra)
     "stable_matching_segments_regions",
+    # round 10: month-frame (~84 rows) hull predicate + hull-vertex
+    # pair joins + 1-row count broadcasts (round10_geo precedent)
+    "farthest_pair_diameter",
 }
 
 #: queries whose unpartitioned Window is over a frame bounded by the

@@ -1095,3 +1095,10 @@ def test_huffman_single_scan_bounded_fold(plan_of):
     assert plan.count("documents.parquet") == 1
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 0
     assert "Window" not in plan
+
+
+def test_farthest_pair_single_scan(plan_of):
+    """round10_geo2: one lineitem scan into the cached month frame;
+    hull predicate + vertex-pair max all run on bounded frames."""
+    plan = plan_of("farthest_pair_diameter")
+    assert plan.count("lineitem.parquet") <= 1

@@ -3960,3 +3960,51 @@ def test_huffman_fold_is_optimal_merge_pattern(ws):
     assert k == (math.ceil(math.log2(n)) if n >= 2 else 0)
     assert cost <= total * k or n < 2
     assert cost >= total or n < 2
+
+
+# --------------------------------------------------------------------------
+# round-10 geometry pack part 2 (plans/round10_geo2.py)
+# --------------------------------------------------------------------------
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=-25, max_value=25),
+            st.integers(min_value=-25, max_value=25),
+        ),
+        min_size=2,
+        max_size=18,
+    )
+)
+@settings(max_examples=250, deadline=None)
+def test_diameter_attained_on_hull_vertices(raw):
+    """round10_geo2: the farthest pair over HULL VERTICES equals the
+    all-pairs farthest pair (Shamos' diameter-on-hull theorem), with
+    the lexicographic-smallest tie rule matching both spellings."""
+    pts = sorted(set(raw))
+    if len(pts) < 2:
+        return
+    d2 = lambda a, b: (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2  # noqa: E731
+    all_pairs = [
+        (a, b) for i, a in enumerate(pts) for b in pts[i + 1 :]
+    ]
+    best = max(d2(a, b) for a, b in all_pairs)
+    best_pair = min((a, b) for a, b in all_pairs if d2(a, b) == best)
+    if len(pts) == 2 or len(_monotone_chain(pts)) < 3:
+        hv = {pts[0], pts[-1]} if len(_monotone_chain(pts)) <= 2 else set(
+            _monotone_chain(pts)
+        )
+        # collinear sets: extremes are the diameter
+        assert d2(pts[0], pts[-1]) == best
+        return
+    hv = sorted({e[0] for e in _hull_edges_predicate(pts)})
+    hull_pairs = [
+        (a, b) for i, a in enumerate(hv) for b in hv[i + 1 :]
+    ]
+    hull_best = max(d2(a, b) for a, b in hull_pairs)
+    assert hull_best == best
+    hull_pair = min(
+        (a, b) for a, b in hull_pairs if d2(a, b) == hull_best
+    )
+    assert hull_pair == best_pair
