@@ -205,6 +205,8 @@ HEADLINE = [
     "huffman_code_cost_chars",
     # round-10 session-2: hull predicate + hull-vertex pair max
     "farthest_pair_diameter",
+    # round-10 session-2: two-slot majority fold + certificate pass
+    "boyer_moore_majority_events",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is

@@ -5173,6 +5173,10 @@ from .round10_geo2 import SPECS as _ROUND10_GEO2_SPECS  # noqa: E402
 
 _register_pack(_ROUND10_GEO2_SPECS)
 
+from .round10_majority import SPECS as _ROUND10_MAJORITY_SPECS  # noqa: E402
+
+_register_pack(_ROUND10_MAJORITY_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

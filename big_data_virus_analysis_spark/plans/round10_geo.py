@@ -197,10 +197,6 @@ def _q_closest_pair_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     pts = tracked_cache(_daily_points(spark, sf_dir))
-    d2 = (
-        "(CAST(a.x - b.x AS DECIMAL(38,0)) * CAST(a.x - b.x AS DECIMAL(38,0))"
-        " + CAST(a.y - b.y AS DECIMAL(38,0)) * CAST(a.y - b.y AS DECIMAL(38,0)))"
-    )
     # phase 1: rank-adjacent upper bound d0 (one partitioned-free
     # window over the bounded day frame is the documented exception —
     # the frame is calendar-bounded, matrix_profile precedent)

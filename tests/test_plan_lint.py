@@ -496,6 +496,7 @@ GLOBAL_WINDOW_ALLOWED = {
     # (|alphabet| rows at any SF — the type-code dictionary)
     "lru_stack_distance_hit_curve",
     "belady_opt_vs_lru_audit",
+    "boyer_moore_majority_events",
     # round 10: dense_rank code assignment over the 25-cell
     # (segment x region) preference frame
     "stable_matching_segments_regions",

@@ -1102,3 +1102,10 @@ def test_farthest_pair_single_scan(plan_of):
     hull predicate + vertex-pair max all run on bounded frames."""
     plan = plan_of("farthest_pair_diameter")
     assert plan.count("lineitem.parquet") <= 1
+
+
+def test_boyer_moore_single_scan_shape(plan_of):
+    """round10_majority: one events scan + the tiny type dictionary;
+    fold and certificate run in one per-user projection."""
+    plan = plan_of("boyer_moore_majority_events")
+    assert plan.count("events.parquet") <= 2  # stream + type dict

@@ -4008,3 +4008,54 @@ def test_diameter_attained_on_hull_vertices(raw):
         (a, b) for a, b in hull_pairs if d2(a, b) == hull_best
     )
     assert hull_pair == best_pair
+
+
+# --------------------------------------------------------------------------
+# round-10 streaming-majority pack (plans/round10_majority.py)
+# --------------------------------------------------------------------------
+
+
+def _boyer_moore(seq):
+    """The engine fold: two-slot (candidate, counter) replay."""
+    cand, cnt = 0, 0
+    for t in seq:
+        if cnt == 0:
+            cand, cnt = t, 1
+        elif cand == t:
+            cnt += 1
+        else:
+            cnt -= 1
+    return cand
+
+
+@given(
+    seq=st.lists(
+        st.integers(min_value=1, max_value=4), min_size=1, max_size=50
+    )
+)
+@settings(max_examples=400, deadline=None)
+def test_boyer_moore_finds_every_true_majority(seq):
+    """round10_majority: if an element holds > n/2 occurrences the
+    fold's candidate IS it (the Boyer-Moore theorem), and the
+    second-pass certificate is exact either way."""
+    from collections import Counter
+
+    cand = _boyer_moore(seq)
+    counts = Counter(seq)
+    top, occ = counts.most_common(1)[0]
+    if occ * 2 > len(seq):
+        assert cand == top
+    # the certificate: is_true_majority <=> brute count > n/2
+    assert (seq.count(cand) * 2 > len(seq)) == (
+        counts[cand] * 2 > len(seq)
+    )
+
+
+def test_boyer_moore_planted_and_adversarial():
+    """round10_majority: planted majority found through arbitrary
+    interleavings; the no-majority alternating stream certifies
+    False."""
+    assert _boyer_moore([2, 1, 2, 3, 2, 2, 1, 2]) == 2  # 5/8 majority
+    no_maj = [1, 2, 1, 2, 1, 2]
+    cand = _boyer_moore(no_maj)
+    assert no_maj.count(cand) * 2 <= len(no_maj)
