@@ -892,7 +892,15 @@ def test_jarque_bera_central_from_raw_moments(ys):
     scale = max(1.0, float((d**2).mean()) ** 2)
     assert abs(m2 - (d**2).mean()) < 1e-7 * max(1.0, (d**2).mean())
     assert abs(m3 - (d**3).mean()) < 1e-6 * max(1.0, abs((d**3).mean()), scale)
-    assert abs(m4 - (d**4).mean()) < 1e-6 * max(1.0, (d**4).mean())
+    # the raw-moment expansion cancels catastrophically when the mean
+    # dwarfs the spread (e.g. ys around 600 with range 9): the float
+    # error scales with the RAW fourth moment times machine epsilon,
+    # not with the central moment, so the tolerance must carry that
+    # term (hypothesis found ys=[596,598,602,602,605] at 1.07e-6
+    # relative)
+    assert abs(m4 - (d**4).mean()) < 1e-6 * max(1.0, (d**4).mean()) + (
+        1e-13 * float((np.abs(y) ** 4).mean())
+    )
     skew = m3 / (m2 * np.sqrt(m2))
     exk = m4 / (m2 * m2) - 3.0
     jb = n / 6.0 * (skew**2 + exk**2 / 4.0)
