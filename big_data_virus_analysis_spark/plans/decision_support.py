@@ -751,10 +751,13 @@ def _q_shiplag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SHIPLAG_PRIORITY_COUNTS = """
 SELECT least(CAST(greatest(floor(date_diff('day', o_orderdate, l_shipdate)
                            / 30.0), 0) AS BIGINT), 3) AS lag_bucket,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_priority_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_priority_count
+       -- DuckDB sum() over INTEGER returns HUGEINT; the driver's fetch
+       -- path renders int128 differently from Spark's int64 and the value
+       -- hash breaks even when counts match (r10 verdict, latent 4th).
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'

@@ -789,7 +789,10 @@ removed AS (
   FROM jacc JOIN ths ON jaccard >= threshold
   GROUP BY threshold
 ), totals AS (SELECT count(*) AS n_docs FROM documents)
-SELECT t.threshold,
+-- threshold is a VALUES literal => DECIMAL(2,1) in DuckDB while Spark
+-- emits DOUBLE; the r11 oracle-type lint hard-fails decimal-vs-double
+-- final projections (driver-parity), so cast explicitly.
+SELECT CAST(t.threshold AS DOUBLE) AS threshold,
        CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
        round(1.0 - CAST(coalesce(r.n_removed, 0) AS DOUBLE)
                    / CAST(n_docs AS DOUBLE), 6) AS retention_frac

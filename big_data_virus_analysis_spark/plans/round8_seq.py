@@ -255,7 +255,9 @@ WITH base AS (
 SELECT CAST(n_calib AS BIGINT) AS n_calib,
        CAST(n_test AS BIGINT) AS n_test,
        threshold_dollars, coverage,
-       {1.0 - _CONF_ALPHA} AS target,
+       -- bare 0.9 literal is DECIMAL(2,1) in DuckDB vs Spark's DOUBLE;
+       -- the r11 oracle-type lint hard-fails decimal-vs-double outputs
+       CAST({1.0 - _CONF_ALPHA} AS DOUBLE) AS target,
        coverage >= {1.0 - _CONF_ALPHA} - 0.02 AS coverage_ok
 FROM cov
 """

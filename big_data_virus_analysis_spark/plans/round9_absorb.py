@@ -214,7 +214,13 @@ WITH pairs AS (
         prev = f"pm{t}"
     parts.append(
         f"""
-SELECT cur AS state, p AS p_absorb_micro, m AS unabsorbed_micro,
+SELECT cur AS state,
+       -- sum() over BIGINT yields HUGEINT in DuckDB; the driver's fetch
+       -- path renders int128 differently from Spark's int64 (r10 verdict:
+       -- hash broke on type, values bit-identical).  Values fit in int64
+       -- by construction (micro-units <= ABSORB_SCALE), so narrow the
+       -- FINAL projection back to BIGINT.
+       CAST(p AS BIGINT) AS p_absorb_micro, CAST(m AS BIGINT) AS unabsorbed_micro,
        round(CAST(p AS DOUBLE) / {ABSORB_SCALE}, 4) AS p_convert
 FROM {prev}
 ORDER BY state

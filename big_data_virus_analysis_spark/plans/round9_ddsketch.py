@@ -117,10 +117,14 @@ def _sql_ddsketch() -> str:
     legs = []
     for qname, num, den in DD_QUANTILES:
         legs.append(
-            f"""SELECT '{qname}' AS q, n AS n_rows, min(b) AS bucket,
+            f"""SELECT '{qname}' AS q,
+       -- window sum() over BIGINT is HUGEINT in DuckDB; narrow the FINAL
+       -- projection to BIGINT (values are plain row counts — r10 verdict:
+       -- the driver hash breaks on int128 output even when values match).
+       CAST(n AS BIGINT) AS n_rows, min(b) AS bucket,
        round(2.0 * exp(CAST(min(b) AS DOUBLE) * {DD_LOG_GAMMA!r})
              / {DD_GAMMA + 1.0!r} / 100.0, 4) AS est_price,
-       {round(DD_REL_ERR, 6)!r} AS rel_err_bound
+       CAST({round(DD_REL_ERR, 6)!r} AS DOUBLE) AS rel_err_bound
 FROM cum WHERE cum >= (n * {num} + {den - 1}) // {den}
 GROUP BY n"""
         )

@@ -133,7 +133,12 @@ WITH daily AS MATERIALIZED (
 )"""
         )
     legs = "\nUNION ALL\n".join(
-        f"""SELECT {lvl} AS level, CAST(pos AS BIGINT) AS pos, d AS coef,
+        # d is a DuckDB sum() over BIGINT => HUGEINT; the driver renders
+        # int128 output differently from Spark's int64 and the hash breaks
+        # (r10 verdict).  Coefficients fit in int64 (|d| <= 1024 * daily
+        # totals), so the FINAL projection narrows back to BIGINT.
+        f"""SELECT {lvl} AS level, CAST(pos AS BIGINT) AS pos,
+       CAST(d AS BIGINT) AS coef,
        CAST(d AS HUGEINT) * d * {2 ** (HAAR_LEVELS - lvl)} AS _e,
        round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
              / {float(2 ** lvl)}, 4) AS energy_norm

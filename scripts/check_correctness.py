@@ -1,8 +1,18 @@
 """Local stand-in for the driver's t2 correctness gate.
 
 Runs every ``queries()`` entry at sf0.01 on Spark AND its DuckDB oracle
-SQL, then compares row count, column names, and an order-insensitive
-value hash.  Exit code 1 if any oracle-checked query mismatches.
+SQL, then compares row count, column names, an order-insensitive value
+hash, AND (round 11, driver parity) the output TYPES of the two final
+projections via ``plans/oracle_typecheck.divergences``.  The r10 driver
+window proved the value-normalizing hash alone is more permissive than
+the driver it stands in for: three queries were value-identical but
+emitted DuckDB HUGEINT, which the driver renders differently from
+Spark's int64 and fails.  A HARD type divergence (HUGEINT anywhere,
+decimal-vs-double, class mismatch) now fails the query here too, even
+when normalized values match; soft divergences (int width, decimal
+precision — driver-tolerated for 10 rounds) are recorded in the JSON.
+
+Exit code 1 if any oracle-checked query mismatches.
 
 Usage: python scripts/check_correctness.py [name ...]
        python scripts/check_correctness.py --json OUT.json [name ...]
@@ -62,6 +72,7 @@ def _hash(rows, cols_sorted_idx) -> str:
 
 def main() -> None:
     from big_data_virus_analysis_spark.plans.catalog import CATALOG, oracle_sql
+    from big_data_virus_analysis_spark.plans.oracle_typecheck import divergences
     from big_data_virus_analysis_spark.session import get_spark
 
     args = sys.argv[1:]
@@ -103,6 +114,9 @@ def main() -> None:
             print(f"rows-only {name}: {len(srows)} rows")
             continue
         try:
+            rel = con.sql(osql[name])
+            otypes = list(rel.types)
+            otype_cols = list(rel.columns)
             cur = con.execute(osql[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
@@ -111,9 +125,12 @@ def main() -> None:
             results[name] = {"status": "duckdb_error", "err": str(e)[:300]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
+        hard_types, soft_types = divergences(sdf.schema, otype_cols, otypes)
         ok = True
         why = None
-        if sorted(scols) != sorted(ocols):
+        if hard_types:
+            why = "type divergence: " + "; ".join(hard_types)
+        elif sorted(scols) != sorted(ocols):
             why = f"schema: spark={sorted(scols)} oracle={sorted(ocols)}"
         elif len(srows) != len(orows):
             why = f"rows: spark={len(srows)} oracle={len(orows)}"
@@ -131,6 +148,7 @@ def main() -> None:
             "spark_rows": len(srows),
             "oracle_rows": len(orows),
             **({"why": why} if why else {}),
+            **({"soft_types": soft_types} if soft_types else {}),
         }
         print(("PASS " if ok else "FAIL ") + f"{name}: {len(srows)} rows")
     print(f"\n{len(failures)} failures")
