@@ -567,29 +567,127 @@ def _solo_triage(entries: list[dict], max_triage: int = 8) -> None:
         )
 
 
-def _compact_line(compact: dict, timings: dict, cap: int = 1800) -> str:
-    """Serialize the compact summary, trimming list fields and the
-    queries dict until the line fits under ``cap`` chars (the driver
-    keeps only the final 2000 chars of stdout).  GUARANTEED to
-    terminate (r8 ADVICE): both ``regressions`` and
-    ``fallback_queries`` are capped at 8 + "...", and the loop exits
-    the moment a trim pass fails to shrink the line — a line whose
-    irreducible fields alone exceed the cap ships as-is rather than
-    spinning forever and printing nothing."""
+def _first_appearance(sf: str, here: str | None = None) -> dict[str, float]:
+    """Per-query first-appearance medians: for every query ever
+    benchmarked at this SF, the timing from the EARLIEST committed
+    ``BENCH_FULL_r{N}.json`` snapshot that contains it.  The judge's
+    perf gate compares against first-appearance baselines, so the
+    compact line must keep any query that breaches 2x of its own
+    first number visible regardless of where it ranks by wall time
+    (r10 VERDICT directive #2)."""
+    import glob
+    import re
+
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    snaps = []
+    for p in glob.glob(os.path.join(here, "BENCH_FULL_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            snaps.append((int(m.group(1)), p))
+    first: dict[str, float] = {}
+    for _, path in sorted(snaps):  # oldest round first; first write wins
+        try:
+            with open(path) as f:
+                snap = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if str(snap.get("sf")) != str(float(sf)):
+            continue
+        for q, sec in (snap.get("queries") or {}).items():
+            first.setdefault(q, sec)
+    return first
+
+
+def _compact_line(
+    compact: dict,
+    timings: dict,
+    protected: set[str] | None = None,
+    cap: int = 1800,
+) -> str:
+    """Serialize the compact summary, trimming until the line fits under
+    ``cap`` chars (the driver keeps only the final 2000 chars of
+    stdout).  Trim order preserves the line's evidentiary value (r10
+    VERDICT directive #2 — the r10 line truncated away exactly the
+    solo-triage entries a reviewer needed):
+
+    1. UNPROTECTED ``queries`` entries go first (lowest wall time
+       first).  Protected names — every drift flag and every query over
+       2x its first-appearance baseline — are never dropped.
+    2. Then ``fallback_queries`` caps at 8 + "...".
+    3. Then CLEARED ``flags`` entries collapse to their name + "clr"
+       marker (the non-cleared survivors always keep full triage
+       fields; a count of collapsed entries is recorded).
+
+    GUARANTEED to terminate (r8 ADVICE): the loop exits the moment a
+    full trim pass fails to shrink the line — a line whose irreducible
+    fields alone exceed the cap ships as-is rather than spinning
+    forever and printing nothing."""
+    protected = protected or set()
+
+    def _drop_queries() -> bool:
+        droppable = [q for q in compact["queries"] if q not in protected]
+        if not droppable:
+            return False
+        drop = set(sorted(droppable, key=timings.get)[:5])
+        compact["queries"] = {
+            k: v for k, v in compact["queries"].items() if k not in drop
+        }
+        compact["n_queries_omitted"] = len(timings) - len(compact["queries"])
+        return True
+
+    def _cap_names(fld: str) -> bool:
+        vals = compact.get(fld) or []
+        if len(vals) > 8 and vals[-1] != "...":
+            compact[fld] = vals[:8] + ["..."]
+            return True
+        return False
+
+    def _collapse_flag(cleared: bool) -> bool:
+        # cleared flags collapse to [name, "clr"]; as a last resort
+        # non-cleared ones collapse to [name, sec] (never to nothing —
+        # the survivors' existence must stay on the line)
+        for f in reversed(compact.get("flags") or []):
+            if len(f) > 2 and bool(f[-1] == 1) == cleared:
+                idx = compact["flags"].index(f)
+                compact["flags"][idx] = (
+                    [f[0], "clr"] if cleared else [f[0], f[1]]
+                )
+                compact["n_flags_collapsed"] = (
+                    compact.get("n_flags_collapsed", 0) + 1
+                )
+                return True
+        return False
+
+    def _drop_excess_cleared() -> bool:
+        # pathological flood only: beyond 8 cleared flags even the
+        # collapsed [name, "clr"] forms overflow the cap — drop the
+        # excess entirely (the "n_flags" count still records them);
+        # non-cleared survivors are NEVER dropped
+        flags = compact.get("flags") or []
+        cleared = [f for f in flags if (len(f) > 2 and f[-1] == 1) or f[1:] == ["clr"]]
+        if len(cleared) <= 8:
+            return False
+        drop = {id(f) for f in cleared[8:]}
+        compact["flags"] = [f for f in flags if id(f) not in drop]
+        compact["n_flags_dropped"] = len(drop)
+        return True
+
+    steps = (
+        _drop_queries,
+        lambda: _cap_names("fallback_queries"),
+        lambda: _collapse_flag(True),
+        lambda: _cap_names("regressions"),
+        _drop_excess_cleared,
+        lambda: _collapse_flag(False),
+    )
+    # terminates: every step strictly consumes a finite budget (droppable
+    # queries, one-shot list caps, full-form flags); once all return
+    # False the line ships as-is even if still over cap
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > cap:
-        prev_len = len(line)
-        for fld in ("regressions", "fallback_queries"):
-            if len(compact[fld]) > 8 and compact[fld][-1] != "...":
-                compact[fld] = compact[fld][:8] + ["..."]
-        keep = sorted(timings, key=timings.get, reverse=True)[
-            : max(1, len(compact["queries"]) - 5)
-        ]
-        compact["queries"] = {k: timings[k] for k in keep}
-        compact["queries_truncated_to_top"] = len(keep)
-        line = json.dumps(compact, separators=(",", ":"))
-        if len(line) >= prev_len:
+        if not any(step() for step in steps):
             break
+        line = json.dumps(compact, separators=(",", ":"))
     return line
 
 
@@ -663,6 +761,7 @@ def main() -> None:
         merged.get("calibration_sec"),
         merged.get("group_calibration"),
     )
+    first_app = _first_appearance(sf)
     # r9 directive #1b: flags that survive the per-group factor get a
     # SOLO fresh-JVM re-run inside this same bench invocation; a flag
     # cleared solo was group contention, a flag that survives solo is
@@ -720,22 +819,44 @@ def main() -> None:
             if exponents
             else None
         ),
-        # medians above machine_factor × the prior snapshot's fresh-JVM
-        # max (names only on the compact line; {q, sec, prev_max,
-        # adj_prev_max} detail in the full payload) + queries measured
-        # on the degraded in-process path
-        # survivors only: a flag cleared by the solo fresh-JVM triage
-        # re-run was group contention, not code (full detail — incl.
-        # triage_sec / cleared_by_triage — stays in the full payload)
+        # survivors only (names): a flag cleared by the solo fresh-JVM
+        # triage re-run was group contention, not code
         "regressions": [
             r["q"] for r in regressions if not r.get("cleared_by_triage")
         ],
+        # r10 VERDICT directive #2: the COMPLETE self-adjudicating flag
+        # set rides the compact line — every drift flag as
+        # [q, sec, adj_prev_max, triage_sec, cleared(0/1)], non-cleared
+        # first, so the solo-triage disposition of every anomaly is
+        # visible on the only channel the driver keeps.
+        "flags": [
+            [
+                r["q"],
+                r["sec"],
+                r.get("adj_prev_max"),
+                r.get("triage_sec"),
+                int(bool(r.get("cleared_by_triage"))),
+            ]
+            for r in sorted(
+                regressions, key=lambda r: bool(r.get("cleared_by_triage"))
+            )
+        ],
+        "n_flags": len(regressions),
         "machine_factor": machine_factor,
         "calibration_sec": merged.get("calibration_sec"),
         "fallback_queries": fallback_queries,
+        # queries over 2x their first-appearance baseline, with that
+        # baseline — the judge's perf gate — so breaches are visible
+        # even when the timings dict must trim
+        "over2x_first": {
+            q: [timings[q], first_app[q]]
+            for q in sorted(timings)
+            if q in first_app and timings[q] > 2 * first_app[q]
+        },
         "queries": timings,
     }
-    print(_compact_line(compact, timings))
+    protected = {r["q"] for r in regressions} | set(compact["over2x_first"])
+    print(_compact_line(compact, timings, protected))
 
 
 if __name__ == "__main__":

@@ -78,20 +78,84 @@ def test_compact_line_terminates_when_irreducible():
     json.loads(line)  # still valid JSON
 
 
-def test_compact_line_truncates_regressions_and_keeps_slowest():
-    timings = {f"q{i:03d}": float(i) for i in range(80)}
+def test_compact_line_keeps_slowest_and_preserves_regressions():
+    """r10 VERDICT directive #2: flag evidence outranks timing entries —
+    queries trim first (fastest first), regression names survive."""
+    timings = {f"query_with_longer_name_{i:03d}": float(i) for i in range(160)}
+    regressions = [f"regressed_query_name_number_{i:04d}" for i in range(20)]
     compact = {
-        "regressions": [f"regressed_query_name_number_{i:04d}" for i in range(40)],
+        "regressions": list(regressions),
         "fallback_queries": [],
         "queries": dict(timings),
     }
     line = bench._compact_line(compact, timings)
+    assert len(line) <= 1800
     parsed = json.loads(line)
-    assert parsed["regressions"][-1] == "..."
-    # the retained queries are the SLOWEST ones
+    # 20 names fit once queries trim — NO "..." truncation of evidence
+    assert parsed["regressions"] == regressions
+    # the retained queries are the SLOWEST ones, and some were dropped
     kept = set(parsed["queries"])
+    assert kept and len(kept) < 160
     slowest = set(sorted(timings, key=timings.get, reverse=True)[: len(kept)])
     assert kept == slowest
+    assert parsed["n_queries_omitted"] == 160 - len(kept)
+
+
+def test_compact_line_protected_queries_never_drop():
+    """Drift-flagged / over-2x-baseline names stay in the queries dict
+    regardless of rank (they are the FASTEST here, i.e. first to drop
+    without protection)."""
+    timings = {f"q{i:03d}": float(i) for i in range(120)}
+    protected = {"q000", "q001", "q002"}
+    compact = {
+        "regressions": [],
+        "fallback_queries": [],
+        "flags": [],
+        "queries": dict(timings),
+    }
+    line = bench._compact_line(compact, timings, protected=protected)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert protected <= set(parsed["queries"])
+
+
+def test_compact_line_collapses_cleared_flags_before_survivors():
+    """Full triage fields: cleared flags collapse to [name, "clr"] under
+    pressure; non-cleared survivors keep full detail until the bitter
+    end (then [name, sec], never dropped)."""
+    flags = [[f"survivor_flag_name_{i:02d}", 9.1, 3.2, 8.8, 0] for i in range(3)]
+    flags += [[f"cleared_flag_name_{i:02d}", 9.1, 3.2, 2.2, 1] for i in range(60)]
+    compact = {
+        "regressions": [f"survivor_flag_name_{i:02d}" for i in range(3)],
+        "fallback_queries": [],
+        "flags": [list(f) for f in flags],
+        "queries": {},
+    }
+    line = bench._compact_line(compact, {})
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    survivors = [f for f in parsed["flags"] if f[0].startswith("survivor")]
+    assert len(survivors) == 3  # non-cleared flags are NEVER dropped
+    assert all(len(f) == 5 for f in survivors)  # full triage detail kept
+    collapsed = [f for f in parsed["flags"] if f[1] == "clr"]
+    assert collapsed and parsed["n_flags_collapsed"] == len(collapsed) + parsed.get(
+        "n_flags_dropped", 0
+    )
+    # the flood beyond 8 cleared entries is dropped but stays counted
+    assert len(collapsed) == 8 and parsed["n_flags_dropped"] == 52
+
+
+def test_first_appearance_prefers_oldest_snapshot(tmp_path):
+    for rnd, sec in ((7, 2.0), (9, 5.0)):
+        (tmp_path / f"BENCH_FULL_r{rnd:02d}.json").write_text(
+            json.dumps({"sf": 0.1, "queries": {"qa": sec, f"only_r{rnd}": 1.0}})
+        )
+    (tmp_path / "BENCH_FULL_r08.json").write_text(
+        json.dumps({"sf": 1.0, "queries": {"qa": 0.1}})  # other SF: ignored
+    )
+    first = bench._first_appearance("0.1", here=str(tmp_path))
+    assert first["qa"] == 2.0  # oldest same-SF round wins
+    assert first["only_r7"] == 1.0 and first["only_r9"] == 1.0
 
 
 # --------------------------------------------------------------------------
