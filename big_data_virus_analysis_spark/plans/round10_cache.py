@@ -10,9 +10,11 @@ optimality theorem checked in-band.
   is ≤ k.  The Spark side folds each user's (ts, event_id)-ordered
   type stream with a move-to-front recency-list accumulator — the
   distance is ``array_position`` in the list, one linear pass per
-  key, alphabet-bounded state.  The histogram over distances then
-  emits one row per cache size k = 1..|alphabet|: exact hits,
-  accesses, and hit-rate millis.  The DuckDB oracle is the
+  key, alphabet-bounded state.  The histogram is 8-slot and the curve
+  emits one row per cache size k = 1..8 (the fixture alphabet has 5
+  event types; sizes past the alphabet are flat, and a larger alphabet
+  would need the slot count raised in BOTH engines).  Per row: exact
+  hits, accesses, and hit-rate millis.  The DuckDB oracle is the
   algorithmically INDEPENDENT interval-distinct identity — an access
   m lies in (prev_i, i) and counts iff the next access of m's type is
   ≥ i — a range join over row-numbered per-user sequences (no fold,
@@ -27,9 +29,12 @@ optimality theorem checked in-band.
   LIST(BIGINT) — no struct lambdas, dodging DuckDB 1.0's
   ``list_reduce`` struct-accumulator hazard (the oracle replays the
   identical trajectory as a RECURSIVE CTE, the round10_replay
-  precedent).  Output: corpus totals plus the in-band certificate
+  precedent).  Output: corpus totals plus TWO in-band certificates:
   ``opt_ge_lru_all_users`` — Belady's optimality theorem must hold
-  for EVERY user, and the row proves it held.
+  for EVERY user, and the row proves it held — and ``bounds_ok`` —
+  the packing premises (stream length < NU_INF, type code < NU_PACK)
+  actually held, since a breach would corrupt the replay identically
+  in both engines where the oracle hash could never see it.
 
 100-TB shape: ONE events scan each → hash aggregate keyed by user
 (map-side partial collect) → per-key linear fold (state ≤ alphabet
@@ -284,15 +289,38 @@ def _q_belady_opt_vs_lru_audit(
         F.expr(f"({opt_fold}).hits").alias("opt_hits"),
         F.expr(f"({lru_fold}).hits").alias("lru_hits"),
     )
-    return folded.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("n_events").alias("total_accesses"),
-        F.sum("opt_hits").alias("opt_hits"),
-        F.sum("lru_hits").alias("lru_hits"),
-        F.min(
-            (F.col("opt_hits") >= F.col("lru_hits")).cast("int")
-        ).cast("boolean").alias("opt_ge_lru_all_users"),
-        F.max("n_events").alias("max_seq_len"),
+    # packing-premise audit (r10 ADVICE #2): the never-used-again
+    # encoding NU_INF + rn and the value packing nu * NU_PACK + tc are
+    # only collision-free while every stream is shorter than NU_INF and
+    # every type code is below NU_PACK — past either bound the OPT
+    # replay would corrupt IDENTICALLY in both engines, invisible to
+    # the oracle hash.  So the premise is emitted in-band: a breach
+    # flips bounds_ok to false instead of silently corrupting.
+    max_tc = base.agg(F.max("tc").alias("max_tc"))
+    return (
+        folded.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("total_accesses"),
+            F.sum("opt_hits").alias("opt_hits"),
+            F.sum("lru_hits").alias("lru_hits"),
+            F.min(
+                (F.col("opt_hits") >= F.col("lru_hits")).cast("int")
+            ).cast("boolean").alias("opt_ge_lru_all_users"),
+            F.max("n_events").alias("max_seq_len"),
+        )
+        .crossJoin(F.broadcast(max_tc))
+        .select(
+            "n_users",
+            "total_accesses",
+            "opt_hits",
+            "lru_hits",
+            "opt_ge_lru_all_users",
+            "max_seq_len",
+            (
+                (F.col("max_seq_len") < F.lit(NU_INF))
+                & (F.col("max_tc") < F.lit(NU_PACK))
+            ).alias("bounds_ok"),
+        )
     )
 
 
@@ -359,7 +387,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(lru_hits) AS BIGINT) AS lru_hits,
        CAST(min(CASE WHEN opt_hits >= lru_hits THEN 1 ELSE 0 END)
             AS BOOLEAN) AS opt_ge_lru_all_users,
-       CAST(max(n_events) AS BIGINT) AS max_seq_len
+       CAST(max(n_events) AS BIGINT) AS max_seq_len,
+       -- packing-premise audit: streams under NU_INF, type codes under
+       -- NU_PACK (see the Spark twin's bounds_ok comment)
+       (max(n_events) < {NU_INF}
+        AND (SELECT max(tc) FROM coded) < {NU_PACK}) AS bounds_ok
 FROM per
 """
 

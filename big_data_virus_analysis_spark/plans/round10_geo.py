@@ -101,20 +101,38 @@ def _q_convex_hull_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     not_pq = (
         "((rx != px OR ry != py) AND (rx != qx OR ry != qy))"
     )
-    edges = (
+    # overflow sentinel (r10 ADVICE #5): Spark DECIMAL(38,0) arithmetic
+    # returns NULL on overflow (non-ANSI), which would make
+    # "rx IS NOT NULL AND NOT ok" NULL and silently ADMIT spurious hull
+    # edges while the DuckDB HUGEINT side errors loudly.  Count the
+    # NULL products per edge and emit the corpus total in-band — a
+    # future scale excursion reads as overflow_nulls > 0 instead of a
+    # corrupted hull.  (Magnitudes today are budgeted well under 1e38.)
+    null_prod = f"({cross} IS NULL OR {dot} IS NULL OR {len2} IS NULL)"
+    grp = tracked_cache(
         pairs.join(r, F.expr(not_pq), "left")
         .groupBy("px", "py", "qx", "qy")
         .agg(
             F.sum(
                 F.when(F.expr(f"rx IS NOT NULL AND NOT {ok}"), 1).otherwise(0)
-            ).alias("violations")
+            ).alias("violations"),
+            F.sum(
+                F.when(F.expr(f"rx IS NOT NULL AND {null_prod}"), 1).otherwise(
+                    0
+                )
+            ).alias("null_products"),
         )
-        .filter(F.col("violations") == 0)
-        .select("px", "py", "qx", "qy")
+    )
+    edges = grp.filter(F.col("violations") == 0).select(
+        "px", "py", "qx", "qy"
+    )
+    overflow = grp.agg(
+        F.sum("null_products").cast("bigint").alias("overflow_nulls")
     )
     n_pts = pts.agg(F.count(F.lit(1)).alias("n_points"))
     out = (
         edges.crossJoin(F.broadcast(n_pts))
+        .crossJoin(F.broadcast(overflow))
         .select(
             "px",
             "py",
@@ -124,6 +142,7 @@ def _q_convex_hull_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST({len2} AS DECIMAL(38,0))"
             ).alias("edge_len2"),
             "n_points",
+            "overflow_nulls",
         )
         .orderBy("px", "py", "qx", "qy")
     )
@@ -158,7 +177,22 @@ WITH pts AS MATERIALIZED (
                       + CAST(qy - py AS HUGEINT) * CAST(r.y - py AS HUGEINT))
                      < (CAST(qx - px AS HUGEINT) * CAST(qx - px AS HUGEINT)
                         + CAST(qy - py AS HUGEINT) * CAST(qy - py AS HUGEINT))
-               )) THEN 1 ELSE 0 END) AS violations
+               )) THEN 1 ELSE 0 END) AS violations,
+         -- overflow sentinel twin (see Spark side): HUGEINT products
+         -- of non-null inputs are never NULL in DuckDB (it errors
+         -- loudly on overflow instead), so this counts 0 — spelled
+         -- structurally, not as a literal, to keep the audit honest
+         sum(CASE WHEN r.x IS NOT NULL AND (
+               (CAST(qx - px AS HUGEINT) * CAST(r.y - py AS HUGEINT)
+                - CAST(qy - py AS HUGEINT) * CAST(r.x - px AS HUGEINT))
+                 IS NULL
+               OR (CAST(qx - px AS HUGEINT) * CAST(r.x - px AS HUGEINT)
+                   + CAST(qy - py AS HUGEINT) * CAST(r.y - py AS HUGEINT))
+                 IS NULL
+               OR (CAST(qx - px AS HUGEINT) * CAST(qx - px AS HUGEINT)
+                   + CAST(qy - py AS HUGEINT) * CAST(qy - py AS HUGEINT))
+                 IS NULL
+             ) THEN 1 ELSE 0 END) AS null_products
   FROM pairs
   LEFT JOIN pts r
     ON (r.x != px OR r.y != py) AND (r.x != qx OR r.y != qy)
@@ -168,7 +202,9 @@ SELECT px, py, qx, qy,
        CAST(CAST(qx - px AS HUGEINT) * CAST(qx - px AS HUGEINT)
             + CAST(qy - py AS HUGEINT) * CAST(qy - py AS HUGEINT)
             AS DECIMAL(38,0)) AS edge_len2,
-       (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points
+       (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+       (SELECT CAST(sum(null_products) AS BIGINT) FROM checked)
+         AS overflow_nulls
 FROM checked
 WHERE violations = 0
 ORDER BY px, py, qx, qy

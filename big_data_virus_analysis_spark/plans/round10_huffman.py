@@ -67,10 +67,18 @@ def _q_huffman_code_cost_chars(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    chars = docs.select(
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-        "text",
-    ).select(F.substring("text", F.col("i"), 1).alias("ch"))
+    # guard empty text BEFORE the position explode: F.sequence(1, 0)
+    # yields a DESCENDING [1, 0] (step defaults to -1 when start > stop)
+    # and would inject two empty-string "characters" per empty document,
+    # while the twin's range(1, length+1) yields none (r10 ADVICE #1)
+    chars = (
+        docs.where(F.length("text") > 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+            "text",
+        )
+        .select(F.substring("text", F.col("i"), 1).alias("ch"))
+    )
     counts = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("w"))
     one = counts.agg(
         F.expr("collect_list(w)").alias("ws"),
@@ -103,8 +111,12 @@ def _q_huffman_code_cost_chars(
 
 _SQL_HUFFMAN = f"""
 WITH chars AS MATERIALIZED (
+  -- WHERE length > 0 mirrors the Spark-side empty-text guard (range()
+  -- is already empty for empty text; the filter keeps both engines'
+  -- premises literally aligned)
   SELECT substr(text, CAST(i AS INT), 1) AS ch
   FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+  WHERE length(text) > 0
 ), counts AS MATERIALIZED (
   SELECT ch, CAST(count(*) AS BIGINT) AS w FROM chars GROUP BY ch
 ), one AS MATERIALIZED (

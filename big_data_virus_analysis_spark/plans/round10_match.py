@@ -208,8 +208,15 @@ def _q_stable_matching_segments_regions(
         )
         .agg(F.count(F.lit(1)).alias("blocking_pairs"))
     )
+    # auditable premise (r10 ADVICE #3): the G-S fold positionally
+    # indexes 5-element pref/rrank arrays, which is only sound when all
+    # 25 (segment x region) cells are non-empty — emit the cell count
+    # in-band so a sparse grid at some scale factor reads as data
+    # (n_cells != 25) instead of a silent rank misalignment
+    n_cells = cells.agg(F.count(F.lit(1)).alias("n_cells"))
     return (
         pairs.crossJoin(F.broadcast(blocking))
+        .crossJoin(F.broadcast(n_cells))
         .select(
             "segment",
             "region",
@@ -217,6 +224,7 @@ def _q_stable_matching_segments_regions(
             F.col("reg_rank").alias("reg_rank_of_match"),
             "blocking_pairs",
             "all_matched",
+            "n_cells",
         )
         .orderBy("segment")
     )
@@ -299,7 +307,9 @@ SELECT k.segment, k.region,
        ch.seg_rank AS seg_rank_of_match,
        ch.reg_rank AS reg_rank_of_match,
        (SELECT blocking_pairs FROM cert) AS blocking_pairs,
-       (SELECT count(DISTINCT rc) FROM chosen) = 5 AS all_matched
+       (SELECT count(DISTINCT rc) FROM chosen) = 5 AS all_matched,
+       -- auditable premise: all 25 grid cells populated (see Spark twin)
+       (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells
 FROM chosen ch
 JOIN cells k ON k.sc = ch.sc AND k.rc = ch.rc
 ORDER BY k.segment

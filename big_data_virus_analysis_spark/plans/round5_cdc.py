@@ -46,7 +46,13 @@ _CDC_RESIDUE = 7  # target residue (any fixed value; 0 degenerates on runs)
 
 
 def _q_cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # empty-text guard: F.sequence(1, 0) is DESCENDING [1, 0] and would
+    # inject phantom positions for empty documents (r10 ADVICE class)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .where(F.length("text") > 0)
+    )
     pos = F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos")
     chars = docs.select("doc_id", "source", pos, F.col("text")).select(
         "doc_id",

@@ -37,7 +37,10 @@ _CE_TOPK = 15
 
 
 def _doc_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # empty-text guard: F.sequence(1, 0) is DESCENDING [1, 0] (step -1
+    # when start > stop) and would inject two empty "characters" per
+    # empty document where the twin's range() yields none (r10 ADVICE)
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     return docs.select(
         "doc_id",
         "source",
@@ -49,6 +52,7 @@ def _doc_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DOC_CHARS = """
   SELECT doc_id, source, substr(text, CAST(i AS INT), 1) AS ch
   FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+  WHERE length(text) > 0
 """
 
 
