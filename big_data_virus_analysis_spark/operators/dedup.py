@@ -303,36 +303,33 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFra
     ).select("doc_id", (F.col("i0") + 1).alias("i"), "h")
 
 
-def minhash_lsh_pairs(
+def minhash_band_keys(
     documents: DataFrame,
     n: int = 3,
     k: int = 32,
     bands: int = 8,
     hash_method: str = "md5",
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 identical signature band.
+    """LSH banding of MinHash signatures: ``(doc_id, band, key)`` where
+    ``key`` is the ordered concat of the band's k/bands hash values.
 
-    Signatures are split into ``bands`` bands of k/bands rows; a band's
-    key is the ordered concat of its hash values; candidates come from a
-    self-join on (band, key) — the classic shuffle-on-bucket plan.
-
-    Output: ``(doc_a, doc_b, n_shared_bands)``.
+    Band keys come straight off the wide per-doc row: an earlier version
+    exploded the signature back to k rows and RE-GROUPED by (doc, band)
+    with collect_list just to concatenate — a whole extra shuffle whose
+    only product was string glue.  concat_ws over the already-adjacent
+    columns is a per-row projection; posexplode of `bands` small
+    strings replaces the aggregation entirely.
+    The wide per-doc signature row is cached: every consumer probes the
+    band table from at least two branches (the dedup self-join; the
+    round-11 eval/train split) and without materialization EACH replays
+    the 50× gram explosion and the k-way min-agg (no ReusedExchange
+    once AQE broadcasts one side; verified against the executed plan).
+    At 100 TB this is the standard materialize-signatures design:
+    |docs| × k longs, tiny next to the corpus.
     """
     r = k // bands
-    # band keys straight off the wide per-doc row: an earlier version
-    # exploded the signature back to k rows and RE-GROUPED by (doc, band)
-    # with collect_list just to concatenate — a whole extra shuffle whose
-    # only product was string glue.  concat_ws over the already-adjacent
-    # columns is a per-row projection; posexplode of `bands` small
-    # strings replaces the aggregation entirely.
-    # one wide row per doc — cache it: the self-join has two branches
-    # and without materialization EACH replays the 50× gram explosion
-    # and the k-way min-agg (no ReusedExchange once AQE broadcasts one
-    # side; verified against the executed plan).  At 100 TB this is the
-    # standard materialize-signatures design: |docs| × k longs, tiny
-    # next to the corpus.
     mins = _minhash_mins(documents, n, k, hash_method).transform(tracked_cache)
-    band_keys = mins.select(
+    return mins.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -349,6 +346,24 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "key"),
     )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    hash_method: str = "md5",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 identical signature band.
+
+    Signatures are split into ``bands`` bands of k/bands rows; a band's
+    key is the ordered concat of its hash values; candidates come from a
+    self-join on (band, key) — the classic shuffle-on-bucket plan.
+
+    Output: ``(doc_a, doc_b, n_shared_bands)``.
+    """
+    band_keys = minhash_band_keys(documents, n, k, bands, hash_method)
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     return (

@@ -193,6 +193,9 @@ BNLJ_ALLOWED = {
     "join_cardinality_audit",
     # 1-row exact x 1-row median-estimate cross (sketch audit)
     "ams_f2_moment_bounded",
+    # 1-row truth-agg x 1-row candidate-agg cross (r11 recall audit,
+    # same estimate-vs-truth shape as corpus_minhash_jaccard)
+    "eval_lsh_recall_audit",
     # 1-row x 1-row plain/dict stats crosses (six unioned)
     "encoding_advisor",
     # 1-row full-mean x 1-row replica-CI cross

@@ -4067,3 +4067,126 @@ def test_boyer_moore_planted_and_adversarial():
     no_maj = [1, 2, 1, 2, 1, 2]
     cand = _boyer_moore(no_maj)
     assert no_maj.count(cand) * 2 <= len(no_maj)
+
+
+# --------------------------------------------------------------------------
+# round-11 cross-corpus alignment pack (plans/round11_align.py)
+# --------------------------------------------------------------------------
+
+
+def _mh_band_keys(grams, k=32, bands=8):
+    """Pure-Python replication of the engines' shared md5 MinHash
+    family (operators/dedup.py::_family / catalog._minhash_sig_ctes):
+    md5-prefix token id -> mod-2^31 scramble -> odd-multiplier linear
+    permutations -> banded keys."""
+    import hashlib
+
+    m = 1 << 31
+    ss = [
+        ((int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % m) * 2654435761)
+        % m
+        for g in grams
+    ]
+    keys = []
+    r = k // bands
+    hs = [
+        min((((2654435761 * (2 * i + 1)) % m) | 1) * s + 7919 * i & (m - 1)
+            for s in ss)
+        if ss
+        else None
+        for i in range(1, k + 1)
+    ]
+    for b in range(bands):
+        keys.append((b, ",".join(str(hs[b * r + j]) for j in range(r))))
+    return set(keys) if ss else set()
+
+
+def _trigrams(toks):
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+def _jacc_micro(a, b):
+    inter = len(a & b)
+    return int(round(inter * 1_000_000.0 / (len(a) + len(b) - inter)))
+
+
+@given(data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_alignment_bestmatch_and_recall_vs_bruteforce(data):
+    """round11_align: the banded-candidacy + exact-Jaccard best match
+    equals brute-force best whenever the brute-force winner shares >=1
+    band, and the recall audit's miss count equals the brute count of
+    true pairs sharing no band."""
+    words = [f"w{i}" for i in range(12)]
+    T_LO = 500_000
+
+    def doc():
+        return data.draw(
+            st.lists(st.sampled_from(words), min_size=5, max_size=14)
+        )
+
+    evals = {e: doc() for e in range(3)}
+    trains = {}
+    for t in range(3, 9):
+        if data.draw(st.booleans()):
+            # perturbed copy of an eval doc — the contamination case
+            base = list(evals[data.draw(st.integers(0, 2))])
+            if data.draw(st.booleans()) and base:
+                base[data.draw(st.integers(0, len(base) - 1))] = data.draw(
+                    st.sampled_from(words)
+                )
+            trains[t] = base
+        else:
+            trains[t] = doc()
+
+    eg = {e: _trigrams(d) for e, d in evals.items() if len(d) >= 3}
+    tg = {t: _trigrams(d) for t, d in trains.items() if len(d) >= 3}
+    eb = {e: _mh_band_keys(g) for e, g in eg.items()}
+    tb = {t: _mh_band_keys(g) for t, g in tg.items()}
+
+    cands = {
+        (t, e)
+        for t in tg
+        for e in eg
+        if tb[t] & eb[e]
+    }
+    scored = {p: _jacc_micro(tg[p[0]], eg[p[1]]) for p in cands}
+
+    for e in eg:
+        brute = sorted(
+            ((-_jacc_micro(tg[t], eg[e]), t) for t in tg),
+        )
+        if not brute:
+            continue
+        bj, bt = brute[0]
+        pipe = sorted((-jm, t) for (t, ee), jm in scored.items() if ee == e)
+        if (bt, e) in cands:
+            # brute winner is a candidate => pipeline agrees exactly
+            assert pipe and pipe[0] == (bj, bt)
+        elif pipe:
+            # pipeline can only be pessimistic, never better
+            assert pipe[0][0] >= bj
+
+    true_pairs = {
+        (t, e)
+        for t in tg
+        for e in eg
+        if _jacc_micro(tg[t], eg[e]) >= T_LO
+    }
+    misses = {p for p in true_pairs if p not in cands}
+    n_hits = len(true_pairs & cands)
+    assert len(true_pairs) - n_hits == len(misses)
+    # a true pair whose docs share a band is ALWAYS a hit
+    for t, e in true_pairs:
+        if tb[t] & eb[e]:
+            assert (t, e) in cands
+
+
+def test_alignment_identical_docs_always_candidates():
+    """Identical eval/train text shares every band (same signature), so
+    contamination by verbatim copy can never be missed by the banded
+    path."""
+    toks = [f"w{i % 7}" for i in range(20)]
+    g = _trigrams(toks)
+    assert len(_mh_band_keys(g) & _mh_band_keys(set(g))) == 8
+    assert _jacc_micro(g, set(g)) == 1_000_000
