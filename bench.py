@@ -207,6 +207,12 @@ HEADLINE = [
     "farthest_pair_diameter",
     # round-10 session-2: two-slot majority fold + certificate pass
     "boyer_moore_majority_events",
+    # round-11 additions: the cross-corpus alignment family — banded
+    # MinHash buckets probed by the broadcast eval side, exact-Jaccard
+    # scoring of the candidate set, and the exhaustive-truth recall
+    # audit (the heaviest leg: a full train-gram x eval-gram probe)
+    "eval_contamination_bestmatch",
+    "eval_lsh_recall_audit",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is
