@@ -5190,6 +5190,10 @@ from .round11_align import SPECS as _ROUND11_ALIGN_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_ALIGN_SPECS)
 
+from .round11_trend import SPECS as _ROUND11_TREND_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_TREND_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -149,6 +149,11 @@ BNLJ_ALLOWED = {
     # bounded-horizon lag range-join over the per-DAY frame (rows =
     # days, not events; both sides broadcastable at any corpus size)
     "ewma_daily_value",
+    # xi < xj pair range-join over the same calendar-bounded day frame
+    # (~2.4k rows at every SF — the corpus-sized work is the groupBy
+    # that builds it; r11 robust-trend pack)
+    "mann_kendall_daily_trend",
+    "theil_sen_slope_daily",
     # trailing-7-day band join over the same per-DAY frame
     "rolling_mad_anomaly_daily",
     # 1-row weight-vector broadcast carried from step 1's aggregate

@@ -4190,3 +4190,105 @@ def test_alignment_identical_docs_always_candidates():
     g = _trigrams(toks)
     assert len(_mh_band_keys(g) & _mh_band_keys(set(g))) == 8
     assert _jacc_micro(g, set(g)) == 1_000_000
+
+
+# --------------------------------------------------------------------------
+# round-11 robust-trend pack (plans/round11_trend.py)
+# --------------------------------------------------------------------------
+
+
+def _mk_stats(ys):
+    """Pure-Python Mann-Kendall S + tie-corrected variance numerator."""
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(ys).values() if t > 1
+    )
+    var_num = n * (n - 1) * (2 * n + 5) - tie_term
+    return s, var_num, tie_term
+
+
+@given(
+    ys=st.lists(st.integers(min_value=-5, max_value=5), min_size=3, max_size=40)
+)
+@settings(max_examples=100, deadline=None)
+def test_mann_kendall_identities(ys):
+    """round11_trend: S is antisymmetric under reversal, bounded by the
+    pair count, zero on constant series; the tie-corrected variance
+    numerator is nonnegative and zero iff all values tie."""
+    n = len(ys)
+    s, var_num, tie_term = _mk_stats(ys)
+    s_rev, var_rev, _ = _mk_stats(list(reversed(ys)))
+    assert s_rev == -s
+    assert var_rev == var_num  # ties are order-free
+    assert abs(s) <= n * (n - 1) // 2
+    assert var_num >= 0
+    assert (var_num == 0) == (len(set(ys)) == 1)
+    if len(set(ys)) == 1:
+        assert s == 0
+    if ys == sorted(ys) and len(set(ys)) == n:
+        assert s == n * (n - 1) // 2  # strictly increasing => max S
+
+
+def _theil_sen(xs, ys):
+    """Pure-Python lower/upper-median pairwise slope in micro-units,
+    mirroring the engines' round-half-away double path."""
+    sl = sorted(
+        int(
+            __import__("decimal").Decimal(
+                (ys[j] - ys[i]) * 1_000_000.0 / (xs[j] - xs[i])
+            ).quantize(0, rounding=__import__("decimal").ROUND_HALF_UP)
+        )
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    m = len(sl)
+    return sl[(m + 1) // 2 - 1], sl[m // 2], m
+
+
+@given(
+    ys=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=3, max_size=25
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_theil_sen_identities(ys):
+    """round11_trend: exact-linear series recover the slope with
+    lower == upper median; adding one wild outlier moves the Theil-Sen
+    median by at most one order statistic while OLS can move
+    arbitrarily (checked via the breakdown bound)."""
+    xs = list(range(1, len(ys) + 1))
+    # exact linear series: slope recovered exactly, both medians agree
+    lin = [7 * x - 3 for x in xs]
+    lo, hi, m = _theil_sen(xs, lin)
+    assert lo == hi == 7_000_000
+    assert m == len(xs) * (len(xs) - 1) // 2
+    # general: lower <= upper, both are attained slope values
+    lo2, hi2, _ = _theil_sen(xs, ys)
+    assert lo2 <= hi2
+
+
+def test_theil_sen_breakdown_vs_ols():
+    """One corrupted point: OLS slope shifts by >5x, the Theil-Sen
+    lower median stays within the clean slope's pair-slope range."""
+    xs = list(range(1, 21))
+    clean = [10 * x for x in xs]
+    dirty = list(clean)
+    dirty[-1] += 100_000
+    lo_clean, _, _ = _theil_sen(xs, clean)
+    lo_dirty, _, _ = _theil_sen(xs, dirty)
+    assert lo_clean == 10_000_000
+    assert abs(lo_dirty - 10_000_000) < 1_000_000  # robust: < 10% shift
+    # OLS on the dirty series is pulled far away
+    n = len(xs)
+    sx, sy = sum(xs), sum(dirty)
+    sxy = sum(x * y for x, y in zip(xs, dirty))
+    sxx = sum(x * x for x in xs)
+    ols = (n * sxy - sx * sy) * 1_000_000.0 / (n * sxx - sx * sx)
+    assert abs(ols - 10_000_000) > 5_000_000
