@@ -5194,6 +5194,10 @@ from .round11_trend import SPECS as _ROUND11_TREND_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_TREND_SPECS)
 
+from .round11_lz import SPECS as _ROUND11_LZ_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_LZ_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

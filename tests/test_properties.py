@@ -4292,3 +4292,58 @@ def test_theil_sen_breakdown_vs_ols():
     sxx = sum(x * x for x in xs)
     ols = (n * sxy - sx * sy) * 1_000_000.0 / (n * sxx - sx * sx)
     assert abs(ols - 10_000_000) > 5_000_000
+
+
+# --------------------------------------------------------------------------
+# round-11 compressibility pack (plans/round11_lz.py)
+# --------------------------------------------------------------------------
+
+
+def _lz78(s):
+    """Pure-Python replica of the engines' LZ78 fold: returns
+    (phrases, trailing_w, count_incl_trailing)."""
+    d, w, np = [], "", 0
+    for c in s:
+        cand = w + c
+        if cand in d:
+            w = cand
+        else:
+            d.append(cand)
+            w = ""
+            np += 1
+    return d, w, np + (1 if w else 0)
+
+
+@given(
+    s=st.text(alphabet="abc ", min_size=1, max_size=120)
+)
+@settings(max_examples=100, deadline=None)
+def test_lz78_parse_invariants(s):
+    """round11_lz: phrases are pairwise distinct, their concatenation
+    plus the trailing partial reconstructs the input, the count is
+    <= n, and each phrase extends an earlier phrase by one char."""
+    d, w, cnt = _lz78(s)
+    assert len(d) == len(set(d))  # dictionary phrases distinct
+    assert "".join(d) + w == s  # exact reconstruction
+    assert 1 <= cnt <= len(s)
+    for ph in d:
+        assert ph[:-1] == "" or ph[:-1] in d  # prefix-closed dictionary
+    # length-sum lower bound: k distinct phrases over alphabet A have
+    # total length >= sum of shortest possible phrases
+    assert sum(len(p) for p in d) + len(w) == len(s)
+
+
+def test_lz78_repetitive_scores_below_noise():
+    """A periodic string parses into far fewer phrases than a
+    high-entropy string of the same length and alphabet — the quality
+    signal's reason to exist."""
+    period = ("the cat sat " * 22)[:256]
+    import random
+
+    rng = random.Random(7)
+    alphabet = sorted(set(period))
+    noise = "".join(rng.choice(alphabet) for _ in range(256))
+    _, _, c_rep = _lz78(period)
+    _, _, c_noise = _lz78(noise)
+    assert c_rep < c_noise
+    assert c_rep * 1000 // 256 < c_noise * 1000 // 256
