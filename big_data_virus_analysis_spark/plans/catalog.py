@@ -5198,6 +5198,10 @@ from .round11_lz import SPECS as _ROUND11_LZ_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_LZ_SPECS)
 
+from .round11_knap import SPECS as _ROUND11_KNAP_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_KNAP_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -201,6 +201,9 @@ BNLJ_ALLOWED = {
     # 1-row truth-agg x 1-row candidate-agg cross (r11 recall audit,
     # same estimate-vs-truth shape as corpus_minhash_jaccard)
     "eval_lsh_recall_audit",
+    # 1-row year-total broadcast crossed onto the 365-row day frame
+    # (permille weight quantization, r11 knapsack)
+    "knapsack_day_budget_audit",
     # 1-row x 1-row plain/dict stats crosses (six unioned)
     "encoding_advisor",
     # 1-row full-mean x 1-row replica-CI cross

@@ -4347,3 +4347,73 @@ def test_lz78_repetitive_scores_below_noise():
     _, _, c_noise = _lz78(noise)
     assert c_rep < c_noise
     assert c_rep * 1000 // 256 < c_noise * 1000 // 256
+
+
+# --------------------------------------------------------------------------
+# round-11 budgeted-selection pack (plans/round11_knap.py)
+# --------------------------------------------------------------------------
+
+
+def _knap_dp(items, cap):
+    """Pure-Python replica of the engines' dp fold (day order)."""
+    dp = [0] * (cap + 1)
+    for w, v in items:
+        dp = [
+            max(dp[c], dp[c - w] + v) if c >= w else dp[c]
+            for c in range(cap + 1)
+        ]
+    return dp
+
+
+def _knap_bounds(items, cap):
+    """Greedy (skip-and-continue) and Dantzig prefix bound over the
+    exact-density order with stable index tiebreak."""
+    order = sorted(range(len(items)), key=lambda i: (-items[i][1] / items[i][0], i))
+    g_rem, g_val = cap, 0
+    d_rem, d_val, d_done = cap, 0, False
+    for i in order:
+        w, v = items[i]
+        if w <= g_rem:
+            g_rem -= w
+            g_val += v
+        if not d_done:
+            if w <= d_rem:
+                d_rem -= w
+                d_val += v
+            else:
+                d_val += (d_rem * v) // w
+                d_done = True
+    return g_val, d_val
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    cap_frac=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_knapsack_dp_equals_bruteforce_with_certificates(items, cap_frac):
+    """round11_knap: the dp fold equals brute-force subset enumeration,
+    the dp array is monotone in capacity, and greedy <= opt <= Dantzig
+    with Dantzig == opt when everything fits."""
+    from itertools import combinations
+
+    cap = sum(w for w, _ in items) // cap_frac
+    dp = _knap_dp(items, cap)
+    brute = 0
+    for r in range(len(items) + 1):
+        for sub in combinations(items, r):
+            if sum(w for w, _ in sub) <= cap:
+                brute = max(brute, sum(v for _, v in sub))
+    assert dp[cap] == brute
+    assert all(dp[c] <= dp[c + 1] for c in range(cap))  # monotone
+    g, d = _knap_bounds(items, cap)
+    assert g <= dp[cap] <= d
+    if sum(w for w, _ in items) <= cap:
+        assert g == dp[cap] == d == sum(v for _, v in items)
