@@ -5202,6 +5202,10 @@ from .round11_knap import SPECS as _ROUND11_KNAP_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_KNAP_SPECS)
 
+from .round11_edit import SPECS as _ROUND11_EDIT_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_EDIT_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

