@@ -213,6 +213,14 @@ HEADLINE = [
     # audit (the heaviest leg: a full train-gram x eval-gram probe)
     "eval_contamination_bestmatch",
     "eval_lsh_recall_audit",
+    # round-11 session-2: the calendar-bounded pair-slope join + two
+    # two-phase global ranks; the per-doc LZ78 parse fold; the
+    # per-pair Levenshtein DP riding the gram inverted index; the
+    # 1-row knapsack fold with its certificate chain
+    "theil_sen_slope_daily",
+    "lz78_doc_compressibility",
+    "edit_distance_dup_pairs",
+    "knapsack_day_budget_audit",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is
