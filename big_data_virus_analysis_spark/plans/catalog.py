@@ -5206,6 +5206,10 @@ from .round11_edit import SPECS as _ROUND11_EDIT_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_EDIT_SPECS)
 
+from .round11_assign import SPECS as _ROUND11_ASSIGN_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_ASSIGN_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -204,6 +204,9 @@ BNLJ_ALLOWED = {
     # 1-row year-total broadcast crossed onto the 365-row day frame
     # (permille weight quantization, r11 knapsack)
     "knapsack_day_budget_audit",
+    # 1-row grid fold x 1-row rowmax-bound cross (r11 assignment;
+    # the grid is the dimension-bounded 5x5 segment x region frame)
+    "assignment_max_revenue_segments_regions",
     # 1-row x 1-row plain/dict stats crosses (six unioned)
     "encoding_advisor",
     # 1-row full-mean x 1-row replica-CI cross
@@ -511,6 +514,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # round 10: dense_rank code assignment over the 25-cell
     # (segment x region) preference frame
     "stable_matching_segments_regions",
+    # round 11: same 25-cell dense_rank code assignment (shared
+    # _cells builder), assignment-efficiency counterpart
+    "assignment_max_revenue_segments_regions",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep (each

@@ -4466,3 +4466,74 @@ def test_levenshtein_fold_matches_known_cases():
     assert _lev_fold("flaw", "lawn") == 2
     assert _lev_fold("", "abc") == 3
     assert _lev_fold("abc", "") == 3
+
+
+# --------------------------------------------------------------------------
+# round-11 assignment pack (plans/round11_assign.py)
+# --------------------------------------------------------------------------
+
+
+def _assign_dp(grid):
+    """Pure-Python replica of the engines' Held-Karp subset fold."""
+    n = len(grid)
+    dp = [0] * (1 << n)
+    for s in range(1, n + 1):
+        ndp = list(dp)
+        for m in range(1 << n):
+            if bin(m).count("1") == s:
+                ndp[m] = max(
+                    dp[m - (1 << r)] + grid[s - 1][r]
+                    for r in range(n)
+                    if (m >> r) & 1
+                )
+        dp = ndp
+    return dp[(1 << n) - 1]
+
+
+def _assign_brute(grid):
+    from itertools import permutations
+
+    n = len(grid)
+    return max(
+        sum(grid[s][p[s]] for s in range(n)) for p in permutations(range(n))
+    )
+
+
+def _assign_greedy(grid):
+    used, tot = set(), 0
+    for row in grid:
+        r = max(
+            (c for c in range(len(row)) if c not in used),
+            key=lambda c: (row[c], -c),
+        )
+        used.add(r)
+        tot += row[r]
+    return tot
+
+
+@given(
+    flat=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=25, max_size=25
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_assignment_subset_dp_equals_bruteforce(flat):
+    """round11_assign: the subset DP equals 120-permutation brute
+    force, with greedy <= opt <= row-maxima always."""
+    grid = [flat[i * 5 : (i + 1) * 5] for i in range(5)]
+    opt = _assign_dp(grid)
+    assert opt == _assign_brute(grid)
+    g = _assign_greedy(grid)
+    rowmax = sum(max(r) for r in grid)
+    assert g <= opt <= rowmax
+    # relabeling rows cannot change the optimum
+    assert _assign_dp(list(reversed(grid))) == opt
+
+
+def test_assignment_small_known_cases():
+    # diagonal-dominant grid: opt takes the diagonal
+    grid = [[10 if i == j else 1 for j in range(5)] for i in range(5)]
+    assert _assign_dp(grid) == 50
+    # constant grid: every assignment equal, greedy == opt == rowmax
+    grid2 = [[7] * 5 for _ in range(5)]
+    assert _assign_dp(grid2) == _assign_greedy(grid2) == 35
