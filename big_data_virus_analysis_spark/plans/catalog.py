@@ -5210,6 +5210,10 @@ from .round11_assign import SPECS as _ROUND11_ASSIGN_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_ASSIGN_SPECS)
 
+from .round11_snm import SPECS as _ROUND11_SNM_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_SNM_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -207,6 +207,9 @@ BNLJ_ALLOWED = {
     # 1-row grid fold x 1-row rowmax-bound cross (r11 assignment;
     # the grid is the dimension-bounded 5x5 segment x region frame)
     "assignment_max_revenue_segments_regions",
+    # 1-row truth-agg x 1-row candidate-count cross (r11 SNM recall,
+    # same estimate-vs-truth shape as eval_lsh_recall_audit)
+    "snm_vs_exact_recall_audit",
     # 1-row x 1-row plain/dict stats crosses (six unioned)
     "encoding_advisor",
     # 1-row full-mean x 1-row replica-CI cross

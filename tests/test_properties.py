@@ -4537,3 +4537,35 @@ def test_assignment_small_known_cases():
     # constant grid: every assignment equal, greedy == opt == rowmax
     grid2 = [[7] * 5 for _ in range(5)]
     assert _assign_dp(grid2) == _assign_greedy(grid2) == 35
+
+
+# --------------------------------------------------------------------------
+# round-11 sorted-neighborhood pack (plans/round11_snm.py)
+# --------------------------------------------------------------------------
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    w=st.integers(min_value=2, max_value=9),
+)
+@settings(max_examples=100, deadline=None)
+def test_snm_block_decomposition_is_exact_sliding_window(n, w):
+    """round11_snm: probing each row against its own block and the
+    next (blocks = rn div w) with 0 < dist < w yields EXACTLY the
+    textbook sliding-window pair set, for any n and window."""
+    ranks = list(range(1, n + 1))
+    textbook = {
+        (a, b) for a in ranks for b in ranks if 0 < b - a < w
+    }
+    blk = {r: r // w for r in ranks}
+    blocked = {
+        (a, b)
+        for a in ranks
+        for b in ranks
+        if blk[b] in (blk[a], blk[a] + 1) and 0 < b - a < w
+    }
+    assert blocked == textbook
+    # and the two-block probe is NECESSARY: every in-window pair spans
+    # at most one block boundary
+    for a, b in textbook:
+        assert blk[b] - blk[a] in (0, 1)
