@@ -5214,6 +5214,10 @@ from .round11_snm import SPECS as _ROUND11_SNM_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_SNM_SPECS)
 
+from .round11_iso import SPECS as _ROUND11_ISO_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_ISO_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

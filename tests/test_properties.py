@@ -4569,3 +4569,69 @@ def test_snm_block_decomposition_is_exact_sliding_window(n, w):
     # at most one block boundary
     for a, b in textbook:
         assert blk[b] - blk[a] in (0, 1)
+
+
+# --------------------------------------------------------------------------
+# round-11 isotonic pack (plans/round11_iso.py)
+# --------------------------------------------------------------------------
+
+
+def _pava(ys):
+    """Pure-Python replica of the engines' PAVA stack machine
+    (exact integer cross-multiplied merges)."""
+    sums, cnts = [], []
+    for y in ys:
+        sums.append(y)
+        cnts.append(1)
+        while len(sums) >= 2 and sums[-2] * cnts[-1] > sums[-1] * cnts[-2]:
+            sums[-2:] = [sums[-2] + sums[-1]]
+            cnts[-2:] = [cnts[-2] + cnts[-1]]
+    return sums, cnts
+
+
+def _pava_fitted(ys):
+    from fractions import Fraction
+
+    sums, cnts = _pava(ys)
+    out = []
+    for s, c in zip(sums, cnts):
+        out.extend([Fraction(s, c)] * c)
+    return out
+
+
+@given(
+    ys=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=16
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_pava_equals_minimax_and_is_l2_projection(ys):
+    """round11_iso: PAVA equals the minimax characterization
+    y_i = max_{j<=i} min_{k>=i} avg(y[j..k]) in exact Fractions; the
+    fit is monotone, mass-conserving, and no random monotone candidate
+    beats its SSE."""
+    from fractions import Fraction
+    import random
+
+    fit = _pava_fitted(ys)
+    n = len(ys)
+    for i in range(n):
+        mm = max(
+            min(
+                Fraction(sum(ys[j : k + 1]), k - j + 1)
+                for k in range(i, n)
+            )
+            for j in range(i + 1)
+        )
+        assert fit[i] == mm
+    assert all(fit[i] <= fit[i + 1] for i in range(n - 1))
+    assert sum(fit) == sum(ys)  # mass conservation
+    sse = sum((f - y) ** 2 for f, y in zip(fit, ys))
+    rng = random.Random(13)
+    for _ in range(5):
+        cand = sorted(rng.randint(-50, 50) for _ in range(n))
+        c_sse = sum((Fraction(c) - y) ** 2 for c, y in zip(cand, ys))
+        assert sse <= c_sse
+    # already-monotone input is a fixed point
+    mono = sorted(ys)
+    assert _pava_fitted(mono) == [Fraction(v) for v in mono]
