@@ -253,6 +253,9 @@ def _q_belady_opt_vs_lru_audit(
             " s -> struct(s.tc AS tc, s.nu AS nu))"
         ).alias("evs"),
         F.count(F.lit(1)).alias("n_events"),
+        # packing-premise carrier: rides the same single-scan aggregate
+        # (a separate base.agg would re-scan events — plan-linted)
+        F.max("tc").alias("max_tc_u"),
     )
     pack = f"(e.nu * {NU_PACK} + e.tc)"
     opt_fold = f"""aggregate(
@@ -286,6 +289,7 @@ def _q_belady_opt_vs_lru_audit(
     folded = per.select(
         "user_id",
         "n_events",
+        "max_tc_u",
         F.expr(f"({opt_fold}).hits").alias("opt_hits"),
         F.expr(f"({lru_fold}).hits").alias("lru_hits"),
     )
@@ -296,31 +300,19 @@ def _q_belady_opt_vs_lru_audit(
     # replay would corrupt IDENTICALLY in both engines, invisible to
     # the oracle hash.  So the premise is emitted in-band: a breach
     # flips bounds_ok to false instead of silently corrupting.
-    max_tc = base.agg(F.max("tc").alias("max_tc"))
-    return (
-        folded.agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum("n_events").alias("total_accesses"),
-            F.sum("opt_hits").alias("opt_hits"),
-            F.sum("lru_hits").alias("lru_hits"),
-            F.min(
-                (F.col("opt_hits") >= F.col("lru_hits")).cast("int")
-            ).cast("boolean").alias("opt_ge_lru_all_users"),
-            F.max("n_events").alias("max_seq_len"),
-        )
-        .crossJoin(F.broadcast(max_tc))
-        .select(
-            "n_users",
-            "total_accesses",
-            "opt_hits",
-            "lru_hits",
-            "opt_ge_lru_all_users",
-            "max_seq_len",
-            (
-                (F.col("max_seq_len") < F.lit(NU_INF))
-                & (F.col("max_tc") < F.lit(NU_PACK))
-            ).alias("bounds_ok"),
-        )
+    return folded.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("total_accesses"),
+        F.sum("opt_hits").alias("opt_hits"),
+        F.sum("lru_hits").alias("lru_hits"),
+        F.min(
+            (F.col("opt_hits") >= F.col("lru_hits")).cast("int")
+        ).cast("boolean").alias("opt_ge_lru_all_users"),
+        F.max("n_events").alias("max_seq_len"),
+        (
+            (F.max("n_events") < F.lit(NU_INF))
+            & (F.max("max_tc_u") < F.lit(NU_PACK))
+        ).alias("bounds_ok"),
     )
 
 
