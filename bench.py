@@ -547,7 +547,7 @@ def _spawn_worker(
             pass
 
 
-def _solo_triage(entries: list[dict], max_triage: int = 8) -> None:
+def _solo_triage(entries: list[dict], max_triage: int = 16) -> None:
     """In-run auto-triage of drift flags (r9 VERDICT directive #1b):
     each flagged query is re-measured SOLO in a fresh JVM (no group
     neighbors, scaling legs off) and the solo median is attached as
@@ -786,6 +786,14 @@ def main() -> None:
         and os.environ.get("SPARK_GRAFT_BENCH_TRIAGE", "1") != "0"
         and os.environ.get("SPARK_GRAFT_BENCH_SINGLE_JVM", "") != "1"
     ):
+        # triage the WORST relative overshoots first — the r11 full run
+        # produced 28 flags on a quiet host and the alphabetical order
+        # spent the triage budget on sub-second names while the
+        # multi-second ones went unadjudicated
+        regressions.sort(
+            key=lambda r: r["sec"] / max(r["adj_prev_max"], 1e-9),
+            reverse=True,
+        )
         _solo_triage(regressions)
     payload = {
         "metric": "headline_queries_total",
