@@ -672,18 +672,25 @@ def _compact_line(
                 return True
         return False
 
-    def _drop_excess_cleared() -> bool:
-        # pathological flood only: beyond 8 cleared flags even the
-        # collapsed [name, "clr"] forms overflow the cap — drop the
-        # excess entirely (the "n_flags" count still records them);
-        # non-cleared survivors are NEVER dropped
+    def _is_cleared(f) -> bool:
+        return (len(f) > 2 and f[-1] == 1) or f[1:] == ["clr"]
+
+    def _drop_excess(cleared: bool, keep: int) -> bool:
+        # flood guard: beyond `keep` entries of a class even the
+        # collapsed forms overflow the cap — drop the excess entirely
+        # (the "n_flags" count still records them).  Cleared flags go
+        # first (keep 8); non-cleared survivors only as the very last
+        # resort (keep 12) — an unparseable head-cut line carries no
+        # evidence at all, so the parse guarantee outranks completeness.
         flags = compact.get("flags") or []
-        cleared = [f for f in flags if (len(f) > 2 and f[-1] == 1) or f[1:] == ["clr"]]
-        if len(cleared) <= 8:
+        cls = [f for f in flags if _is_cleared(f) == cleared]
+        if len(cls) <= keep:
             return False
-        drop = {id(f) for f in cleared[8:]}
+        drop = {id(f) for f in cls[keep:]}
         compact["flags"] = [f for f in flags if id(f) not in drop]
-        compact["n_flags_dropped"] = len(drop)
+        compact["n_flags_dropped"] = (
+            compact.get("n_flags_dropped", 0) + len(drop)
+        )
         return True
 
     steps = (
@@ -691,8 +698,9 @@ def _compact_line(
         lambda: _cap_names("fallback_queries"),
         lambda: _collapse_flag(True),
         lambda: _cap_names("regressions"),
-        _drop_excess_cleared,
+        lambda: _drop_excess(True, 8),
         lambda: _collapse_flag(False),
+        lambda: _drop_excess(False, 12),
     )
     # terminates: every step strictly consumes a finite budget (droppable
     # queries, one-shot list caps, full-form flags); once all return
@@ -877,7 +885,11 @@ def main() -> None:
         },
         "queries": timings,
     }
-    protected = {r["q"] for r in regressions} | set(compact["over2x_first"])
+    # flags are self-carrying ([q, sec, ...]), so flagged names need no
+    # seat in the queries dict — protecting them there doubled ~30
+    # chars per flag and pushed a 28-flag line past the driver's
+    # 2000-char tail (head-cut JSON never parses)
+    protected = set(compact["over2x_first"])
     print(_compact_line(compact, timings, protected))
 
 

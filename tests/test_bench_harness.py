@@ -325,3 +325,35 @@ def test_solo_triage_worker_failure_keeps_flag(monkeypatch):
     bench._solo_triage(entries)
     assert entries[0].get("cleared_by_triage") is not True
     assert entries[0]["triage"] == "worker_failed"
+
+
+def test_compact_line_r11_full_run_shape_fits_and_parses():
+    """Regression for the r11 full run: 98 queries, 28 flags of which
+    23 non-cleared — the line must land under 1800 chars (the driver
+    keeps only the last 2000; an over-cap line gets its HEAD cut and
+    never parses) while every surviving flag stays self-carrying."""
+    timings = {f"catalog_query_name_{i:03d}": 1.0 + i / 100 for i in range(98)}
+    names = sorted(timings)
+    flags = [[names[i], 2.5, 1.9, None, 0] for i in range(23)]
+    flags += [[names[23 + i], 2.5, 1.9, 1.1, 1] for i in range(5)]
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 215.5,
+        "regressions": [f[0] for f in flags if not f[-1]],
+        "flags": [list(f) for f in flags],
+        "n_flags": len(flags),
+        "fallback_queries": [],
+        "over2x_first": {names[50]: [2.0, 0.9]},
+        "queries": dict(timings),
+    }
+    line = bench._compact_line(compact, timings, protected={names[50]})
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["n_flags"] == 28
+    # at least 12 non-cleared survivors remain, each with at least
+    # [name, sec]
+    surv = [f for f in parsed["flags"] if not (len(f) > 2 and f[-1] == 1) and f[1:] != ["clr"]]
+    assert len(surv) >= 12
+    assert all(isinstance(f[1], float) for f in surv)
+    # the over-2x name is still in queries
+    assert names[50] in parsed["queries"]
