@@ -221,6 +221,9 @@ HEADLINE = [
     "lz78_doc_compressibility",
     "edit_distance_dup_pairs",
     "knapsack_day_budget_audit",
+    # round-11 session-3: the Arrow prefix-min fast path beside the
+    # fold (same oracle; the gap IS the measured fold-vs-Arrow story)
+    "edit_distance_dup_pairs_fast",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is

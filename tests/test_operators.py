@@ -1102,3 +1102,20 @@ def test_observed_quality_gate_single_pass(spark):
     observed2, obs2 = attach_quality_gate(dirty, required_cols=["user_id"])
     observed2.write.format("noop").mode("overwrite").save()
     assert not gate_passed(obs2.get)
+
+
+def test_edit_distance_fast_path_equals_fold(spark):
+    """round11_edit: the NumPy prefix-min fast path emits bit-identical
+    rows to the expression-fold specification on the real candidate
+    frame (an integer DP has one answer; both also hash against the
+    same oracle)."""
+    from big_data_virus_analysis_spark.plans.round11_edit import (
+        _q_edit_distance_dup_pairs,
+        _q_edit_distance_dup_pairs_fast,
+    )
+    from conftest import SMOKE_SF_DIR
+
+    slow = _q_edit_distance_dup_pairs(spark, SMOKE_SF_DIR).collect()
+    fast = _q_edit_distance_dup_pairs_fast(spark, SMOKE_SF_DIR).collect()
+    assert [tuple(r) for r in slow] == [tuple(r) for r in fast]
+    assert len(slow) > 0
