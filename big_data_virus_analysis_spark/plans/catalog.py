@@ -5218,6 +5218,10 @@ from .round11_iso import SPECS as _ROUND11_ISO_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_ISO_SPECS)
 
+from .round11_jaro import SPECS as _ROUND11_JARO_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_JARO_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

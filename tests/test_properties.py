@@ -4635,3 +4635,75 @@ def test_pava_equals_minimax_and_is_l2_projection(ys):
     # already-monotone input is a fixed point
     mono = sorted(ys)
     assert _pava_fitted(mono) == [Fraction(v) for v in mono]
+
+
+# --------------------------------------------------------------------------
+# round-11 Jaro-Winkler pack (plans/round11_jaro.py)
+# --------------------------------------------------------------------------
+
+
+def _jaro_micro(a, b):
+    """Pure-Python replica of the engines' greedy windowed matcher and
+    micro-unit scoring."""
+    la, lb = len(a), len(b)
+    w = max(0, max(la, lb) // 2 - 1)
+    js, ma = [], []
+    for i in range(1, la + 1):
+        lo, hi = max(1, i - w), min(lb, i + w)
+        for j in range(lo, hi + 1):
+            if j not in js and b[j - 1] == a[i - 1]:
+                js.append(j)
+                ma.append(a[i - 1])
+                break
+    m = len(js)
+    if m == 0:
+        return 0, 0, 0
+    mb = [b[j - 1] for j in sorted(js)]
+    t2 = sum(1 for x, y in zip(ma, mb) if x != y)
+    jaro = (m / la + m / lb + (2 * m - t2) / (2 * m)) / 3
+    import decimal
+
+    jm = int(
+        decimal.Decimal(jaro * 1_000_000).quantize(
+            0, rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    pl = 0
+    for k in range(min(4, la, lb)):
+        if a[k] != b[k]:
+            break
+        pl += 1
+    jw = jm + pl * 100_000 * (1_000_000 - jm) // 1_000_000
+    return jm, jw, t2
+
+
+def test_jaro_textbook_values():
+    """round11_jaro: the classical worked examples.  The engines
+    quantize jaro to micro BEFORE the Winkler boost and floor the
+    boost product, so jw can sit 1-2 micro under the infinite-
+    precision value — a defined, engine-identical quantization."""
+    jm, jw, t2 = _jaro_micro("MARTHA", "MARHTA")
+    assert jm == 944444 and t2 == 2  # jaro 17/18
+    assert abs(jw - 961111) <= 2  # 173/180 with prefix 3
+    jm2, jw2, _ = _jaro_micro("DWAYNE", "DUANE")
+    assert jm2 == 822222 and abs(jw2 - 840000) <= 2
+    jm3, _, _ = _jaro_micro("DIXON", "DICKSONX")
+    assert jm3 == 766667
+    assert _jaro_micro("abc", "abc") == (1_000_000, 1_000_000, 0)
+    assert _jaro_micro("abc", "xyz")[0] == 0
+
+
+@given(
+    a=st.text(alphabet="abcd", min_size=1, max_size=12),
+    b=st.text(alphabet="abcd", min_size=1, max_size=12),
+)
+@settings(max_examples=150, deadline=None)
+def test_jaro_bounds_and_symmetry(a, b):
+    """round11_jaro: 0 <= jaro <= jw <= 1e6; equality iff identical
+    strings score exactly 1e6; the greedy matcher is symmetric."""
+    jm, jw, _ = _jaro_micro(a, b)
+    assert 0 <= jm <= jw <= 1_000_000
+    if a == b:
+        assert jm == 1_000_000
+    jm_r, jw_r, _ = _jaro_micro(b, a)
+    assert jm == jm_r and jw == jw_r
