@@ -224,6 +224,9 @@ HEADLINE = [
     # round-11 session-3: the Arrow prefix-min fast path beside the
     # fold (same oracle; the gap IS the measured fold-vs-Arrow story)
     "edit_distance_dup_pairs_fast",
+    # round-11 session-3: the windowed greedy matcher fold riding the
+    # same candidate pairs
+    "jaro_winkler_dup_pairs",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is
