@@ -5222,6 +5222,10 @@ from .round11_jaro import SPECS as _ROUND11_JARO_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_JARO_SPECS)
 
+from .round11_tau import SPECS as _ROUND11_TAU_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_TAU_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -210,6 +210,9 @@ BNLJ_ALLOWED = {
     # 1-row truth-agg x 1-row candidate-count cross (r11 SNM recall,
     # same estimate-vs-truth shape as eval_lsh_recall_audit)
     "snm_vs_exact_recall_audit",
+    # row-pair self-join over the BOUNDED candidate-pair frame (never
+    # the corpus) + 1-row count cross (r11 Kendall-tau synthesis)
+    "jaccard_vs_edit_tau",
     # 1-row x 1-row plain/dict stats crosses (six unioned)
     "encoding_advisor",
     # 1-row full-mean x 1-row replica-CI cross

@@ -4707,3 +4707,50 @@ def test_jaro_bounds_and_symmetry(a, b):
         assert jm == 1_000_000
     jm_r, jw_r, _ = _jaro_micro(b, a)
     assert jm == jm_r and jw == jw_r
+
+
+# --------------------------------------------------------------------------
+# round-11 cross-metric tau pack (plans/round11_tau.py)
+# --------------------------------------------------------------------------
+
+
+def _tau_counts(xs, ys):
+    """Pure-Python replica of the engines' concordance accounting."""
+    n = len(xs)
+    c = d = t = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            if xs[i] == xs[j] or ys[i] == ys[j]:
+                t += 1
+            elif p > 0:
+                c += 1
+            else:
+                d += 1
+    return c, d, t
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=8), min_size=2, max_size=20),
+    data=st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_tau_partition_and_extremes(xs, data):
+    """round11_tau: C + D + ties = n(n-1)/2 always; identically
+    ordered metrics give tau = +1e6, reversed give -1e6 (tie-free
+    inputs)."""
+    ys = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=8),
+            min_size=len(xs),
+            max_size=len(xs),
+        )
+    )
+    n = len(xs)
+    c, d, t = _tau_counts(xs, ys)
+    assert c + d + t == n * (n - 1) // 2
+    distinct = list(range(n))
+    c2, d2, t2 = _tau_counts(distinct, distinct)
+    assert t2 == 0 and d2 == 0 and (c2 - d2) * 1_000_000 // (c2 + d2) == 1_000_000
+    c3, d3, _ = _tau_counts(distinct, list(reversed(distinct)))
+    assert c3 == 0 and (c3 - d3) * 1_000_000 // (c3 + d3 or 1) <= -999_999
