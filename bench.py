@@ -227,6 +227,9 @@ HEADLINE = [
     # round-11 session-3: the windowed greedy matcher fold riding the
     # same candidate pairs
     "jaro_winkler_dup_pairs",
+    # round-11 session-3: the cross-metric tau synthesis (rides the
+    # Arrow fast path; its oracle refolds the expression DP)
+    "jaccard_vs_edit_tau",
 ]
 
 #: queries over a FIXED corpus (/root/reference/api_logs) — sf_dir is
