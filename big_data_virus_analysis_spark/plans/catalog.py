@@ -5226,6 +5226,10 @@ from .round11_tau import SPECS as _ROUND11_TAU_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_TAU_SPECS)
 
+from .round11_neyman import SPECS as _ROUND11_NEYMAN_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_NEYMAN_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

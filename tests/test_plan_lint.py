@@ -213,6 +213,9 @@ BNLJ_ALLOWED = {
     # row-pair self-join over the BOUNDED candidate-pair frame (never
     # the corpus) + 1-row count cross (r11 Kendall-tau synthesis)
     "jaccard_vs_edit_tau",
+    # 1-row weight-total / floor-total / alloc-total broadcasts onto
+    # the ~20-row source frame (r11 Neyman allocation)
+    "neyman_allocation_sources",
     # 1-row x 1-row plain/dict stats crosses (six unioned)
     "encoding_advisor",
     # 1-row full-mean x 1-row replica-CI cross
@@ -523,6 +526,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # round 11: same 25-cell dense_rank code assignment (shared
     # _cells builder), assignment-efficiency counterpart
     "assignment_max_revenue_segments_regions",
+    # round 11: largest-remainder rank over the ~20-row source frame
+    # (dimension-bounded, the stable_matching precedent)
+    "neyman_allocation_sources",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep (each

@@ -4754,3 +4754,47 @@ def test_tau_partition_and_extremes(xs, data):
     assert t2 == 0 and d2 == 0 and (c2 - d2) * 1_000_000 // (c2 + d2) == 1_000_000
     c3, d3, _ = _tau_counts(distinct, list(reversed(distinct)))
     assert c3 == 0 and (c3 - d3) * 1_000_000 // (c3 + d3 or 1) <= -999_999
+
+
+# --------------------------------------------------------------------------
+# round-11 Neyman allocation pack (plans/round11_neyman.py)
+# --------------------------------------------------------------------------
+
+
+def _hamilton(quotas, budget):
+    """Largest-remainder apportionment with (remainder desc, index asc)
+    ties — the engines' spelling."""
+    import math
+
+    fl = [math.floor(q) for q in quotas]
+    extra = budget - sum(fl)
+    order = sorted(
+        range(len(quotas)), key=lambda i: (-(quotas[i] - fl[i]), i)
+    )
+    alloc = list(fl)
+    for i in order[:extra]:
+        alloc[i] += 1
+    return alloc
+
+
+@given(
+    ws=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=2, max_size=15
+    ),
+    budget=st.integers(min_value=10, max_value=500),
+)
+@settings(max_examples=150, deadline=None)
+def test_hamilton_quota_rule_and_budget(ws, budget):
+    """round11_neyman: allocations hit the budget exactly and respect
+    the quota rule floor(q) <= alloc <= ceil(q); equal weights split
+    as evenly as possible."""
+    import math
+
+    tot = sum(ws)
+    quotas = [budget * w / tot for w in ws]
+    alloc = _hamilton(quotas, budget)
+    assert sum(alloc) == budget
+    for q, a in zip(quotas, alloc):
+        assert math.floor(q) <= a <= math.ceil(q)
+    even = _hamilton([budget / 4] * 4, budget)
+    assert max(even) - min(even) <= 1
