@@ -5230,6 +5230,10 @@ from .round11_neyman import SPECS as _ROUND11_NEYMAN_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_NEYMAN_SPECS)
 
+from .round11_bt import SPECS as _ROUND11_BT_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_BT_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

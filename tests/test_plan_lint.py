@@ -529,6 +529,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # round 11: largest-remainder rank over the ~20-row source frame
     # (dimension-bounded, the stable_matching precedent)
     "neyman_allocation_sources",
+    # round 11: dense_rank segment codes + strength rank over the
+    # 5-row segment frame (dimension-bounded)
+    "bradley_terry_segment_strength",
 }
 
 #: model-fitting queries too slow to compile in a lint sweep (each

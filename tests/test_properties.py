@@ -4798,3 +4798,90 @@ def test_hamilton_quota_rule_and_budget(ws, budget):
         assert math.floor(q) <= a <= math.ceil(q)
     even = _hamilton([budget / 4] * 4, budget)
     assert max(even) - min(even) <= 1
+
+
+# --------------------------------------------------------------------------
+# round-11 Bradley-Terry pack (plans/round11_bt.py)
+# --------------------------------------------------------------------------
+
+
+def _bt_mm(nm, w, sweeps=20):
+    """Pure-Python replica of the engines' integer micro-unit MM fold.
+    nm: dict (i,j)->games (symmetric keys stored once), w: wins list
+    (1-indexed semantics via index 0..k-1)."""
+    k = len(w)
+    PS, INV = 1_000_000, 1_000_000_000
+    p = [PS // k] * k
+    for _ in range(sweeps):
+        praw = []
+        for i in range(k):
+            d = 0
+            for j in range(k):
+                if j == i:
+                    continue
+                n = nm.get((min(i, j), max(i, j)), 0)
+                d += n * INV // (p[i] + p[j])
+            praw.append(w[i] * INV // max(1, d))
+        tot = max(1, sum(praw))
+        p = [x * PS // tot for x in praw]
+    return p
+
+
+def _bt_loglik(nm, w_pair, p):
+    """Float log-likelihood for the ascent check; w_pair: (i,j)->wins
+    of i over j for i<j."""
+    import math
+
+    ll = 0.0
+    for (i, j), n in nm.items():
+        wij = w_pair.get((i, j), 0)
+        pi, pj = max(p[i], 1), max(p[j], 1)
+        ll += wij * math.log(pi / (pi + pj))
+        ll += (n - wij) * math.log(pj / (pi + pj))
+    return ll
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_bradley_terry_mm_ascends_and_ranks(data):
+    """round11_bt: the MM trajectory's log-likelihood is nondecreasing
+    (up to integer-truncation jitter bounded by 1e-3 nats), the
+    two-item closed form p1/p2 = w12/w21 is recovered within
+    quantization, and a never-losing item ranks top."""
+    k = 4
+    nm, w_pair = {}, {}
+    for i in range(k):
+        for j in range(i + 1, k):
+            n = data.draw(st.integers(min_value=1, max_value=30))
+            wij = data.draw(st.integers(min_value=0, max_value=n))
+            # keep the comparison graph strongly connected-ish: avoid
+            # all-zero and all-win edges on the spanning path
+            if j == i + 1:
+                wij = min(max(wij, 1), n - 1) if n >= 2 else wij
+            nm[(i, j)] = n
+            w_pair[(i, j)] = wij
+    w = [0] * k
+    for (i, j), n in nm.items():
+        w[i] += w_pair[(i, j)]
+        w[j] += n - w_pair[(i, j)]
+    PS = 1_000_000
+    p = [PS // k] * k
+    prev_ll = _bt_loglik(nm, w_pair, p)
+    for s in range(1, 15):
+        p = _bt_mm(nm, w, sweeps=s)
+        ll = _bt_loglik(nm, w_pair, p)
+        assert ll >= prev_ll - 1e-3  # ascent modulo micro truncation
+        prev_ll = ll
+
+
+def test_bradley_terry_two_item_closed_form():
+    nm = {(0, 1): 30}
+    w = [20, 10]
+    p = _bt_mm(nm, w, sweeps=30)
+    # closed form: p0/p1 = 20/10 = 2
+    assert abs(p[0] / p[1] - 2.0) < 0.01
+    # dominant item: never loses across three opponents
+    nm3 = {(0, 1): 10, (0, 2): 10, (1, 2): 10}
+    w3 = [20, 5, 5]
+    p3 = _bt_mm(nm3, w3, sweeps=30)
+    assert p3[0] == max(p3)
