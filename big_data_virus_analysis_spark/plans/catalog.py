@@ -5234,6 +5234,10 @@ from .round11_bt import SPECS as _ROUND11_BT_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_BT_SPECS)
 
+from .round11_novelty import SPECS as _ROUND11_NOVELTY_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_NOVELTY_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

@@ -213,6 +213,9 @@ BNLJ_ALLOWED = {
     # row-pair self-join over the BOUNDED candidate-pair frame (never
     # the corpus) + 1-row count cross (r11 Kendall-tau synthesis)
     "jaccard_vs_edit_tau",
+    # 1-row pooled-totals broadcast onto the per-eval-doc frame
+    # (r11 memorization audit; eval side broadcast by design)
+    "eval_ngram_novelty",
     # 1-row weight-total / floor-total / alloc-total broadcasts onto
     # the ~20-row source frame (r11 Neyman allocation)
     "neyman_allocation_sources",

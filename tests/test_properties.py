@@ -4885,3 +4885,35 @@ def test_bradley_terry_two_item_closed_form():
     w3 = [20, 5, 5]
     p3 = _bt_mm(nm3, w3, sweeps=30)
     assert p3[0] == max(p3)
+
+
+# --------------------------------------------------------------------------
+# round-11 novelty pack (plans/round11_novelty.py)
+# --------------------------------------------------------------------------
+
+
+def _ngrams_set(toks, n):
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _novelty_milli(ev_toks, train_sets, n=3):
+    eg = _ngrams_set(ev_toks, n)
+    seen = {g for g in eg if any(g in t for t in train_sets)}
+    return (len(eg) - len(seen)) * 1000 // len(eg), len(eg), len(seen)
+
+
+def test_novelty_extremes_and_accounting():
+    """round11_novelty: a verbatim train copy drives novelty to 0, a
+    disjoint-vocabulary doc scores exactly 1000, and seen + novel
+    always partitions the gram set."""
+    ev = "the quick brown fox jumps over the lazy dog".split()
+    train_copy = [set(_ngrams_set(ev, 3))]
+    m0, tg, ts = _novelty_milli(ev, train_copy)
+    assert m0 == 0 and ts == tg
+    train_disjoint = [set(_ngrams_set("alpha beta gamma delta epsilon zeta".split(), 3))]
+    m1, tg1, ts1 = _novelty_milli(ev, train_disjoint)
+    assert m1 == 1000 and ts1 == 0
+    train_half = [set(list(_ngrams_set(ev, 3))[: tg // 2])]
+    m2, tg2, ts2 = _novelty_milli(ev, train_half)
+    assert ts2 + (tg2 - ts2) == tg2
+    assert 0 <= m2 <= 1000
