@@ -5238,6 +5238,10 @@ from .round11_novelty import SPECS as _ROUND11_NOVELTY_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_NOVELTY_SPECS)
 
+from .round11_wis import SPECS as _ROUND11_WIS_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_WIS_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

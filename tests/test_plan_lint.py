@@ -216,6 +216,9 @@ BNLJ_ALLOWED = {
     # 1-row pooled-totals broadcast onto the per-eval-doc frame
     # (r11 memorization audit; eval side broadcast by design)
     "eval_ngram_novelty",
+    # 1-row corpus-totals broadcast onto the top-10 limited frame
+    # (r11 weighted interval scheduling, token_bucket shape)
+    "weighted_interval_sessions",
     # 1-row weight-total / floor-total / alloc-total broadcasts onto
     # the ~20-row source frame (r11 Neyman allocation)
     "neyman_allocation_sources",

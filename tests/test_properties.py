@@ -4917,3 +4917,69 @@ def test_novelty_extremes_and_accounting():
     m2, tg2, ts2 = _novelty_milli(ev, train_half)
     assert ts2 + (tg2 - ts2) == tg2
     assert 0 <= m2 <= 1000
+
+
+# --------------------------------------------------------------------------
+# round-11 weighted-interval pack (plans/round11_wis.py)
+# --------------------------------------------------------------------------
+
+
+def _wis_fold(ivs):
+    """Pure-Python replica of the engines' predecessor-DP fold;
+    ivs sorted by (fin, st, v)."""
+    fins, ms = [], []
+    for fin, st, v in sorted(ivs):
+        p = sum(1 for f in fins if f <= st)
+        best = max(ms[-1] if ms else 0, v + (ms[p - 1] if p else 0))
+        fins.append(fin)
+        ms.append(best)
+    return ms[-1] if ms else 0
+
+
+def _wis_brute(ivs):
+    from itertools import combinations
+
+    best = 0
+    for r in range(len(ivs) + 1):
+        for sub in combinations(ivs, r):
+            s = sorted(sub)
+            if all(s[k + 1][1] >= s[k][0] for k in range(len(s) - 1)):
+                best = max(best, sum(v for _, _, v in s))
+    return best
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=1, max_value=10),
+            st.integers(min_value=1, max_value=20),
+        ),
+        min_size=1,
+        max_size=9,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_wis_fold_equals_bruteforce(raw):
+    """round11_wis: the predecessor DP equals brute-force subset
+    enumeration; the EFT greedy's value never exceeds it."""
+    ivs = [(s + d, s, v) for s, d, v in raw]  # (fin, st, v)
+    opt = _wis_fold(ivs)
+    assert opt == _wis_brute(ivs)
+    g_fin, g_val = 0, 0
+    for fin, st, v in sorted(ivs):
+        if st >= g_fin:
+            g_fin, g_val = fin, g_val + v
+    assert g_val <= opt
+
+
+def test_wis_strictly_beats_greedy_on_textbook_instance():
+    """One long high-value interval vs two short low-value ones that
+    the EFT greedy prefers."""
+    ivs = [(10, 0, 100), (2, 0, 1), (12, 3, 1)]  # (fin, st, v)
+    assert _wis_fold(ivs) == 100
+    g_fin, g_val = 0, 0
+    for fin, st, v in sorted(ivs):
+        if st >= g_fin:
+            g_fin, g_val = fin, g_val + v
+    assert g_val == 2 and g_val < 100
