@@ -5242,6 +5242,10 @@ from .round11_wis import SPECS as _ROUND11_WIS_SPECS  # noqa: E402
 
 _register_pack(_ROUND11_WIS_SPECS)
 
+from .round11_mod import SPECS as _ROUND11_MOD_SPECS  # noqa: E402
+
+_register_pack(_ROUND11_MOD_SPECS)
+
 
 # --------------------------------------------------------------------------
 # Final catalog ordering — spend the driver's first-50 audit window on

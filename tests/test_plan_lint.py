@@ -219,6 +219,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus-totals broadcast onto the top-10 limited frame
     # (r11 weighted interval scheduling, token_bucket shape)
     "weighted_interval_sessions",
+    # 1-row edge-count / 1-row Q-scalar broadcasts onto the ~20-row
+    # source frame (r11 modularity)
+    "dup_graph_source_modularity",
     # 1-row weight-total / floor-total / alloc-total broadcasts onto
     # the ~20-row source frame (r11 Neyman allocation)
     "neyman_allocation_sources",

@@ -4983,3 +4983,70 @@ def test_wis_strictly_beats_greedy_on_textbook_instance():
         if st >= g_fin:
             g_fin, g_val = fin, g_val + v
     assert g_val == 2 and g_val < 100
+
+
+# --------------------------------------------------------------------------
+# round-11 modularity pack (plans/round11_mod.py)
+# --------------------------------------------------------------------------
+
+
+def _modularity_int(edges, label):
+    """Pure-Python replica: integer numerators over 4m^2."""
+    from collections import defaultdict
+
+    m = len(edges)
+    e_cc = defaultdict(int)
+    d_c = defaultdict(int)
+    for u, v in edges:
+        if label[u] == label[v]:
+            e_cc[label[u]] += 1
+        d_c[label[u]] += 1
+        d_c[label[v]] += 1
+    num = sum(
+        4 * m * e_cc[c] - d_c[c] * d_c[c] for c in set(d_c) | set(e_cc)
+    )
+    return num, 4 * m * m
+
+
+@given(data=st.data())
+@settings(max_examples=100, deadline=None)
+def test_modularity_integer_formula_matches_float_and_bounds(data):
+    """round11_mod: the integer numerator over 4m^2 equals the textbook
+    float definition; single-community labeling scores exactly 0; the
+    -1/2 <= Q <= 1 range holds; a perfectly-separated clique pair is
+    positive."""
+    n = data.draw(st.integers(min_value=2, max_value=8))
+    edges = []
+    for u in range(n):
+        for v in range(u + 1, n):
+            if data.draw(st.booleans()):
+                edges.append((u, v))
+    if not edges:
+        edges = [(0, 1)]
+    label = {u: data.draw(st.integers(0, 2)) for u in range(n)}
+    num, den = _modularity_int(edges, label)
+    # float reference
+    m = len(edges)
+    from collections import defaultdict
+
+    e_cc = defaultdict(int)
+    d_c = defaultdict(int)
+    for u, v in edges:
+        if label[u] == label[v]:
+            e_cc[label[u]] += 1
+        d_c[label[u]] += 1
+        d_c[label[v]] += 1
+    q_float = sum(
+        e_cc[c] / m - (d_c[c] / (2 * m)) ** 2
+        for c in set(d_c) | set(e_cc)
+    )
+    assert abs(num / den - q_float) < 1e-12
+    assert -0.5 - 1e-12 <= num / den <= 1.0 + 1e-12
+    # single community => exactly 0: num = 4m*m - (2m)^2
+    num1, den1 = _modularity_int(edges, {u: 0 for u in range(n)})
+    assert num1 == 0
+    # two disjoint triangles, true labels => positive Q
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    lab2 = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    num2, den2 = _modularity_int(tri, lab2)
+    assert num2 / den2 == 0.5
