@@ -26,8 +26,9 @@ duplicated the gram-index edge derivation and its constants):
 survivor join (whose output keeps the gram hash partitioning, so the
 ``collect_list`` aggregate that follows needs NO further exchange),
 and the final pair aggregation.  The quadratic step is in-memory per
-gram and capped by ``DF_CAP``; the gram frame is tracked-cached for
-its two consumers (count agg + survivor join); consumers
+gram and capped by ``DF_CAP``; the gram frame is recomputed (not
+cached) for its two consumers — the narrow explode is cheaper than
+materializing the exploded frame (r11, guide §5); consumers
 tracked-cache the edge output when they run multiple passes over it
 (degree + iterations).
 
@@ -40,8 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
-from .caching import tracked_cache
+from ..sources.tables import fan_out, load_table
 
 #: token n-gram length for the shingle overlap graph
 GRAM_L = 8
@@ -63,7 +63,14 @@ def dup_graph_edges(
     """Undirected near-dup edge list over ``documents``: one (u, v)
     row per edge with ``u < v`` (plus the ``shared`` gram count as an
     edge weight when ``keep_shared`` — the round-9 MSF consumer)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r11 optimization (guide §2.5 input skew): documents is one
+    # parquet file at bench scale → one input split, so the gram
+    # build (split + per-position slice/concat + array_distinct +
+    # explode — the corpus-sized compute of EVERY graph consumer) ran
+    # on a single core.  fan_out spreads the narrow pre-explosion
+    # rows; its partition-count guard makes it a no-op at the 100-TB
+    # design point where the scan already has thousands of splits.
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split("text", " ").alias("_toks"))
     # per-doc gram set built narrowly: transform over start positions,
     # then array_distinct — the within-doc dedup a post-explode
@@ -74,9 +81,16 @@ def dup_graph_edges(
         f"i -> concat_ws(' ', slice(_toks, i, {gram_l})))) "
         "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    grams = tracked_cache(
-        toks.select("doc_id", F.explode(gram_arr).alias("gram"))
-    )
+    # r11 optimization (guide §5 — cache only when recompute is dearer):
+    # the gram frame was tracked_cache'd for its two consumers (count
+    # agg + survivor join), but the explode is a cheap narrow transform
+    # of a much SMALLER source — materializing the exploded frame costs
+    # more than recomputing it, at bench scale (measured: cached build
+    # 1.54 s vs recompute 1.14 s, the cache write alone ~0.4 s) and at
+    # the 100-TB point (a second fully-parallel scan+explode vs writing
+    # and re-reading a frame ~50× the source).  Each consumer fuses its
+    # own explode into its shuffle's map stage.
+    grams = toks.select("doc_id", F.explode(gram_arr).alias("gram"))
     cool = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("gdf"))

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.caching import tracked_cache
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .catalog import QuerySpec
 
 #: register-index bits (3 hex chars) and register count
@@ -70,7 +70,11 @@ def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw (doc_id-free) shingle stream with its register fields.
     No within-doc dedup: duplicate grams cannot move a max-of-rho
     register, so the cheap non-distinct explode is correct here."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r11 optimization (guide §2.5 input skew): one parquet file → one
+    # input split, so the explode + 2.5M md5 hashes ran on a single
+    # core; fan_out's guard makes this a no-op once the scan has real
+    # splits (the 100-TB shape).
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.split("text", " ").alias("_toks"))
     gram_arr = F.expr(
         f"CASE WHEN size(_toks) >= {HLL_GRAM_L} THEN "
@@ -148,7 +152,8 @@ def _q_hll_shingle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_hll_shard_merge_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r11 optimization: same single-input-split fix as _grams above
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("source", F.split("text", " ").alias("_toks"))
     gram_arr = F.expr(
         f"CASE WHEN size(_toks) >= {HLL_GRAM_L} THEN "

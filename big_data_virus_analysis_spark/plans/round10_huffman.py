@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .catalog import QuerySpec
 
 #: static fold bound: distinct characters never exceed this (emitted
@@ -66,7 +66,9 @@ _FOLD = f"""aggregate(
 def _q_huffman_code_cost_chars(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r11, guide §2.5): one parquet file = one input split —
+    # the per-character explode ran on a single core otherwise
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # guard empty text BEFORE the position explode: F.sequence(1, 0)
     # yields a DESCENDING [1, 0] (step defaults to -1 when start > stop)
     # and would inject two empty-string "characters" per empty document,

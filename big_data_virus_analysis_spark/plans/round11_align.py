@@ -92,7 +92,10 @@ def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    dg = word_ngrams(docs, 3)  # distinct (doc_id, gram)
+    # r11 optimization (guide §5 caching): dg feeds THREE subtrees
+    # (sizes, the eval gram index, the train fan-out) — uncached, the
+    # corpus-sized gram build ran once per subtree
+    dg = tracked_cache(word_ngrams(docs, 3))  # distinct (doc_id, gram)
     sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ev_g = dg.where(F.col("doc_id") < N_EVAL).select(
         F.col("doc_id").alias("eval_doc"), "gram"
@@ -194,8 +197,9 @@ def _q_eval_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tracked_cache(_scored_candidates(spark, sf_dir))
     # exhaustive cross-corpus truth at T_LO: affordable because the
     # eval side broadcasts (gram index AND sizes) — the train corpus
-    # streams once, partition-local
-    dg = word_ngrams(docs, 3)
+    # streams once, partition-local.  dg cached (r11): it feeds four
+    # subtrees here (truth's two sides + both size frames).
+    dg = tracked_cache(word_ngrams(docs, 3))
     sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ev_g = dg.where(F.col("doc_id") < N_EVAL).select(
         F.col("doc_id").alias("eval_doc"), "gram"

@@ -114,7 +114,16 @@ def _q_edit_distance_dup_pairs(
             "jaccard",
             "la",
             "lb",
-            F.expr(_ed_fold("pa", "pb", "la", "lb")).alias("edit_distance"),
+            # r11 optimization (guide §4.1): the nested aggregate()
+            # fold spelled out in _ed_fold is the SPECIFICATION, but
+            # executing it costs O(la*lb) Catalyst lambda invocations
+            # each allocating a row-array copy (~20s at sf0.1 for 256
+            # pairs).  Spark's JVM-native levenshtein() computes the
+            # identical unit-cost Wagner-Fischer integers over code
+            # points (UTF8String.levenshteinDistance) — equality with
+            # the fold is pinned by tests/test_plans.py::
+            # test_levenshtein_builtin_equals_fold_expression.
+            F.levenshtein("pa", "pb").cast("bigint").alias("edit_distance"),
         )
         .select(
             "doc_a",

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.caching import tracked_cache
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .catalog import QuerySpec
 
 #: parse-complexity prefix cap — bounds the fold state (dictionary
@@ -72,8 +72,40 @@ _LZ_FOLD = """aggregate(
   acc -> acc.np + IF(acc.w != '', 1, 0))"""
 
 
+def _lz78_phrase_count(s: str) -> int:
+    """The LZ78 parse of ``_LZ_FOLD``, verbatim: extend the current
+    phrase w by each character; the first extension NOT yet in the
+    dictionary is emitted and w resets; the trailing partial counts.
+    Python strings hash at C speed, so the dictionary probe is O(1)
+    where the Catalyst fold's array_contains is an O(|dict|) scan —
+    equality with the fold is pinned by tests/test_operators.py::
+    test_lz78_batch_parse_equals_fold_expression."""
+    d: set[str] = set()
+    w = ""
+    n = 0
+    for ch in s:
+        w += ch
+        if w not in d:
+            d.add(w)
+            n += 1
+            w = ""
+    return n + (1 if w else 0)
+
+
 def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r11 optimization (guide §4.2): the _LZ_FOLD struct fold is the
+    # SPECIFICATION, but executing it is O(chars x |dict| x phrase_len)
+    # string compares per document inside interpreted Catalyst lambdas
+    # (~12.8s at sf0.1, exp 0.86 — pure per-row compute).  The batch
+    # path ships only (doc_id, source, p, n_chars_used) across the
+    # Arrow boundary and runs the identical parse with O(1) hash
+    # probes; the fold stays above as the oracle-matched spec.
+    import pandas as pd
+
+    # fan_out (guide §2.5): one parquet file → one input split → one
+    # Python worker would parse every document; the guard no-ops once
+    # the scan has real splits
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     staged = docs.where(F.length("text") > 0).select(
         "doc_id",
         "source",
@@ -82,11 +114,24 @@ def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(least(length(text), {LZ_MAX_CHARS}) AS BIGINT)"
         ).alias("n_chars_used"),
     )
-    return staged.select(
-        "doc_id",
-        "source",
-        "n_chars_used",
-        F.expr(_LZ_FOLD).alias("n_phrases"),
+
+    def _batch(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_chars_used": pdf["n_chars_used"],
+                    "n_phrases": [
+                        _lz78_phrase_count(p) for p in pdf["p"]
+                    ],
+                }
+            )
+
+    return staged.mapInPandas(
+        _batch,
+        "doc_id bigint, source string, n_chars_used bigint, "
+        "n_phrases bigint",
     ).select(
         "doc_id",
         "source",

@@ -16,16 +16,19 @@ possible.
   emitted so the even-count convention is explicit), the matching
   median intercept in micro-cents, and the OLS slope beside it — the
   robust-vs-least-squares gap IS the outlier story.  The median over
-  the ~n²/2 pair-slope frame uses the two-phase global rank
-  (``operators/prefix_sum.py::global_row_number``) — no
-  single-partition window ever sees the pair frame.
+  the ~n²/2 pair-slope frame is a k-th order statistic over
+  CUMULATIVE COUNTS of the distinct slope values (hash agg + the
+  two-phase prefix sum, ``operators/prefix_sum.py::global_prefix_sum``)
+  — no single-partition window ever sees the pair frame.
 
 100-TB shape: the day frame is CALENDAR-BOUNDED (~2.4k rows at every
 SF — the corpus-sized work is the one groupBy building it), so the
 pair self-join is a bounded ~3M-row product independent of corpus
 size; both sides broadcast.  All aggregates are hash aggs; the only
-window sits in the ORACLE (clarity over speed) and the two-phase rank
-replaces it on the Spark side.
+window sits in the ORACLE (clarity over speed) and the two-phase
+prefix sum over distinct slope values replaces it on the Spark side;
+the intercept median is a sorted-array aggregate over the
+calendar-bounded day frame.
 
 Identity properties (tests/test_properties.py): S, the tie-corrected
 variance, and both Theil-Sen medians equal a pure-Python reference on
@@ -44,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.caching import tracked_cache
-from ..operators.prefix_sum import global_row_number
+from ..operators.prefix_sum import global_prefix_sum
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 
@@ -67,9 +70,19 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pairs(days: DataFrame) -> DataFrame:
-    a = days.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    # r11 optimization (guide §2.5/§2.6): the day frame arrives in one
+    # tiny post-agg partition, so without the explicit repartition the
+    # broadcast nested-loop pair generation — and everything fused into
+    # its stage — ran as ONE task (~2.9M output rows built and
+    # hash-agged single-threaded, GC-bound).  Spreading the streamed
+    # side over the default parallelism makes pair generation and the
+    # map-side partials parallel; 2.4k rows shuffled, nothing else.
+    spark = days.sparkSession
+    a = days.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(F.col("x").alias("xi"), F.col("y").alias("yi"))
     b = days.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
-    return a.join(b, F.col("xi") < F.col("xj"))
+    return a.join(F.broadcast(b), F.col("xi") < F.col("xj"))
 
 
 def _q_mann_kendall_daily_trend(
@@ -153,37 +166,70 @@ def _q_mann_kendall_daily_trend(
 
 def _q_theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = tracked_cache(_daily(spark, sf_dir))
-    slopes = tracked_cache(
-        _pairs(days).select(
+    # r11 optimization (guide §2.3/§2.4, "aggregate before you
+    # shuffle"): the old shape ranked the FULL ~n²/2 pair-slope frame
+    # with global_row_number (eager localCheckpoint of 2.9M rows +
+    # driver collect) and then scanned that checkpoint twice more for
+    # the lower/upper medians, plus a SECOND two-phase rank over the
+    # 2.4k-row residual frame — ~9 jobs, 8.2s at sf0.1.  A k-th order
+    # statistic only needs CUMULATIVE COUNTS of the DISTINCT slope
+    # values: hash-agg the pair frame down to (sm, c) with map-side
+    # partials, one global_prefix_sum over that (total attached by the
+    # driver, no second pass), and ONE aggregate picks both medians —
+    # the row whose [cum-c+1, cum] range covers rank k holds the k-th
+    # smallest.  Bit-identical by the definition of an order statistic.
+    grouped = (
+        _pairs(days)
+        .select(
             F.expr(
                 "CAST(round((yj - yi) * 1000000.0 / (xj - xi), 0) AS BIGINT)"
             ).alias("sm")
         )
+        .groupBy("sm")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = global_row_number(
-        slopes, [F.asc("sm")], out_col="rn", n_col="m"
+    cum = global_prefix_sum(
+        grouped, "sm", "c", out_col="cum", total_col="m"
     )
-    lo = ranked.where(F.col("rn") == F.expr("(m + 1) div 2")).select(
-        F.col("sm").alias("slope_micro_lower"), F.col("m").alias("n_pairs")
+    k1 = F.expr("(m + 1) div 2")
+    k2 = F.expr("m div 2 + 1")
+    lo = cum.agg(
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("c") < k1) & (k1 <= F.col("cum")),
+                F.col("sm"),
+            )
+        ).alias("slope_micro_lower"),
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("c") < k2) & (k2 <= F.col("cum")),
+                F.col("sm"),
+            )
+        ).alias("slope_micro_upper"),
+        F.min("m").alias("n_pairs"),
     )
-    hi = ranked.where(F.col("rn") == F.expr("m div 2 + 1")).select(
-        F.col("sm").alias("slope_micro_upper")
-    )
-    # intercept: median over the DAY frame of y*1e6 - slope_lower*x
-    resid = (
-        days.crossJoin(F.broadcast(lo))
+    # intercept: median over the DAY frame of y*1e6 - slope_lower*x.
+    # The day frame is CALENDAR-BOUNDED (~2.4k rows at every SF), so
+    # the exact median is one sorted-array aggregate — no second
+    # two-phase rank, no checkpoint (guide §1.2: remove whole passes).
+    icept = (
+        days.crossJoin(F.broadcast(lo.select("slope_micro_lower")))
         .select(
             (
                 F.col("y") * F.lit(1_000_000)
                 - F.col("slope_micro_lower") * F.col("x")
             ).alias("im")
         )
-    )
-    r_ranked = global_row_number(
-        resid, [F.asc("im")], out_col="rn", n_col="n"
-    )
-    icept = r_ranked.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        F.col("im").alias("intercept_micro"), F.col("n").alias("n_days")
+        .agg(
+            F.sort_array(F.collect_list("im")).alias("arr"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            F.element_at(
+                "arr", F.expr("CAST((n_days + 1) div 2 AS INT)")
+            ).alias("intercept_micro"),
+            "n_days",
+        )
     )
     # OLS slope beside the robust one (exact sums, one double division)
     ols = days.agg(
@@ -212,8 +258,7 @@ def _q_theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ols_slope_micro")
     )
     return (
-        lo.crossJoin(F.broadcast(hi))
-        .crossJoin(F.broadcast(icept))
+        lo.crossJoin(F.broadcast(icept))
         .crossJoin(F.broadcast(ols))
         .select(
             "n_days",

@@ -343,35 +343,79 @@ def _q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
     )
-
-    def rank2_frame(col: str, out: str) -> DataFrame:
-        by_val = lineitem.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("cnt")
+    # r11 optimization (guide §2.3/§2.4, "aggregate before you shuffle"):
+    # the old shape joined the near-unique y rank frame BACK to lineitem
+    # by value — a corpus×corpus sort-merge join shuffling both sides —
+    # before one big moment aggregate.  But every moment is a sum over
+    # regroupable integers: x-only moments (n, sxx) come straight off
+    # the 50-row x rank frame weighted by cnt; the cross moment
+    # sxy = Σ_y ry_y·(Σ rx over rows with that y) and the y-only moments
+    # (sy, syy) need only the y-GROUPED frame (cnt, Σrx per y) — which
+    # is also exactly the frame the y prefix-sum ranks are computed on.
+    # One broadcast join + one hash agg + one prefix sum replace the
+    # fat join; integer decimal sums regroup associatively, so every
+    # moment is bit-identical.
+    by_x = lineitem.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # x = l_quantity is DOMAIN-BOUNDED (~50 distinct values at every
+    # SF), so its rank frame needs no two-phase machinery (3 jobs of
+    # range-shuffle + checkpoint + driver offsets for 50 rows): one
+    # sorted-array aggregate + an O(k²) in-array prefix fold is a
+    # single tiny stage (r11; the y side below keeps the two-phase
+    # scan — extendedprice is corpus-cardinality, not domain-bounded)
+    rx = (
+        by_x.agg(
+            F.sort_array(F.collect_list(F.struct("v", "cnt"))).alias("a")
         )
-        cum = global_prefix_sum(by_val, order_col="v", value_col="cnt", out_col="cum")
-        return cum.select(
-            "v",
-            ((F.col("cum") - F.col("cnt") + 1) + F.col("cum"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct("
+                    "s.v AS v, s.cnt AS cnt, "
+                    "aggregate(slice(a, 1, i + 1), CAST(0 AS BIGINT),"
+                    " (acc, x) -> acc + x.cnt) AS cum))"
+                )
+            ).alias("s")
+        )
+        .select(
+            F.col("s.v").alias("v"),
+            F.col("s.cnt").alias("cnt"),
+            ((F.col("s.cum") - F.col("s.cnt") + 1) + F.col("s.cum"))
             .cast("decimal(38,0)")
-            .alias(out),
+            .alias("rx"),
         )
-
-    rx = rank2_frame("x", "rx")  # l_quantity: 50 distinct values -> broadcastable
-    ry = rank2_frame("y", "ry")
-    joined = (
-        lineitem.join(F.broadcast(rx), lineitem["x"] == rx["v"])
-        .drop("v")
-        .join(ry, lineitem["y"] == ry["v"])
-        .select("rx", "ry")
     )
-    sums = joined.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    x_sums = rx.agg(
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("rx") * F.col("rx")
+        ).alias("sxx"),
     )
+    ygrp = (
+        lineitem.join(
+            F.broadcast(rx.select("v", "rx")), lineitem["x"] == F.col("v")
+        )
+        .groupBy(F.col("y").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("rx").alias("srx"))
+    )
+    cy = global_prefix_sum(ygrp, order_col="w", value_col="cnt", out_col="cum")
+    withry = cy.select(
+        "cnt",
+        "srx",
+        ((F.col("cum") - F.col("cnt") + 1) + F.col("cum"))
+        .cast("decimal(38,0)")
+        .alias("ry"),
+    )
+    y_sums = withry.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("srx").alias("sx"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("ry")).alias("sy"),
+        F.sum(F.col("ry") * F.col("srx")).alias("sxy"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("ry") * F.col("ry")
+        ).alias("syy"),
+    )
+    sums = y_sums.crossJoin(F.broadcast(x_sums))
     nd = F.col("n").cast("decimal(38,0)")
     num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .catalog import QuerySpec
 
 _CE_TOPK = 15
@@ -40,7 +40,11 @@ def _doc_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty-text guard: F.sequence(1, 0) is DESCENDING [1, 0] (step -1
     # when start > stop) and would inject two empty "characters" per
     # empty document where the twin's range() yields none (r10 ADVICE)
-    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    # fan_out (r11, guide §2.5): one parquet file = one input split —
+    # the per-character explode ran on a single core otherwise
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    )
     return docs.select(
         "doc_id",
         "source",

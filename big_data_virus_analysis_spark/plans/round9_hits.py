@@ -58,10 +58,20 @@ HITS_TOPK = 15
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # r11 optimization (guide §2.5): AQE coalesces the small distinct
+    # output to ONE post-shuffle partition at bench scale, so the
+    # cached edge frame — re-scanned by all 8 half-sweeps — made every
+    # sweep's join + partial-agg stage a single task.  Pinning a hash
+    # layout on s at defaultParallelism (scale-adaptive, ~31 suppliers
+    # per task at sf0.1) costs one tiny extra exchange once and
+    # parallelizes every downstream sweep scan.
+    p = spark.sparkContext.defaultParallelism
     return tracked_cache(
         li.select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-        ).distinct()
+        )
+        .distinct()
+        .repartition(p, "s")
     )
 
 
@@ -90,19 +100,25 @@ def _hits_chain(spark: SparkSession, sf_dir: str):
     ).localCheckpoint(eager=True)
     auths: list[DataFrame] = []
     hubs: list[DataFrame] = []
+    # r11 optimization (guide §1.2): lazy per-half-sweep checkpoints —
+    # lineage still truncates (LogicalRDD node), but materialization
+    # folds into the NEXT half-sweep's first job instead of paying one
+    # driver round-trip per checkpoint; the exchange-reuse of the
+    # partial agg keeps the raw subtree (referenced by both the L1
+    # total and the score projection) computed once.
     for _ in range(HITS_SWEEPS):
         araw = (
             e.join(h.withColumnRenamed("sc", "hsc"), "s")
             .groupBy("p")
             .agg(F.sum("hsc").alias("raw"))
         )
-        a = _l1_normalize(araw, "p").localCheckpoint(eager=True)
+        a = _l1_normalize(araw, "p").localCheckpoint(eager=False)
         hraw = (
             e.join(a.withColumnRenamed("sc", "asc_"), "p")
             .groupBy("s")
             .agg(F.sum("asc_").alias("raw"))
         )
-        h = _l1_normalize(hraw, "s").localCheckpoint(eager=True)
+        h = _l1_normalize(hraw, "s").localCheckpoint(eager=False)
         auths.append(a)
         hubs.append(h)
     return auths, hubs

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.caching import tracked_cache
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .catalog import QuerySpec
 
 #: absolute discount D = KN_D_NUM / KN_D_DEN (Chen & Goodman's fixed
@@ -60,7 +60,9 @@ KN_CHECK_TOPK = 5
 
 def _scored_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, w1, w2, cnt) — ONE explode pass over documents."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r11, guide §2.5): one parquet file = one input split —
+    # the bigram explode ran on a single core otherwise
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     a = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
     # staged token column: closure inlining is O(n²) (see _doc_spans)
     return tracked_cache(

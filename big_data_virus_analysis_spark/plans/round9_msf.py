@@ -83,11 +83,13 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
     disabling AQE for the loop made things WORSE (checkpointed frames
     have no stats, so static planning loses the runtime broadcasts);
     fully lazy caching exploded the logical plan exponentially.  What
-    works is cutting the stages that exist: propagation sweeps that the
-    fixpoint already reached are skipped (provably identity — see the
-    sweep loop), the penultimate-label frame rides the sweep output as
-    a carried column instead of a separate join, and the chosen-edge
-    dedup folds into the forest merge aggregate."""
+    works is cutting the jobs that exist: every sweep is a LAZY
+    localCheckpoint (single LogicalRDD node — lineage truncates with
+    no blowup), so a whole round materializes inside the next round's
+    first job with zero per-sweep driver probes (r11; the r10 shape
+    spent one count() job per sweep to skip post-fixpoint sweeps —
+    identity maps that cost less to run than to probe), and the
+    chosen-edge dedup folds into the forest merge aggregate."""
     edges = tracked_cache(
         dup_graph_edges(spark, sf_dir, keep_shared=True)
     )
@@ -114,10 +116,14 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
             .join(lab_v, "v")
             .where(F.col("lu") != F.col("lv"))
         )
+        # r11: both endpoint components ride ONE pass — the former
+        # two-branch union duplicated the whole cross-join subtree in
+        # the plan (identical row multiset via explode of the 2-array)
         cand = cross.select(
-            F.col("lu").alias("comp"), "u", "v", "shared"
-        ).unionByName(
-            cross.select(F.col("lv").alias("comp"), "u", "v", "shared")
+            F.explode(F.array("lu", "lv")).alias("comp"),
+            "u",
+            "v",
+            "shared",
         )
         # chosen edges stay raw (each endpoint component may pick the
         # same edge twice); the dedup rides the forest-merge aggregate
@@ -153,21 +159,25 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
             # lazy checkpoint: lineage truncates now, materialization
             # folds into the first sweep's job instead of its own
         ).localCheckpoint(eager=False)
-        # contraction: min-label propagation over FOREST edges, with the
-        # budget sweeps SKIPPED once the fixpoint is reached — a sweep
-        # on fixpoint labels is the identity map, so the skipped labels
-        # are bit-identical to the DuckDB twin's full-budget lab CTEs
-        # (the twin keeps all MSF_PROP sweeps for oracle clarity).  Each
-        # executed sweep carries its input label as ``plbl`` so the
-        # fixpoint test (and the audit's final-sweep-move witness) needs
-        # no join against a penultimate frame.
+        # contraction: min-label propagation over FOREST edges.
+        # r11 optimization (guide §1.2 — remove driver round-trips):
+        # the r10 shape probed a moves-count per sweep (one driver job
+        # each) to SKIP post-fixpoint sweeps; but a sweep on fixpoint
+        # labels is the identity map, so running the full MSF_PROP
+        # budget lazily is bit-identical (and now literally mirrors
+        # the DuckDB twin's full-budget lab CTEs) while the whole
+        # round materializes in ONE job — the next round's cross join
+        # (or the final action) pulls the lazily-checkpointed sweep
+        # chain; each sweep's LogicalRDD is a single plan node, so
+        # lineage stays linear in MSF_PROP.  Bonus: the final round's
+        # labels are never consumed by the forest output, so the main
+        # MSF query no longer executes them at all (the audit still
+        # does, via its component counts and move witnesses).
         prev = labels
-        for p in range(1, MSF_PROP + 1):
+        for _ in range(MSF_PROP):
             # fused sweep: new label = min(own, forest-neighbor labels)
-            # as ONE union + join + min-aggregate — the own-label rows
-            # ride the same union tagged is_own so the aggregate also
-            # emits the node's PREVIOUS label (identical trajectory; the
-            # DuckDB twin keeps the textbook least(own, min-nbr) form)
+            # as ONE union + join + min-aggregate (the DuckDB twin
+            # keeps the textbook least(own, min-nbr) form)
             fu = forest.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
             fv = forest.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
             nbr_lbls = (
@@ -178,45 +188,20 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
                     ),
                     "nbr",
                 )
-                .select(
-                    "node",
-                    F.col("nlbl").alias("lbl"),
-                    F.lit(0).alias("is_own"),
-                )
+                .select("node", F.col("nlbl").alias("lbl"))
             )
             prev = labels
             labels = (
-                labels.select("node", "lbl", F.lit(1).alias("is_own"))
+                labels.select("node", "lbl")
                 .unionByName(nbr_lbls)
                 .groupBy("node")
-                .agg(
-                    F.min("lbl").alias("lbl"),
-                    F.max(
-                        F.when(F.col("is_own") == 1, F.col("lbl"))
-                    ).alias("plbl"),
-                )
-                # lazy: the moves-count below materializes (and stores)
-                # the checkpoint in the SAME job — one driver round
-                # trip per sweep, not two
+                .agg(F.min("lbl").alias("lbl"))
                 .localCheckpoint(eager=False)
             )
-            if p == MSF_PROP:
-                # final budget sweep: nothing left to skip, so the
-                # fixpoint probe would be pure overhead
-                break
-            moves = labels.where(F.col("lbl") != F.col("plbl")).count()
-            if moves == 0:
-                # fixpoint: sweeps p+1..MSF_PROP are identity maps —
-                # labels (and the final-vs-penultimate witness, which is
-                # now 0 on both engines) already equal the full-budget
-                # trajectory.  The 1-row scalar is the adjudicated
-                # bounded-collect pattern (cf. ktruss n_edges).
-                break
-        labels = labels.select("node", "lbl")
         label_hist.append(labels)
-        # penultimate labels (before the final EXECUTED sweep); when the
-        # loop broke on a zero-move sweep this equals the final frame,
-        # exactly as lab{PROP-1} == lab{PROP} in the converged twin
+        # penultimate labels (input of the round's final sweep) — the
+        # audit's final-sweep-move witness compares them to the final
+        # frame, exactly lab{PROP-1} vs lab{PROP} in the twin
         label_prev_hist.append(prev.select("node", "lbl"))
         forest_hist.append(forest)
     return edges, label_hist, label_prev_hist, forest_hist

@@ -62,6 +62,10 @@ BNLJ_ALLOWED = {
     "language_confusion",
     # single-row bigram-total broadcast crossed onto vocabulary-sized counts
     "bigram_pmi_top",
+    # single-row x-side moment frame (sxx off the 50-value quantity rank
+    # table) broadcast-crossed onto the single-row y-side moment frame
+    # (r11: the fat rank-join rewrite — see round6_stats4)
+    "spearman_price_quantity",
     # brute-force baselines (the LSH/IVF variants are the scale path)
     "cosine_topk_bruteforce",
     "hard_negative_mining",
