@@ -128,7 +128,11 @@ def _dag_chain(spark: SparkSession, sf_dir: str):
             .unionByName(contrib)
             .groupBy("node")
             .agg(F.max("lvl").alias("lvl"), F.max("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            # r11 (guide §1.2, the MSF treatment): lazy — lineage still
+            # truncates via the LogicalRDD node, but the round's final
+            # stage materializes inside the next consumer's job instead
+            # of paying one driver round-trip per round
+            .localCheckpoint(eager=False)
         )
     return state, prev
 

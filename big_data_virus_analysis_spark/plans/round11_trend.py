@@ -15,20 +15,18 @@ possible.
   (integer micro-units; lower AND upper order-statistic medians
   emitted so the even-count convention is explicit), the matching
   median intercept in micro-cents, and the OLS slope beside it — the
-  robust-vs-least-squares gap IS the outlier story.  The median over
-  the ~n²/2 pair-slope frame is a k-th order statistic over
-  CUMULATIVE COUNTS of the distinct slope values (hash agg + the
-  two-phase prefix sum, ``operators/prefix_sum.py::global_prefix_sum``)
-  — no single-partition window ever sees the pair frame.
+  robust-vs-least-squares gap IS the outlier story.  Both slope
+  medians are order statistics picked from ONE sorted-array aggregate
+  over the CALENDAR-BOUNDED pair frame (map-side partial lists, one
+  JVM sort) — no single-partition window ever sees unbounded data.
 
 100-TB shape: the day frame is CALENDAR-BOUNDED (~2.4k rows at every
 SF — the corpus-sized work is the one groupBy building it), so the
 pair self-join is a bounded ~3M-row product independent of corpus
 size; both sides broadcast.  All aggregates are hash aggs; the only
-window sits in the ORACLE (clarity over speed) and the two-phase
-prefix sum over distinct slope values replaces it on the Spark side;
-the intercept median is a sorted-array aggregate over the
-calendar-bounded day frame.
+window sits in the ORACLE (clarity over speed) — on the Spark side
+both medians (slope and intercept) are sorted-array aggregates over
+frames bounded by the calendar, not the corpus.
 
 Identity properties (tests/test_properties.py): S, the tie-corrected
 variance, and both Theil-Sen medians equal a pure-Python reference on
@@ -47,7 +45,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.caching import tracked_cache
-from ..operators.prefix_sum import global_prefix_sum
 from ..sources.tables import load_table
 from .catalog import QuerySpec
 
@@ -166,47 +163,41 @@ def _q_mann_kendall_daily_trend(
 
 def _q_theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = tracked_cache(_daily(spark, sf_dir))
-    # r11 optimization (guide §2.3/§2.4, "aggregate before you
-    # shuffle"): the old shape ranked the FULL ~n²/2 pair-slope frame
-    # with global_row_number (eager localCheckpoint of 2.9M rows +
-    # driver collect) and then scanned that checkpoint twice more for
-    # the lower/upper medians, plus a SECOND two-phase rank over the
-    # 2.4k-row residual frame — ~9 jobs, 8.2s at sf0.1.  A k-th order
-    # statistic only needs CUMULATIVE COUNTS of the DISTINCT slope
-    # values: hash-agg the pair frame down to (sm, c) with map-side
-    # partials, one global_prefix_sum over that (total attached by the
-    # driver, no second pass), and ONE aggregate picks both medians —
-    # the row whose [cum-c+1, cum] range covers rank k holds the k-th
-    # smallest.  Bit-identical by the definition of an order statistic.
-    grouped = (
-        _pairs(days)
-        .select(
-            F.expr(
-                "CAST(round((yj - yi) * 1000000.0 / (xj - xi), 0) AS BIGINT)"
-            ).alias("sm")
+    # r11 optimization (guide §2.3/§1.2): the old shape ranked the
+    # FULL ~n²/2 pair-slope frame with global_row_number (eager
+    # localCheckpoint of 2.9M rows + driver collect) and then scanned
+    # that checkpoint twice more for the lower/upper medians, plus a
+    # SECOND two-phase rank over the residual frame — ~9 jobs, 8.2s at
+    # sf0.1.  An intermediate rewrite hash-agged to distinct slopes +
+    # prefix sum (3.3s), but the slopes are near-unique (2.89M distinct
+    # of 2.89M at sf0.1), so the groupBy + range shuffle + driver
+    # offsets reduced nothing.  The pair frame is CALENDAR-BOUNDED
+    # (~3M rows at EVERY corpus scale — the docstring's standing
+    # argument, the same one the intercept median below already uses),
+    # so both slope medians are ONE sorted-array aggregate: map-side
+    # partial collect_lists merge into a single ≤3M-element bounded
+    # array, sorted once in the JVM; element_at picks both order
+    # statistics.  Bit-identical by the definition of an order
+    # statistic.
+    slopes = _pairs(days).select(
+        F.expr(
+            "CAST(round((yj - yi) * 1000000.0 / (xj - xi), 0) AS BIGINT)"
+        ).alias("sm")
+    )
+    lo = (
+        slopes.agg(
+            F.sort_array(F.collect_list("sm")).alias("arr"),
+            F.count(F.lit(1)).alias("m"),
         )
-        .groupBy("sm")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    cum = global_prefix_sum(
-        grouped, "sm", "c", out_col="cum", total_col="m"
-    )
-    k1 = F.expr("(m + 1) div 2")
-    k2 = F.expr("m div 2 + 1")
-    lo = cum.agg(
-        F.min(
-            F.when(
-                (F.col("cum") - F.col("c") < k1) & (k1 <= F.col("cum")),
-                F.col("sm"),
-            )
-        ).alias("slope_micro_lower"),
-        F.min(
-            F.when(
-                (F.col("cum") - F.col("c") < k2) & (k2 <= F.col("cum")),
-                F.col("sm"),
-            )
-        ).alias("slope_micro_upper"),
-        F.min("m").alias("n_pairs"),
+        .select(
+            F.element_at(
+                "arr", F.expr("CAST((m + 1) div 2 AS INT)")
+            ).alias("slope_micro_lower"),
+            F.element_at(
+                "arr", F.expr("CAST(m div 2 + 1 AS INT)")
+            ).alias("slope_micro_upper"),
+            F.col("m").alias("n_pairs"),
+        )
     )
     # intercept: median over the DAY frame of y*1e6 - slope_lower*x.
     # The day frame is CALENDAR-BOUNDED (~2.4k rows at every SF), so

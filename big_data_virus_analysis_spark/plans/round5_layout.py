@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import zorder_value
+from ..operators.caching import tracked_cache
 from ..operators.prefix_sum import global_row_number
 from ..sources.tables import load_table
 from .catalog import QuerySpec
@@ -137,7 +138,9 @@ FROM zed GROUP BY 1
 # --------------------------------------------------------------------------
 
 def _q_zone_map_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _banded_orders(spark, sf_dir)
+    # r11 (guide §5): the banded frame feeds BOTH layout ranks — cached
+    # so the scan + bounds + banding + Morton key compute once
+    b = tracked_cache(_banded_orders(spark, sf_dir))
     pred = (
         F.col("ck_band").between(_CK_LO, _CK_HI)
         & F.col("dt_band").between(_DT_LO, _DT_HI)

@@ -108,7 +108,11 @@ def _peel_chain(spark: SparkSession, sf_dir: str):
     for k in PEEL_KS:
         thr = k - 2
         for r in range(1, PEEL_ROUNDS + 1):
-            cur = _peel_once(cur, thr).localCheckpoint(eager=True)
+            # r11 (guide §1.2): lazy checkpoint — the LogicalRDD node
+            # still truncates the ~6^rounds lineage, but the round's
+            # final stage materializes inside its first consumer's job
+            # (the n_cur leg) instead of a dedicated driver round-trip
+            cur = _peel_once(cur, thr).localCheckpoint(eager=False)
             n_cur = cur.agg(F.count(F.lit(1)).alias("n_cur"))
             legs.append(
                 n_prev.crossJoin(F.broadcast(n_cur)).select(
@@ -247,7 +251,9 @@ def _q_min_label_propagation_fixpoint(spark: SparkSession, sf_dir: str) -> DataF
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # r11 (guide §1.2): lazy — same LogicalRDD truncation, one
+            # fewer driver round-trip per round
+            .localCheckpoint(eager=False)
         )
         changed = (
             labels.select("node", F.col("label").alias("old"))

@@ -141,7 +141,9 @@ def _ipf_chain(spark: SparkSession, sf_dir: str):
     )
     legs: list[DataFrame] = []
     for s in range(1, IPF_SWEEPS + 1):
-        cells = _sweep(_sweep(cells, _ROW), _COL).localCheckpoint(eager=True)
+        # r11 (guide §1.2): lazy — LogicalRDD still truncates the 16×
+        # replay lineage, one fewer driver round-trip per sweep
+        cells = _sweep(_sweep(cells, _ROW), _COL).localCheckpoint(eager=False)
         legs.append(_marginal_errors(cells, s))
     return legs, cells
 
