@@ -76,9 +76,49 @@ _JARO_FOLD = """aggregate(
                    'ma', concat(acc.ma, substring(pa, i, 1)))))[0])"""
 
 
+def _jaro_match_counts(pa: str, pb: str) -> tuple[int, int, int]:
+    """The greedy windowed matcher of ``_JARO_FOLD``, verbatim, at
+    C-speed: (m, doubled transpositions, Winkler prefix length).
+    Python strings index by CODE POINT exactly like Spark's
+    substring(), so the walk is position-identical — equality with the
+    fold expression is pinned by tests/test_operators.py::
+    test_jaro_batch_matcher_equals_fold_expression."""
+    la, lb = len(pa), len(pb)
+    w = max(0, max(la, lb) // 2 - 1)
+    js: list[int] = []
+    ma: list[str] = []
+    for i in range(1, la + 1):
+        for j in range(max(1, i - w), min(lb, i + w) + 1):
+            if j not in js and pb[j - 1] == pa[i - 1]:
+                js.append(j)
+                ma.append(pa[i - 1])
+                break
+    m = len(js)
+    mb = [pb[j - 1] for j in sorted(js)]
+    t2 = sum(1 for x, y in zip(ma, mb) if x != y)
+    pl = 0
+    for k in range(min(4, la, lb)):
+        if pa[k] != pb[k]:
+            break
+        pl += 1
+    return m, t2, pl
+
+
 def _q_jaro_winkler_dup_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # r11 optimization (guide §4.2, the lz78/edit-fast pattern): the
+    # _JARO_FOLD Catalyst expression stays above as the SPECIFICATION,
+    # but executing it costs ~64 × window interpreted lambda
+    # invocations per pair, each with an O(m) array_contains probe and
+    # a string concat (~1.2 s of the query at sf0.1 for 256 pairs).
+    # The batch path ships only the candidate pairs' 64-char prefixes
+    # across the Arrow boundary and runs the identical greedy walk
+    # with C-speed indexing; the micro-unit jaro/winkler arithmetic
+    # stays in the SAME Spark expressions below, so quantization is
+    # untouched.
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=JARO_JACC_FLOOR)
     pref = docs.where(F.length("text") > 0).select(
@@ -114,38 +154,31 @@ def _q_jaro_winkler_dup_pairs(
             "w", F.expr("greatest(0, greatest(la, lb) div 2 - 1)")
         )
     )
+    def _batch(it):
+        for pdf in it:
+            counts = [
+                _jaro_match_counts(a, b)
+                for a, b in zip(pdf["pa"], pdf["pb"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"],
+                    "doc_b": pdf["doc_b"],
+                    "jaccard": pdf["jaccard"],
+                    "la": pdf["la"],
+                    "lb": pdf["lb"],
+                    "m": [c[0] for c in counts],
+                    "t2": [c[1] for c in counts],
+                    "prefix_len": [c[2] for c in counts],
+                }
+            )
+
     matched = joined.select(
-        "doc_a",
-        "doc_b",
-        "jaccard",
-        "la",
-        "lb",
-        "pa",
-        "pb",
-        F.expr(_JARO_FOLD).alias("mm"),
-    ).select(
-        "doc_a",
-        "doc_b",
-        "jaccard",
-        "la",
-        "lb",
-        F.expr("CAST(size(mm.js) AS BIGINT)").alias("m"),
-        # doubled transpositions: mismatches between the a-order and
-        # b-order matched sequences (kept integer; t = t2 / 2)
-        F.expr(
-            """CAST(size(filter(sequence(1, size(mm.js)), k ->
-                 substring(mm.ma, k, 1) !=
-                 substring(concat_ws('', transform(array_sort(mm.js),
-                                     j -> substring(pb, j, 1))), k, 1)))
-               AS BIGINT)"""
-        ).alias("t2"),
-        # common prefix length, capped at 4 (Winkler)
-        F.expr(
-            """CAST(size(filter(sequence(1, 4), k ->
-                 k <= least(la, lb) AND
-                 substring(pa, 1, k) = substring(pb, 1, k)))
-               AS BIGINT)"""
-        ).alias("prefix_len"),
+        "doc_a", "doc_b", "jaccard", "la", "lb", "pa", "pb"
+    ).mapInPandas(
+        _batch,
+        "doc_a bigint, doc_b bigint, jaccard double, la bigint, "
+        "lb bigint, m bigint, t2 bigint, prefix_len bigint",
     )
     return (
         matched.select(

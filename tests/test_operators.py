@@ -1204,3 +1204,71 @@ def test_lz78_batch_parse_equals_fold_expression(spark):
     assert len(rows) == len(cases)
     for r in rows:
         assert r["fold"] == _lz78_phrase_count(r["p"]), r["p"]
+
+
+def test_jaro_batch_matcher_equals_fold_expression(spark):
+    """round11_jaro r11-optimization witness: the Python greedy
+    windowed matcher that now executes the query (via mapInPandas)
+    equals the _JARO_FOLD Catalyst SPECIFICATION on adversarial pairs:
+    the textbook triples, equal strings, disjoint alphabets (m = 0),
+    all-same characters (window saturation), transposition-heavy
+    permutations, multi-byte code points (both sides index CODE
+    POINTS), asymmetric lengths at the window boundary, and the
+    64-char cap.  Compares (m, t2, prefix_len) — everything the batch
+    path computes; the micro arithmetic downstream is unchanged Spark
+    expressions."""
+    from pyspark.sql import functions as F
+
+    from big_data_virus_analysis_spark.plans.round11_jaro import (
+        _JARO_FOLD,
+        _jaro_match_counts,
+    )
+
+    cases = [
+        ("MARTHA", "MARHTA"),
+        ("DWAYNE", "DUANE"),
+        ("DIXON", "DICKSONX"),
+        ("same", "same"),
+        ("abc", "xyz"),
+        ("aaaaaaa", "aaa"),
+        ("abcdef", "fedcba"),
+        ("ab", "ba"),
+        ("a", "abcdefghijklmnop"),
+        ("héllo wörld", "hello world"),
+        ("日本語テキスト", "日本語てきすと"),
+        ("x" * 64, "x" * 63 + "y"),
+        ("abcdefgh" * 8, "hgfedcba" * 8),
+        ("the quick brown fox jumps over the lazy dog again and again end",
+         "the quick brown fox jumped over a lazy dog again and again ends"),
+    ]
+    df = spark.createDataFrame(cases, "pa string, pb string").selectExpr(
+        "pa",
+        "pb",
+        "CAST(length(pa) AS BIGINT) AS la",
+        "CAST(length(pb) AS BIGINT) AS lb",
+        "greatest(0, greatest(length(pa), length(pb)) div 2 - 1) AS w",
+    )
+    rows = df.select(
+        "pa",
+        "pb",
+        "la",
+        "lb",
+        F.expr(_JARO_FOLD).alias("mm"),
+    ).selectExpr(
+        "pa",
+        "pb",
+        "CAST(size(mm.js) AS BIGINT) AS m",
+        """CAST(size(filter(sequence(1, size(mm.js)), k ->
+             substring(mm.ma, k, 1) !=
+             substring(concat_ws('', transform(array_sort(mm.js),
+                                 j -> substring(pb, j, 1))), k, 1)))
+           AS BIGINT) AS t2""",
+        """CAST(size(filter(sequence(1, 4), k ->
+             k <= least(la, lb) AND
+             substring(pa, 1, k) = substring(pb, 1, k)))
+           AS BIGINT) AS prefix_len""",
+    ).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        got = _jaro_match_counts(r["pa"], r["pb"])
+        assert got == (r["m"], r["t2"], r["prefix_len"]), (r["pa"], r["pb"], got)
