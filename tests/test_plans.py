@@ -928,9 +928,14 @@ def test_msf_boruvka_checkpointed_chain(plan_of):
     assert plan.count("documents.parquet") == 0
     assert "Scan ExistingRDD" in plan
     # the audit's cross-edge legs read the cached edge frame (its
-    # build lineage shows the one documents scan) + checkpointed labels
+    # build lineage shows the edge builder's TWO documents scans —
+    # r11 recomputes the cheap gram explode for the count-agg and
+    # survivor-join branches instead of caching the exploded frame,
+    # graph_edges.py guide-§5 note) + checkpointed labels.  The
+    # invariant that matters: the scan count is a builder CONSTANT,
+    # never a function of Borůvka rounds or sweeps.
     plan = plan_of("msf_boruvka_audit")
-    assert plan.count("documents.parquet") <= 1
+    assert plan.count("documents.parquet") <= 2
     assert "Scan ExistingRDD" in plan
 
 
