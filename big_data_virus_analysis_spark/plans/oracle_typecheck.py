@@ -14,13 +14,17 @@ types of a Spark plan (``DataFrame.schema`` — lazily compiled, never
 executed) against its DuckDB oracle relation (``con.sql(sql).types`` —
 bound, never executed) and reports divergences in two severities:
 
-* ``hard`` — classes the driver's comparator is known (r10) or expected
-  to break on: any HUGEINT/UHUGEINT in the oracle output, DECIMAL on
-  one side where the other is FLOAT/DOUBLE, or an outright class
-  mismatch (string vs int, list element class drift, ...).
+* ``hard`` — classes the driver's comparator is known (r10/r11) or
+  expected to break on: any HUGEINT/UHUGEINT in the oracle output,
+  DECIMAL anywhere in a final projection on EITHER side (r12
+  hardening — the five r11 window failures were both-side
+  DECIMAL(38,0): DuckDB's pandas fetch renders decimals as float64
+  while Spark emits decimal.Decimal, so the driver hash breaks on
+  render even at equal values), or an outright class mismatch
+  (string vs int, list element class drift, ...).
 * ``soft`` — divergences ten rounds of driver history prove tolerated:
   integer width (Spark INT vs DuckDB BIGINT — ``token_stats`` passed 10
-  consecutive windows), DECIMAL precision/scale, FLOAT-vs-DOUBLE width.
+  consecutive windows), FLOAT-vs-DOUBLE width.
 
 Used by ``tests/test_oracle_types.py`` (catalog-wide hard-fail lint)
 and ``scripts/check_correctness.py`` (the local driver stand-in now
@@ -148,6 +152,27 @@ def _compare(scls: tuple, dcls: tuple, path: str) -> list[tuple[str, str]]:
             )
         )
         return issues
+    # r12 hardening (r11 VERDICT #1): DECIMAL in a FINAL projection on
+    # EITHER side is driver-render-unsafe, full stop.  DuckDB's pandas
+    # fetch converts every decimal to float64 while Spark emits
+    # decimal.Decimal objects; the driver's value hash then breaks on
+    # render ("247" vs "247.0" for scale 0, "1.50" vs "1.5" on
+    # trailing-zero cents) even when the values are identical — the
+    # exact mechanism behind the five r11 DECIMAL(38,0) hash failures.
+    # Final projections must emit BIGINT / DOUBLE / STRING instead
+    # (keep decimal arithmetic INTERNAL; cast once at the end).
+    if scls[0] == "decimal" or dcls[0] == "decimal":
+        issues.append(
+            (
+                "hard",
+                f"{path}: decimal in final projection — oracle "
+                f"{_fmt(dcls)} vs spark {_fmt(scls)}; the driver "
+                "renders decimals differently per engine (r11 class). "
+                "Emit BIGINT (if it provably fits), DOUBLE (if "
+                "value-exact), or a canonical digit string",
+            )
+        )
+        return issues
     if scls[0] != dcls[0]:
         if {scls[0], dcls[0]} == {"decimal", "float"}:
             issues.append(
@@ -170,14 +195,6 @@ def _compare(scls: tuple, dcls: tuple, path: str) -> list[tuple[str, str]]:
     if head in ("int", "float") and scls[1] != dcls[1]:
         issues.append(
             ("soft", f"{path}: width — oracle {_fmt(dcls)} vs spark {_fmt(scls)}")
-        )
-    elif head == "decimal" and scls[1:] != dcls[1:]:
-        issues.append(
-            (
-                "soft",
-                f"{path}: decimal precision — oracle {_fmt(dcls)} vs "
-                f"spark {_fmt(scls)}",
-            )
         )
     elif head == "list":
         issues.extend(_compare(scls[1], dcls[1], path + "[]"))

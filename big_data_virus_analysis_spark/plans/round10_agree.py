@@ -16,9 +16,13 @@ pure column predicates, so the rater matrix is ONE documents scan.
   κ = (P̄−P_e)/(1−P_e) is emitted as
   num = A·(Nm)² − N·m(m−1)·(S₀²+S₁²) over
   den = N·m(m−1)·((Nm)² − S₀² − S₁²), where A = Σ_i Σ_j n_ij(n_ij−1),
-  S_j the pooled category counts — all DECIMAL(38,0) (S² reaches
-  ~1e20 at the 100 TB point, past BIGINT; the round9_absorb widening
-  discipline).  kappa_micros truncates toward zero via
+  S_j the pooled category counts — the INTERNAL algebra rides
+  DECIMAL(38,0)/HUGEINT (S² reaches ~1e20 at the 100 TB point, past
+  BIGINT; the round9_absorb widening discipline) while the FINAL
+  num/den emission is int64 (r12 driver-parity: wide decimals render
+  differently per engine on the driver channel; magnitudes < 1e15 at
+  every test SF, and the oracle cast errors loudly on overflow).
+  kappa_micros truncates toward zero via
   sign·(|num|·10⁶ div den) — identical in both engines, unlike
   floor-division of negatives.
 * ``krippendorff_alpha_rules`` — Krippendorff's alpha for binary
@@ -128,8 +132,17 @@ def _q_fleiss_kappa_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         "s1",
         "s0",
-        "num",
-        "den",
+        # r12 driver-parity fix (r11 VERDICT #1): the INTERNAL algebra
+        # stays DECIMAL(38,0)/HUGEINT (exact at any scale), but the
+        # FINAL projection emits int64 — the driver renders a wide
+        # decimal differently per engine (Spark Decimal object vs
+        # DuckDB float64) and the value hash breaks on type, not value.
+        # |num|,|den| < 1e15 at every test SF (measured sf0.001-0.1);
+        # the oracle's HUGEINT->BIGINT cast errors loudly on overflow,
+        # so a scale excursion past int64 fails the gate instead of
+        # silently corrupting.
+        F.expr("CAST(num AS BIGINT)").alias("num"),
+        F.expr("CAST(den AS BIGINT)").alias("den"),
         F.expr(_MICROS.format(d="div")).alias("kappa_micros"),
     )
 
@@ -158,8 +171,11 @@ agg AS MATERIALIZED (
   FROM agg
 )
 SELECT n_items, s1, s0,
-       CAST(num AS DECIMAL(38,0)) AS num,
-       CAST(den AS DECIMAL(38,0)) AS den,
+       -- final emission int64 (driver-parity, r11 VERDICT #1); the
+       -- HUGEINT->BIGINT cast is the bound assertion: DuckDB errors
+       -- on overflow rather than truncating
+       CAST(num AS BIGINT) AS num,
+       CAST(den AS BIGINT) AS den,
        {_MICROS.format(d="//")} AS kappa_micros
 FROM frac
 """
@@ -196,8 +212,11 @@ def _q_krippendorff_alpha_rules(
         "s1",
         "s0",
         "d_sum",
-        "num",
-        "den",
+        # int64 final emission — same driver-parity rationale as the
+        # kappa twin above (micros still computed from the exact
+        # decimal num/den of the input frame)
+        F.expr("CAST(num AS BIGINT)").alias("num"),
+        F.expr("CAST(den AS BIGINT)").alias("den"),
         F.expr(_MICROS.format(d="div")).alias("alpha_micros"),
     )
 
@@ -221,8 +240,9 @@ agg AS MATERIALIZED (
   FROM agg
 )
 SELECT n_items, s1, s0, d_sum,
-       CAST(num AS DECIMAL(38,0)) AS num,
-       CAST(den AS DECIMAL(38,0)) AS den,
+       -- final emission int64 (driver-parity); overflow errors loudly
+       CAST(num AS BIGINT) AS num,
+       CAST(den AS BIGINT) AS den,
        {_MICROS.format(d="//")} AS alpha_micros
 FROM frac
 """

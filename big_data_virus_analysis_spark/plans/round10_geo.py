@@ -31,8 +31,12 @@ the classic strip-pruned sweep.
 so the corpus-sized work is ONE scan + one hash aggregate each — the
 ``matrix_profile_daily`` precedent.  The hull's pair→witness join is
 ≤ 84³ ≈ 6e5 predicate rows; the strip join's candidate count is
-emitted in-band.  Squared distances use DECIMAL(38,0): daily cents
-one decade past sf0.1 square to ~1e20, past BIGINT.
+emitted in-band.  INTERNAL squared distances use DECIMAL(38,0): daily
+cents one decade past sf0.1 square to ~1e20, past BIGINT.  Final
+emission (r12 driver-parity): min_d2/d0 as int64 (minima, < 1e15 at
+every test SF), edge_len2 as its canonical digit string (~1e19 at
+sf0.01 — past int64, and wide decimals render differently per engine
+on the driver channel).
 
 Identity properties (tests/test_properties.py): the edge-predicate
 hull equals Andrew's monotone chain in pure Python on planted square /
@@ -138,8 +142,14 @@ def _q_convex_hull_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "py",
             "qx",
             "qy",
+            # r12 driver-parity fix (r11 VERDICT #1): edge_len2 reaches
+            # ~1e19 already at sf0.01 (past int64), so the BIGINT fix
+            # is unavailable — emit the exact value as its canonical
+            # digit string instead (Spark DECIMAL(38,0)->STRING and
+            # DuckDB HUGEINT->VARCHAR both render plain digits; the
+            # string class is driver-render-stable at any magnitude)
             F.expr(
-                f"CAST({len2} AS DECIMAL(38,0))"
+                f"CAST(CAST({len2} AS DECIMAL(38,0)) AS STRING)"
             ).alias("edge_len2"),
             "n_points",
             "overflow_nulls",
@@ -199,9 +209,11 @@ WITH pts AS MATERIALIZED (
   GROUP BY px, py, qx, qy
 )
 SELECT px, py, qx, qy,
+       -- canonical digit string (driver-parity): the squared length
+       -- passes int64 at sf0.01 already, so string is the stable class
        CAST(CAST(qx - px AS HUGEINT) * CAST(qx - px AS HUGEINT)
             + CAST(qy - py AS HUGEINT) * CAST(qy - py AS HUGEINT)
-            AS DECIMAL(38,0)) AS edge_len2,
+            AS VARCHAR) AS edge_len2,
        (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
        (SELECT CAST(sum(null_products) AS BIGINT) FROM checked)
          AS overflow_nulls
@@ -293,8 +305,14 @@ def _q_closest_pair_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ay",
         "bx",
         F.col("by_").alias("by"),
-        F.col("min_d2").cast("decimal(38,0)").alias("min_d2"),
-        F.col("d0").cast("decimal(38,0)").alias("d0_upper_bound"),
+        # r12 driver-parity fix (r11 VERDICT #1): internal squared
+        # distances stay DECIMAL(38,0), but the final emission is
+        # int64 — wide decimals render differently per engine on the
+        # driver channel.  min_d2/d0 are MINIMA over near-adjacent
+        # points (< 1e15 at every test SF, measured); the oracle's
+        # HUGEINT->BIGINT cast errors loudly on overflow.
+        F.col("min_d2").cast("bigint").alias("min_d2"),
+        F.col("d0").cast("bigint").alias("d0_upper_bound"),
         "n_candidates",
         "n_points",
     )
@@ -334,8 +352,9 @@ WITH pts AS MATERIALIZED (
     AND CAST(a.x - b.x AS HUGEINT) * CAST(a.x - b.x AS HUGEINT) <= adj.d0
 )
 SELECT ax, ay, bx, by_ AS "by",
-       CAST(dd AS DECIMAL(38,0)) AS min_d2,
-       (SELECT CAST(d0 AS DECIMAL(38,0)) FROM adj) AS d0_upper_bound,
+       -- int64 final emission (driver-parity); overflow errors loudly
+       CAST(dd AS BIGINT) AS min_d2,
+       (SELECT CAST(d0 AS BIGINT) FROM adj) AS d0_upper_bound,
        (SELECT n_candidates FROM strip_count) AS n_candidates,
        (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points
 FROM brute

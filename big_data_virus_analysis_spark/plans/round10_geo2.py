@@ -11,9 +11,11 @@ THEOREM itself as the cross-check between the engines.
   oracle maxes over ALL point pairs with no hull anywhere — so the
   hash match doesn't just check arithmetic, it exercises the theorem
   end-to-end on real data.  Output: the pair (lexicographic-smallest
-  among maximizers), the exact squared diameter in DECIMAL(38,0)
-  (cents² passes BIGINT one decade past sf0.1 — the round10_geo
-  budget), hull-vertex count, and the candidate-pair counts on both
+  among maximizers), the exact squared diameter as its canonical
+  digit string (cents² passes BIGINT already at sf0.01, and wide
+  decimals render differently per engine on the driver channel — the
+  r12 driver-parity discipline; internal algebra stays DECIMAL(38,0)/
+  HUGEINT), hull-vertex count, and the candidate-pair counts on both
   paths (the prune factor as data).
 
 100-TB shape: identical to ``convex_hull_monthly`` — one lineitem
@@ -108,7 +110,12 @@ def _q_farthest_pair_diameter(
             "ay",
             "bx",
             F.col("by_").alias("by"),
-            F.col("max_d2").cast("decimal(38,0)").alias("diameter_d2"),
+            # r12 driver-parity fix (r11 VERDICT #1): ~1e19 at sf0.01
+            # (past int64) — emit the exact squared diameter as its
+            # canonical digit string (see round10_geo.edge_len2)
+            F.col("max_d2").cast("decimal(38,0)").cast("string").alias(
+                "diameter_d2"
+            ),
             "n_hull_vertices",
             "n_hull_pairs",
             "n_points",
@@ -160,7 +167,8 @@ WITH pts AS MATERIALIZED (
   SELECT DISTINCT px AS hx, py AS hy FROM hull_edges
 )
 SELECT ax, ay, bx, by_ AS "by",
-       CAST(dd AS DECIMAL(38,0)) AS diameter_d2,
+       -- canonical digit string (driver-parity, past int64 at sf0.01)
+       CAST(dd AS VARCHAR) AS diameter_d2,
        (SELECT CAST(count(*) AS BIGINT) FROM hv) AS n_hull_vertices,
        (SELECT CAST(count(*) AS BIGINT)
         FROM hv a, hv b

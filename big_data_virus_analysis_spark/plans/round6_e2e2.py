@@ -71,8 +71,12 @@ def _q_near_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select(
         "cust",
-        "price",
-        "price2",
+        # r12 driver-parity: DECIMAL(18,2) renders differently per
+        # engine on the driver channel (trailing-zero cents); emit
+        # DOUBLE — the cents-rounded value is « 2^53, so the decimal
+        # -> double conversion is value-exact in both engines
+        F.col("price").cast("double").alias("price"),
+        F.col("price2").cast("double").alias("price2"),
         "k1",
         "k2",
         F.date_format("d1", "yyyy-MM-dd").alias("day1"),
@@ -88,7 +92,10 @@ WITH base AS (
          CAST(o_orderdate AS DATE) AS day
   FROM orders
 )
-SELECT a.o_custkey AS cust, a.price, b.price AS price2,
+SELECT a.o_custkey AS cust,
+       -- DOUBLE final emission (driver-parity)
+       CAST(a.price AS DOUBLE) AS price,
+       CAST(b.price AS DOUBLE) AS price2,
        a.o_orderkey AS k1, b.o_orderkey AS k2,
        strftime(a.day, '%Y-%m-%d') AS day1,
        strftime(b.day, '%Y-%m-%d') AS day2,
@@ -128,7 +135,10 @@ def _q_bi_dashboard_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leg 1: grand totals (from the day frame, no second scan)
     totals = daily.agg(
         F.sum("n").alias("n_orders"),
-        F.sum("rev").alias("total_revenue"),
+        # r12 driver-parity: exact decimal sum, DOUBLE final emission
+        # (wide decimals render differently per engine on the driver
+        # channel; cents magnitudes « 2^53 so this is value-exact)
+        F.sum("rev").cast("double").alias("total_revenue"),
     )
 
     # leg 2: last month-over-month revenue delta (month frame bounded)
@@ -160,7 +170,9 @@ def _q_bi_dashboard_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(
             F.col("n_name").alias("top_nation"),
-            F.col("rev").alias("top_nation_revenue"),
+            # DOUBLE final emission (driver-parity; ordering already
+            # settled on the exact decimal above)
+            F.col("rev").cast("double").alias("top_nation_revenue"),
         )
     )
 
@@ -197,8 +209,10 @@ def _q_bi_dashboard_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BI_DASHBOARD_E2E = """
 WITH totals AS (
+  -- DOUBLE final emission (driver-parity; exact decimal sum first)
   SELECT CAST(count(*) AS BIGINT) AS n_orders,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_revenue
   FROM orders
 ), monthly AS (
   SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
@@ -211,13 +225,15 @@ WITH totals AS (
            AS last_mom_delta
   FROM last2
 ), top_nation AS (
+  -- order on the exact decimal, emit DOUBLE (driver-parity)
   SELECT n.n_name AS top_nation,
-         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS top_nation_revenue
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS top_nation_revenue
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   GROUP BY n.n_name
-  ORDER BY top_nation_revenue DESC, top_nation
+  ORDER BY sum(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC, top_nation
   LIMIT 1
 ), daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,

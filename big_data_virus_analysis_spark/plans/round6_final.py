@@ -170,7 +170,12 @@ def _q_star_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region", F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            # r12 driver-parity: exact decimal sum, DOUBLE final
+            # emission (wide decimals render differently per engine
+            # on the driver channel; value-exact at these magnitudes)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -178,7 +183,9 @@ def _q_star_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STAR_JOIN_REGION_PRIORITY = """
 SELECT r.r_name AS region, o.o_orderpriority AS priority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+       -- DOUBLE final emission (driver-parity; exact decimal sum)
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey

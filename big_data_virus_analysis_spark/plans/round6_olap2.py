@@ -128,7 +128,12 @@ def _q_abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         classed.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum("rev").alias("class_revenue"),
+            # r12 driver-parity (r11 VERDICT #1 class): the exact
+            # decimal sum is cast to DOUBLE for the FINAL emission —
+            # wide decimals render differently per engine on the
+            # driver channel; cents magnitudes here are « 2^53 so the
+            # conversion is value-exact in both engines
+            F.sum("rev").cast("double").alias("class_revenue"),
             F.round(
                 F.sum("rev").cast("double") / F.max("tot_rev").cast("double"), 6
             ).alias("revenue_share"),
@@ -158,7 +163,9 @@ WITH per_part AS (
 )
 SELECT abc_class,
        CAST(count(*) AS BIGINT) AS n_parts,
-       sum(rev) AS class_revenue,
+       -- DOUBLE final emission (driver-parity; exact decimal sum is
+       -- value-exact in float64 at these magnitudes)
+       CAST(sum(rev) AS DOUBLE) AS class_revenue,
        round(CAST(sum(rev) AS DOUBLE) / CAST(max(tot_rev) AS DOUBLE), 6)
          AS revenue_share
 FROM classed

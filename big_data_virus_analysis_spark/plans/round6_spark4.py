@@ -51,6 +51,10 @@ def _q_pipe_sql_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> AGGREGATE count(*) AS n_orders,
                      sum(tp) AS revenue
            GROUP BY segment
+        |> SELECT segment, n_orders,
+                  -- r12 driver-parity: exact decimal sum, DOUBLE
+                  -- final emission (value-exact at these magnitudes)
+                  CAST(revenue AS DOUBLE) AS revenue
         """
     )
 
@@ -58,7 +62,8 @@ def _q_pipe_sql_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PIPE_SQL_SEGMENT_ROLLUP = """
 SELECT c_mktsegment AS segment,
        CAST(count(*) AS BIGINT) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+       -- DOUBLE final emission (driver-parity; exact decimal sum)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY c_mktsegment
@@ -95,7 +100,9 @@ def _q_xml_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status", "prio_class")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("total").alias("revenue"),
+            # r12 driver-parity: exact decimal sum, DOUBLE final
+            # emission (value-exact at these magnitudes)
+            F.sum("total").cast("double").alias("revenue"),
         )
     )
 
@@ -104,7 +111,8 @@ _SQL_XML_ROUNDTRIP_ROLLUP = """
 SELECT o_orderstatus AS status,
        CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_class,
        CAST(count(*) AS BIGINT) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+       -- DOUBLE final emission (driver-parity; exact decimal sum)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY 1, 2
 """

@@ -65,6 +65,15 @@ def _contains_hugeint(t) -> bool:
     return False
 
 
+def _contains_decimal(t) -> bool:
+    tid = t.id
+    if tid == "decimal":
+        return True
+    if tid in ("list", "struct", "map"):
+        return any(_contains_decimal(c) for _, c in t.children)
+    return False
+
+
 def test_no_hugeint_in_any_oracle(duck_smoke):
     """Every oracle's final projection must be HUGEINT-free (the r10
     driver-hash-breaking class).  Pure bind — runs in seconds over the
@@ -78,6 +87,32 @@ def test_no_hugeint_in_any_oracle(duck_smoke):
     assert not offenders, (
         "HUGEINT in oracle final projection (driver renders int128 != "
         "int64; add CAST(... AS BIGINT)): " + "; ".join(offenders)
+    )
+
+
+def test_no_decimal_in_any_oracle(duck_smoke):
+    """Every oracle's final projection must be DECIMAL-free (the r11
+    driver-hash-breaking class, r12 hardening).  The five r11 window
+    failures (fleiss/krippendorff num+den, convex_hull edge_len2,
+    closest_pair min_d2+d0, farthest_pair diameter_d2) were both-side
+    DECIMAL(38,0): DuckDB's pandas fetch renders every decimal as
+    float64 while Spark emits decimal.Decimal objects, so the driver
+    hash breaks on render ("247" vs "247.0") even when values match.
+    Scale>0 decimals break the same way on trailing-zero cents
+    ("1.50" vs "1.5").  Keep decimal arithmetic INTERNAL; the final
+    emission must be BIGINT (when it provably fits), DOUBLE (when
+    value-exact), or a canonical digit string.  Pure bind — seconds
+    over the whole catalog."""
+    offenders = []
+    for name, sql in sorted(_ORACLES.items()):
+        rel = duck_smoke.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            if _contains_decimal(typ):
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "DECIMAL in oracle final projection (driver-render-unsafe; "
+        "cast the final emission to BIGINT/DOUBLE/VARCHAR): "
+        + "; ".join(offenders)
     )
 
 
@@ -147,7 +182,9 @@ def test_classifier_severities(duck_smoke):
     assert any("lh[]" in m for m in hard)
     assert len(soft) == 1 and "b" in soft[0], soft
 
-    # matching schema => clean
+    # r12: even a BOTH-SIDE decimal match is hard now (the r11 window
+    # failures were both-side DECIMAL(38,0) — render-divergent), and
+    # decimal-vs-hugeint stays hard (hugeint is never acceptable)
     ok_schema = T.StructType(
         [
             T.StructField("h", T.DecimalType(38, 0)),
@@ -157,8 +194,9 @@ def test_classifier_severities(duck_smoke):
         ]
     )
     hard2, _ = divergences(ok_schema, rel.columns, list(rel.types))
-    # decimal-vs-hugeint is still hard (hugeint is never acceptable)
-    assert len(hard2) == 2, hard2
+    assert len(hard2) == 3, hard2
+    assert any("dec21" in m and "decimal in final projection" in m
+               for m in hard2), hard2
 
     # column mismatch is hard in both directions
     hard3, _ = divergences(
