@@ -27,11 +27,15 @@ Round-5 hygiene retained inside each worker:
 * every scale factor is measured the same way — warm-up run, then
   median of N_RUNS — so the fitted log-log exponents compare
   like-for-like;
-* the FINAL stdout line is a compact (<1800 chars) JSON summary —
+* the FINAL stdout line is a compact (<1950 chars) JSON summary —
   medians, total, worst exponent — because the driver records only the
-  last 2000 chars of output.  The complete payload (spreads, per-SF
-  scaling map) goes to BENCH_FULL.json (UNTRACKED as of r7 — the
-  driver's reruns overwrite it; the round's committed record is the
+  last 2000 chars of output.  r12 (r11 VERDICT #2): the PER-QUERY map
+  is the protected core of that line — flag detail collapses first,
+  query entries (slowest kept, centisecond-rounded) drop last, and
+  every drop is recorded in ``n_queries_omitted``.  The complete
+  payload (full precision, spreads, per-SF scaling map, full triage)
+  goes to BENCH_FULL.json (UNTRACKED as of r7 — the driver's reruns
+  overwrite it; the round's committed record is the
   BENCH_FULL_r{N}.json snapshot) and an earlier stdout line.
 """
 
@@ -625,21 +629,38 @@ def _compact_line(
     compact: dict,
     timings: dict,
     protected: set[str] | None = None,
-    cap: int = 1800,
+    cap: int = 1950,
 ) -> str:
     """Serialize the compact summary, trimming until the line fits under
     ``cap`` chars (the driver keeps only the final 2000 chars of
-    stdout).  Trim order preserves the line's evidentiary value (r10
-    VERDICT directive #2 — the r10 line truncated away exactly the
-    solo-triage entries a reviewer needed):
+    stdout; 1950 + newline leaves the whole line inside that tail).
 
-    1. UNPROTECTED ``queries`` entries go first (lowest wall time
-       first).  Protected names — every drift flag and every query over
-       2x its first-appearance baseline — are never dropped.
-    2. Then ``fallback_queries`` caps at 8 + "...".
-    3. Then CLEARED ``flags`` entries collapse to their name + "clr"
-       marker (the non-cleared survivors always keep full triage
-       fields; a count of collapsed entries is recorded).
+    r12 REWORK (r11 VERDICT directive #2): the r11 full run shipped
+    ``"queries":{}, "n_queries_omitted":101`` — the old trim order
+    dropped unprotected queries FIRST, and with 101 queries + 25 flags
+    it dropped all of them, leaving the driver's PERF comparison with
+    zero common queries and an empty scaling block.  The per-query map
+    IS the driver contract; triage-flag DETAIL is what BENCH_FULL
+    exists for.  Inverted order — flag detail collapses first, the
+    queries map shrinks LAST (slowest entries kept, every drop
+    recorded in ``n_queries_omitted``):
+
+    1. ``regressions`` name list caps at 8 + "...".
+    2. CLEARED flags collapse to [name, "clr"], then all but 4 drop
+       (``n_flags`` still counts them; full triage in BENCH_FULL).
+    3. ``fallback_queries`` caps at 8 + "...".
+    4. NON-cleared flags collapse to [name, sec] (never to nothing —
+       the survivors' existence must stay on the line), then all but
+       10 drop as a flood guard.
+    5. The ``regressions`` list drops entirely (survivor names stay
+       visible in ``flags``); ``worst_exponent_interval`` drops (the
+       point estimate stays).
+    6. ONLY THEN unprotected ``queries`` entries drop, lowest wall
+       time first — the retained set is the top-N by time plus every
+       protected (flagged / over-2x-baseline) name.
+    7. Absolute last resort: protected queries drop too — an
+       unparseable head-cut line carries no evidence at all, so the
+       parse guarantee outranks completeness.
 
     GUARANTEED to terminate (r8 ADVICE): the loop exits the moment a
     full trim pass fails to shrink the line — a line whose irreducible
@@ -647,8 +668,12 @@ def _compact_line(
     forever and printing nothing."""
     protected = protected or set()
 
-    def _drop_queries() -> bool:
-        droppable = [q for q in compact["queries"] if q not in protected]
+    def _drop_queries(protected_ok: bool = False) -> bool:
+        droppable = [
+            q
+            for q in compact["queries"]
+            if protected_ok or q not in protected
+        ]
         if not droppable:
             return False
         drop = set(sorted(droppable, key=timings.get)[:5])
@@ -665,10 +690,16 @@ def _compact_line(
             return True
         return False
 
+    def _drop_field(fld: str) -> bool:
+        if compact.get(fld) not in (None, [], {}):
+            compact.pop(fld, None)
+            return True
+        return False
+
     def _collapse_flag(cleared: bool) -> bool:
-        # cleared flags collapse to [name, "clr"]; as a last resort
-        # non-cleared ones collapse to [name, sec] (never to nothing —
-        # the survivors' existence must stay on the line)
+        # cleared flags collapse to [name, "clr"]; non-cleared ones to
+        # [name, sec] (never to nothing — the survivors' existence
+        # must stay on the line)
         for f in reversed(compact.get("flags") or []):
             if len(f) > 2 and bool(f[-1] == 1) == cleared:
                 idx = compact["flags"].index(f)
@@ -686,11 +717,8 @@ def _compact_line(
 
     def _drop_excess(cleared: bool, keep: int) -> bool:
         # flood guard: beyond `keep` entries of a class even the
-        # collapsed forms overflow the cap — drop the excess entirely
-        # (the "n_flags" count still records them).  Cleared flags go
-        # first (keep 8); non-cleared survivors only as the very last
-        # resort (keep 12) — an unparseable head-cut line carries no
-        # evidence at all, so the parse guarantee outranks completeness.
+        # collapsed forms crowd out the queries map (the r11 failure
+        # mode); the "n_flags" count still records dropped ones
         flags = compact.get("flags") or []
         cls = [f for f in flags if _is_cleared(f) == cleared]
         if len(cls) <= keep:
@@ -703,17 +731,20 @@ def _compact_line(
         return True
 
     steps = (
-        _drop_queries,
-        lambda: _cap_names("fallback_queries"),
-        lambda: _collapse_flag(True),
         lambda: _cap_names("regressions"),
-        lambda: _drop_excess(True, 8),
+        lambda: _collapse_flag(True),
+        lambda: _drop_excess(True, 4),
+        lambda: _cap_names("fallback_queries"),
         lambda: _collapse_flag(False),
-        lambda: _drop_excess(False, 12),
+        lambda: _drop_excess(False, 10),
+        lambda: _drop_field("regressions"),
+        lambda: _drop_field("worst_exponent_interval"),
+        _drop_queries,
+        lambda: _drop_queries(True),
     )
-    # terminates: every step strictly consumes a finite budget (droppable
-    # queries, one-shot list caps, full-form flags); once all return
-    # False the line ships as-is even if still over cap
+    # terminates: every step strictly consumes a finite budget (one-shot
+    # list caps/field drops, full-form flags, droppable queries); once
+    # all return False the line ships as-is even if still over cap
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > cap:
         if not any(step() for step in steps):
@@ -892,13 +923,16 @@ def main() -> None:
             for q in sorted(timings)
             if q in first_app and timings[q] > 2 * first_app[q]
         },
-        "queries": timings,
+        # centisecond rounding (r11 VERDICT #2): the per-query map is
+        # the driver's PERF/scaling contract and trims LAST now; two
+        # decimals keep ~100 chars of headroom for more entries
+        "queries": {q: round(v, 2) for q, v in timings.items()},
     }
-    # flags are self-carrying ([q, sec, ...]), so flagged names need no
-    # seat in the queries dict — protecting them there doubled ~30
-    # chars per flag and pushed a 28-flag line past the driver's
-    # 2000-char tail (head-cut JSON never parses)
-    protected = set(compact["over2x_first"])
+    # drift-flagged names keep their seat in the queries map alongside
+    # the over-2x names: the driver's per-query comparison reads
+    # ``queries``, and a flagged query is exactly the one the next
+    # round must be able to compare (r11 VERDICT #2)
+    protected = set(compact["over2x_first"]) | {r["q"] for r in regressions}
     print(_compact_line(compact, timings, protected))
 
 

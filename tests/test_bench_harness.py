@@ -50,7 +50,7 @@ def _mk_compact(n_queries: int, n_regr: int, n_fallback: int) -> tuple[dict, dic
 def test_compact_line_fits_normally():
     compact, timings = _mk_compact(60, 0, 0)
     line = bench._compact_line(compact, timings)
-    assert len(line) <= 1800
+    assert len(line) <= 1950
     parsed = json.loads(line)
     assert parsed["value"] == 99.9
     # queries were truncated to the slowest (here: ties, any 60-5k subset)
@@ -66,7 +66,9 @@ def test_compact_line_terminates_with_huge_fallback_list():
     parsed = json.loads(line)
     assert parsed["fallback_queries"][-1] == "..."
     assert len(parsed["fallback_queries"]) == 9  # 8 + ellipsis
-    assert len(line) <= 1800
+    assert len(line) <= 1950
+    # r12: the queries map survives intact — fallback names trim first
+    assert len(parsed["queries"]) == 10
 
 
 def test_compact_line_terminates_when_irreducible():
@@ -78,9 +80,12 @@ def test_compact_line_terminates_when_irreducible():
     json.loads(line)  # still valid JSON
 
 
-def test_compact_line_keeps_slowest_and_preserves_regressions():
-    """r10 VERDICT directive #2: flag evidence outranks timing entries —
-    queries trim first (fastest first), regression names survive."""
+def test_compact_line_keeps_slowest_and_trims_regression_names_first():
+    """r11 VERDICT directive #2 (priority INVERTED vs r10): the
+    per-query map is the driver's PERF contract — redundant regression
+    NAME lists (the flags carry survivors) cap/drop before a single
+    query entry does, and whatever query trimming remains keeps the
+    SLOWEST entries."""
     timings = {f"query_with_longer_name_{i:03d}": float(i) for i in range(160)}
     regressions = [f"regressed_query_name_number_{i:04d}" for i in range(20)]
     compact = {
@@ -89,11 +94,11 @@ def test_compact_line_keeps_slowest_and_preserves_regressions():
         "queries": dict(timings),
     }
     line = bench._compact_line(compact, timings)
-    assert len(line) <= 1800
+    assert len(line) <= 1950
     parsed = json.loads(line)
-    # 20 names fit once queries trim — NO "..." truncation of evidence
-    assert parsed["regressions"] == regressions
-    # the retained queries are the SLOWEST ones, and some were dropped
+    # the 20-name regression list capped (or dropped) BEFORE queries
+    assert len(parsed.get("regressions", [])) <= 9
+    # the retained queries are the SLOWEST ones, and the drop is counted
     kept = set(parsed["queries"])
     assert kept and len(kept) < 160
     slowest = set(sorted(timings, key=timings.get, reverse=True)[: len(kept)])
@@ -104,9 +109,15 @@ def test_compact_line_keeps_slowest_and_preserves_regressions():
 def test_compact_line_protected_queries_never_drop():
     """Drift-flagged / over-2x-baseline names stay in the queries dict
     regardless of rank (they are the FASTEST here, i.e. first to drop
-    without protection)."""
-    timings = {f"q{i:03d}": float(i) for i in range(120)}
-    protected = {"q000", "q001", "q002"}
+    without protection).  Long names force real trimming."""
+    timings = {
+        f"catalog_query_with_long_name_{i:03d}": float(i) for i in range(120)
+    }
+    protected = {
+        "catalog_query_with_long_name_000",
+        "catalog_query_with_long_name_001",
+        "catalog_query_with_long_name_002",
+    }
     compact = {
         "regressions": [],
         "fallback_queries": [],
@@ -114,15 +125,17 @@ def test_compact_line_protected_queries_never_drop():
         "queries": dict(timings),
     }
     line = bench._compact_line(compact, timings, protected=protected)
-    assert len(line) <= 1800
+    assert len(line) <= 1950
     parsed = json.loads(line)
+    assert parsed["n_queries_omitted"] > 0  # trimming actually happened
     assert protected <= set(parsed["queries"])
 
 
 def test_compact_line_collapses_cleared_flags_before_survivors():
     """Full triage fields: cleared flags collapse to [name, "clr"] under
-    pressure; non-cleared survivors keep full detail until the bitter
-    end (then [name, sec], never dropped)."""
+    pressure and flood-drop beyond 4; non-cleared survivors keep full
+    detail while the line still fits (then [name, sec], then all but
+    10 drop — but only ever AFTER the cleared class is exhausted)."""
     flags = [[f"survivor_flag_name_{i:02d}", 9.1, 3.2, 8.8, 0] for i in range(3)]
     flags += [[f"cleared_flag_name_{i:02d}", 9.1, 3.2, 2.2, 1] for i in range(60)]
     compact = {
@@ -132,17 +145,17 @@ def test_compact_line_collapses_cleared_flags_before_survivors():
         "queries": {},
     }
     line = bench._compact_line(compact, {})
-    assert len(line) <= 1800
+    assert len(line) <= 1950
     parsed = json.loads(line)
     survivors = [f for f in parsed["flags"] if f[0].startswith("survivor")]
-    assert len(survivors) == 3  # non-cleared flags are NEVER dropped
+    assert len(survivors) == 3  # non-cleared flags survive the flood
     assert all(len(f) == 5 for f in survivors)  # full triage detail kept
     collapsed = [f for f in parsed["flags"] if f[1] == "clr"]
     assert collapsed and parsed["n_flags_collapsed"] == len(collapsed) + parsed.get(
         "n_flags_dropped", 0
     )
-    # the flood beyond 8 cleared entries is dropped but stays counted
-    assert len(collapsed) == 8 and parsed["n_flags_dropped"] == 52
+    # the flood beyond 4 cleared entries is dropped but stays counted
+    assert len(collapsed) == 4 and parsed["n_flags_dropped"] == 56
 
 
 def test_first_appearance_prefers_oldest_snapshot(tmp_path):
@@ -329,9 +342,11 @@ def test_solo_triage_worker_failure_keeps_flag(monkeypatch):
 
 def test_compact_line_r11_full_run_shape_fits_and_parses():
     """Regression for the r11 full run: 98 queries, 28 flags of which
-    23 non-cleared — the line must land under 1800 chars (the driver
-    keeps only the last 2000; an over-cap line gets its HEAD cut and
-    never parses) while every surviving flag stays self-carrying."""
+    23 non-cleared — the line must land under the cap (the driver
+    keeps only the last 2000 chars; an over-cap line gets its HEAD cut
+    and never parses) while keeping flag survivors visible AND a
+    substantial queries map (the r11 line shipped queries:{} — the
+    exact failure this order inverts)."""
     timings = {f"catalog_query_name_{i:03d}": 1.0 + i / 100 for i in range(98)}
     names = sorted(timings)
     flags = [[names[i], 2.5, 1.9, None, 0] for i in range(23)]
@@ -346,14 +361,77 @@ def test_compact_line_r11_full_run_shape_fits_and_parses():
         "over2x_first": {names[50]: [2.0, 0.9]},
         "queries": dict(timings),
     }
-    line = bench._compact_line(compact, timings, protected={names[50]})
-    assert len(line) <= 1800
+    protected = {names[50]} | {f[0] for f in flags}
+    line = bench._compact_line(compact, timings, protected=protected)
+    assert len(line) <= 1950
     parsed = json.loads(line)
     assert parsed["n_flags"] == 28
-    # at least 12 non-cleared survivors remain, each with at least
-    # [name, sec]
-    surv = [f for f in parsed["flags"] if not (len(f) > 2 and f[-1] == 1) and f[1:] != ["clr"]]
-    assert len(surv) >= 12
+    # non-cleared survivors stay visible (collapsed [name, sec] is
+    # enough; the flood guard keeps 10)
+    surv = [
+        f
+        for f in parsed["flags"]
+        if not (len(f) > 2 and f[-1] == 1) and f[1:] != ["clr"]
+    ]
+    assert len(surv) == 10
     assert all(isinstance(f[1], float) for f in surv)
-    # the over-2x name is still in queries
+    # r12 CONTRACT: the queries map is populated (r11 shipped {}) and
+    # every protected name kept its seat
+    assert len(parsed["queries"]) >= 30
+    assert parsed["n_queries_omitted"] == 98 - len(parsed["queries"])
     assert names[50] in parsed["queries"]
+
+
+def test_compact_line_r12_queries_map_is_the_protected_core():
+    """r11 VERDICT directive #2 end-state: with the r12 headline shape
+    (101 realistically-long query names, a 25-flag noisy run) the
+    final line still ships a top-N-by-time queries map big enough for
+    the driver's PERF comparison — never an empty one — plus every
+    flagged name."""
+    import random
+
+    rng = random.Random(11)
+    timings = {
+        f"catalog_query_name_{'x' * rng.randint(0, 10)}_{i:03d}": round(
+            rng.uniform(0.2, 8.0), 3
+        )
+        for i in range(101)
+    }
+    names = sorted(timings)
+    flags = [[names[i], 2.5, 1.9, 2.4, 0] for i in range(20)]
+    flags += [[names[20 + i], 2.5, 1.9, 1.1, 1] for i in range(5)]
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 180.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": 101,
+        "n_runs": 3,
+        "jvm_groups": 9,
+        "worst_exponent": 0.73,
+        "worst_exponent_interval": [0.64, 0.82],
+        "regressions": [f[0] for f in flags if not f[-1]],
+        "flags": [list(f) for f in flags],
+        "n_flags": len(flags),
+        "machine_factor": 0.814,
+        "calibration_sec": 0.416,
+        "fallback_queries": [],
+        "over2x_first": {},
+        "queries": {q: round(v, 2) for q, v in timings.items()},
+    }
+    protected = {f[0] for f in flags}
+    line = bench._compact_line(compact, timings, protected=protected)
+    assert len(line) <= 1950
+    parsed = json.loads(line)
+    kept = parsed["queries"]
+    assert len(kept) >= 30, f"queries map too small: {len(kept)}"
+    # every flagged (protected) name kept its seat for PERF comparison
+    assert protected <= set(kept)
+    # the unprotected survivors are the slowest ones
+    unprot = [q for q in timings if q not in protected]
+    kept_unprot = [q for q in kept if q not in protected]
+    slowest_unprot = sorted(unprot, key=timings.get, reverse=True)[
+        : len(kept_unprot)
+    ]
+    assert set(kept_unprot) == set(slowest_unprot)
+    assert parsed["n_queries_omitted"] == 101 - len(kept)
