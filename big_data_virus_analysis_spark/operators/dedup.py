@@ -21,7 +21,9 @@ Scale shape: every stage is hash-partitioned on (doc, gram) or (gram) —
 the inverted-index join and the band-bucket join are the standard
 shuffle-bound near-dup patterns; hot shingles (stopword-like grams) are
 the skew risk, handled by AQE skew-join plus the optional document-
-frequency cutoff in `ngram_jaccard_pairs(max_df=...)`.
+frequency cutoff in `ngram_jaccard_pairs(max_df=...)`.  The gram index
+itself builds WITHOUT a shuffle (r12: per-doc dedup is array_distinct
+before the explode, not dropDuplicates after it).
 """
 
 from __future__ import annotations
@@ -74,9 +76,16 @@ def word_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
         F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
     )
-    return (
-        staged.select("doc_id", F.explode(grams).alias("gram"))
-        .dropDuplicates(["doc_id", "gram"])
+    # r12 (guide §2.4 — remove shuffles outright): per-doc gram dedup
+    # as array_distinct BEFORE the explode.  doc_id is unique per input
+    # row, so "distinct (doc_id, gram)" is exactly "distinct grams
+    # within each row's array" — the old dropDuplicates shuffled the
+    # 50×-exploded gram frame through a full Exchange+HashAggregate to
+    # compute something each row already knows.  Lifts every
+    # word_ngrams consumer (jaccard/edit/jaro/tau/snm/eval-align/
+    # minhash index builds).
+    return staged.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
     )
 
 
@@ -98,11 +107,25 @@ def ngram_jaccard_pairs(
     """
     # the shingle frame feeds four branches (both join sides, both size
     # lookups) and Spark plans each branch as a full recompute of the
-    # explode+dedup pipeline (AQE's broadcast conversions defeat
+    # explode pipeline (AQE's broadcast conversions defeat
     # ReusedExchange matching) — cache the inverted index so it builds
     # ONCE, the same build-then-probe shape every at-scale set-sim join
-    # uses
-    dg = word_ngrams(documents, n)
+    # uses.
+    #
+    # r12 controlled experiment (guide §1.1, recorded in
+    # OPTIMIZATION_r12.md): a posting-list rewrite — groupBy(gram) →
+    # sort_array(collect_list) → explode the (i<j) pairs — was built,
+    # proven equivalent, and MEASURED SLOWER (dedup_ngram_jaccard
+    # 2.08→3.40 s, jaro 2.96→6.62 s at sf0.1): the self-join below
+    # plans as a BroadcastHashJoin over the cached index (zero
+    # pair-generation shuffles), so "one shuffle instead of two join
+    # sides" replaced a broadcast hash probe with a real
+    # Exchange + per-gram array churn.  The join stays; at the 100-TB
+    # point, where neither side broadcasts, AQE picks the shuffle
+    # strategy and max_df is the skew control.  The posting-list
+    # spelling is kept as the equivalence REFERENCE in
+    # tests/test_operators.py::test_posting_list_reference_equals_join.
+    dg = tracked_cache(word_ngrams(documents, n))
     if max_df is not None:
         hot = (
             dg.groupBy("gram")
@@ -111,14 +134,19 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         dg = dg.join(hot, "gram", "left_semi")
-    dg = dg.transform(tracked_cache)
     sizes = dg.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     a = dg.alias("a")
     b = dg.alias("b")
     inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.alias("sa")

@@ -83,6 +83,87 @@ def test_jaccard_pairs_symmetric_bounds(spark):
         assert 0.8 <= r.jaccard <= 1.0
 
 
+def _ngram_pairs_posting_list_reference(docs, n, threshold, max_df=None):
+    """Posting-list spelling of ngram_jaccard_pairs — groupBy(gram) →
+    sorted doc list → explode the (i<j) pairs.  Algorithmically
+    INDEPENDENT of the production self-join (one gram aggregate, no
+    join for pair generation), kept as the equivalence reference.  It
+    was also the r12 candidate optimization, measured SLOWER at sf0.1
+    (the production join plans as a BroadcastHashJoin over the cached
+    index — see OPTIMIZATION_r12.md)."""
+    from big_data_virus_analysis_spark.operators.dedup import word_ngrams
+
+    dg = word_ngrams(docs, n)
+    sizes = dg.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    lists = dg.groupBy("gram").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    if max_df is not None:
+        lists = lists.where(F.size("ds") <= max_df)
+        kept = lists.select("gram", F.explode("ds").alias("doc_id"))
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ds"),
+                    i + 2,
+                    F.greatest(F.size("ds") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    inter = (
+        lists.where(F.size("ds") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (
+                    F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
+                ).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def test_posting_list_reference_equals_join(spark):
+    """The production inverted-index self-join and the independent
+    posting-list spelling must be byte-identical on the real corpus —
+    at a low threshold (many pairs) and with the max_df cutoff engaged.
+    Doubles as the equivalence record for the r12 array_distinct gram
+    dedup (both paths ride the shuffle-free word_ngrams)."""
+    from conftest import SMOKE_SF_DIR
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    for kwargs in ({"threshold": 0.3}, {"threshold": 0.8}, {"threshold": 0.3, "max_df": 3}):
+        new = sorted(map(tuple, ngram_jaccard_pairs(docs, 3, **kwargs).collect()))
+        ref = sorted(
+            map(
+                tuple,
+                _ngram_pairs_posting_list_reference(docs, 3, **kwargs).collect(),
+            )
+        )
+        assert new == ref, f"divergence under {kwargs}"
+        assert len(new) > 0, f"degenerate fixture under {kwargs}"
+
+
 def test_lsh_recall_vs_bruteforce(spark):
     """Sign-LSH is approximate; its hits must be a subset of the true
     candidate space and carry identical sims for shared pairs."""
