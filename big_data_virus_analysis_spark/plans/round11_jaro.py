@@ -150,9 +150,10 @@ def _q_jaro_winkler_dup_pairs(
             ),
             "doc_b",
         )
-        .withColumn(
-            "w", F.expr("greatest(0, greatest(la, lb) div 2 - 1)")
-        )
+        # (the fold's window bound `w` lives in _JARO_FOLD / the test
+        # spec path only — the Arrow matcher recomputes it internally,
+        # so the query plan no longer carries the unused expression;
+        # r11 ADVICE)
     )
     def _batch(it):
         for pdf in it:

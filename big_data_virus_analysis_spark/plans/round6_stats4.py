@@ -406,6 +406,11 @@ def _q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("ry"),
     )
+    # precondition (r11 ADVICE): n = sum(cnt) is NULL over an EMPTY
+    # input (the pre-r11 count(lit(1)) spelled 0), so rho degrades to
+    # NULL instead of 0-count arithmetic on an empty frame — vacuous
+    # for TPC-H lineitem (never empty at any SF), and the oracle's
+    # sum() has the identical NULL convention, so the engines agree
     y_sums = withry.agg(
         F.sum("cnt").alias("n"),
         F.sum("srx").alias("sx"),

@@ -85,8 +85,12 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
     fully lazy caching exploded the logical plan exponentially.  What
     works is cutting the jobs that exist: every sweep is a LAZY
     localCheckpoint (single LogicalRDD node — lineage truncates with
-    no blowup), so a whole round materializes inside the next round's
-    first job with zero per-sweep driver probes (r11; the r10 shape
+    no blowup).  Measured caveat (r11 ADVICE): with AQE on,
+    ``localCheckpoint(eager=False)`` still EXECUTES every intermediate
+    stage at construction time (``toRdd`` finalizes the adaptive
+    plan); only the FINAL stage defers into the next consumer's job —
+    the win is one saved driver job per sweep, not whole-round
+    deferral — plus zero per-sweep driver probes (r11; the r10 shape
     spent one count() job per sweep to skip post-fixpoint sweeps —
     identity maps that cost less to run than to probe), and the
     chosen-edge dedup folds into the forest merge aggregate."""
@@ -156,8 +160,10 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
             )
             .groupBy("u", "v", "shared")
             .agg(F.min("round_added").alias("round_added"))
-            # lazy checkpoint: lineage truncates now, materialization
-            # folds into the first sweep's job instead of its own
+            # lazy checkpoint: lineage truncates now; under AQE the
+            # intermediate stages still run at construction, only the
+            # final stage folds into the first sweep's job (one saved
+            # driver job — the measured r11 behavior)
         ).localCheckpoint(eager=False)
         # contraction: min-label propagation over FOREST edges.
         # r11 optimization (guide §1.2 — remove driver round-trips):
@@ -165,11 +171,12 @@ def _msf_chain(spark: SparkSession, sf_dir: str):
         # each) to SKIP post-fixpoint sweeps; but a sweep on fixpoint
         # labels is the identity map, so running the full MSF_PROP
         # budget lazily is bit-identical (and now literally mirrors
-        # the DuckDB twin's full-budget lab CTEs) while the whole
-        # round materializes in ONE job — the next round's cross join
-        # (or the final action) pulls the lazily-checkpointed sweep
-        # chain; each sweep's LogicalRDD is a single plan node, so
-        # lineage stays linear in MSF_PROP.  Bonus: the final round's
+        # the DuckDB twin's full-budget lab CTEs) while each sweep
+        # saves one driver job (under AQE the lazy checkpoint defers
+        # only its FINAL stage into the next consumer — the measured
+        # r11 behavior); each sweep's LogicalRDD is a single plan
+        # node, so lineage stays linear in MSF_PROP.  Bonus: the
+        # final round's
         # labels are never consumed by the forest output, so the main
         # MSF query no longer executes them at all (the audit still
         # does, via its component counts and move witnesses).

@@ -28,9 +28,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         df = CATALOG[name].spark(spark, SF_DIR)
-        txt = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
+        # r11 ADVICE: go through the query execution's own
+        # explainString(ExplainMode) instead of the PythonSQLUtils
+        # private helper — one less version-fragile internal hop
+        jqe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
         )
+        txt = jqe.explainString(mode)
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(txt)
