@@ -90,8 +90,17 @@ def _q_boyer_moore_majority_events(
         .select(
             "n_events",
             F.expr(f"element_at({_BM_FOLD}, 1)").alias("cand"),
+            # r12 (guide §1.2 — fix the per-task work): the classical
+            # second pass was spelled size(filter(evs, x ->
+            # x = element_at(FOLD, 1))) — the O(L) fold sat INSIDE the
+            # filter lambda, so interpreted higher-order evaluation
+            # re-ran it per element: O(L²) per user, measured +1.3 s
+            # of the query's 2.1 s at sf0.1.  array_remove takes the
+            # candidate as a plain (non-lambda) argument, evaluated
+            # once per row; occurrences(c) = size - size(remove(c))
+            # exactly (no NULLs in evs, streams non-empty).
             F.expr(
-                f"size(filter(evs, x -> x = element_at({_BM_FOLD}, 1)))"
+                f"size(evs) - size(array_remove(evs, element_at({_BM_FOLD}, 1)))"
             ).cast("bigint").alias("cand_occ"),
         )
         .select(

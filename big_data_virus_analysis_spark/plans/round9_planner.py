@@ -53,10 +53,17 @@ def _q_histogram_selectivity_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    vals = tracked_cache(
-        orders.select(
-            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
-        )
+    # r12 (guide §5 — cache only when recompute beats the cache's
+    # cost): vals fed four legs through a tracked_cache, but it is ONE
+    # pruned bigint column off the orders scan — recomputing it per
+    # leg is four column-pruned scans (~0.09 s each at sf0.1), while
+    # the cache added a materialization barrier every leg waited on.
+    # Uncached: 1.99 -> 1.42 s median at sf0.1 (the r11 edge-builder
+    # recompute-the-narrow-frame precedent; at 100 TB each leg reads
+    # one compressed column with pushdown instead of a corpus-sized
+    # cache write + spill).
+    vals = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
     )
     ext = vals.agg(
         F.min("v").alias("vmin"),
