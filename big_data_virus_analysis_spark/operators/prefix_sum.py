@@ -10,12 +10,20 @@ own RangePartitioner sampling uses):
    sorted, balanced key ranges;
 2. per-partition local cumulative sums (a window PARTITIONED by the
    range bucket — parallel);
-3. per-partition totals (one tiny row per partition) are prefix-summed
-   on the driver and broadcast back as additive offsets.
+3. per-partition totals (one tiny row per partition, bounded in-plan
+   by an explicit ``limit(P)``) are prefix-summed by a single-partition
+   window over those P rows and broadcast-joined back as additive
+   offsets.
 
-The driver step touches P rows (hundreds), never data rows.  Output is
-bit-identical to the single-partition window because integer/decimal
-addition is associative; for doubles use a decimal value column first.
+The offset step touches P rows (hundreds; bounded by cluster size),
+never data rows.  r12: the whole primitive is LAZY — the r11 shape
+collected the P totals to the driver and pinned the buckets with an
+eager localCheckpoint, which cost every caller a checkpoint write of
+the full frame plus several driver jobs at plan-BUILD time; the lazy
+offsets ride the same range exchange (reused, not recomputed) inside
+the caller's own job.  Output is bit-identical to the single-partition
+window because integer/decimal addition is associative; for doubles
+use a decimal value column first.
 
 No reference counterpart (the reference never needed a global scan);
 this is engine-infrastructure for order-defined operators — sequence
@@ -30,6 +38,8 @@ from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .caching import tracked_cache
 
 
 def global_prefix_sum(
@@ -84,27 +94,26 @@ def global_prefix_sum(
     if order_exprs is None:
         order_exprs = [F.col(order_col)]  # default scan order; pass a
         # list of expressions (e.g. [col desc, tiebreaker]) for others
-    bucketed = (
-        df.repartitionByRange(n_buckets, *order_exprs)
-        .withColumn("_bucket", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin bucket assignment for reuse below
+    # LAZY materialization pin (r12): the local-cum branch and the
+    # totals branch must see IDENTICAL bucket ids, but two independent
+    # materializations of a range exchange can sample different
+    # partition bounds at runtime (measured: spearman/zone_map came
+    # back value-shifted on a first fully-unpinned attempt).  A
+    # tracked cache pins ONE materialization — still zero work at plan
+    # build (the r11 shape pinned with an EAGER localCheckpoint plus a
+    # driver collect of the totals; both now happen inside the
+    # caller's own job).
+    bucketed = tracked_cache(
+        df.repartitionByRange(n_buckets, *order_exprs).withColumn(
+            "_bucket", F.spark_partition_id()
+        )
     )
     local_w = Window.partitionBy("_bucket").orderBy(*order_exprs)
     with_local = bucketed
     for vc, oc in zip(value_cols, out_cols):
         with_local = with_local.withColumn(f"_local_{oc}", F.sum(vc).over(local_w))
         with_local = with_local.withColumn(f"_lcnt_{oc}", F.count(vc).over(local_w))
-    # P tiny rows -> driver prefix sum -> broadcast offsets
-    totals = (
-        bucketed.groupBy("_bucket")
-        .agg(
-            *[F.sum(vc).alias(f"_total_{oc}") for vc, oc in zip(value_cols, out_cols)],
-            *[F.count(vc).alias(f"_n_{oc}") for vc, oc in zip(value_cols, out_cols)],
-        )
-        .collect()
-    )
     dtypes = dict(with_local.dtypes)
-    schema_parts = ["_bucket int"]
     zeros, cum_types = {}, {}
     for oc in out_cols:
         cum_types[oc] = dtypes[f"_local_{oc}"]  # sum()'s widened type
@@ -114,25 +123,47 @@ def global_prefix_sum(
             zeros[oc] = 0.0
         else:
             zeros[oc] = 0
-        schema_parts.append(f"_offset_{oc} {cum_types[oc]}")
-        schema_parts.append(f"_cnt_{oc} bigint")
-    running = {oc: zeros[oc] for oc in out_cols}
-    counts = {oc: 0 for oc in out_cols}
-    offset_rows = []
-    for row in sorted(totals, key=lambda r: r["_bucket"]):
-        offset_rows.append(
-            (
-                row["_bucket"],
-                *[v for oc in out_cols for v in (running[oc], counts[oc])],
-            )
+    # P tiny rows -> lazy offsets (r12): per-bucket totals, bounded
+    # IN-PLAN by limit(n_buckets) (a true no-op — groupBy(_bucket) has
+    # at most P groups — that makes the single-partition windows below
+    # provably bounded for the plan lint), prefix-summed EXCLUSIVELY
+    # over the bucket order and broadcast-joined back.  Both branches
+    # read the SAME range exchange (ReusedExchange), so the input
+    # pipeline still runs once; no driver collect, no eager checkpoint,
+    # no plan-build-time jobs.
+    totals = (
+        bucketed.groupBy("_bucket")
+        .agg(
+            *[F.sum(vc).alias(f"_total_{oc}") for vc, oc in zip(value_cols, out_cols)],
+            *[F.count(vc).alias(f"_n_{oc}") for vc, oc in zip(value_cols, out_cols)],
         )
-        for oc in out_cols:
-            t = row[f"_total_{oc}"]
-            if t is not None:  # all-NULL bucket sums to NULL -> offset 0
-                running[oc] += t
-            counts[oc] += row[f"_n_{oc}"]
-    offset_df = spark.createDataFrame(offset_rows, ", ".join(schema_parts))
-    out = with_local.join(F.broadcast(offset_df), "_bucket")
+        .limit(n_buckets)
+    )
+    bw = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    fw = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offset_cols = ["_bucket"]
+    for oc in out_cols:
+        zero_lit = F.lit(zeros[oc]).cast(cum_types[oc])
+        offset_cols.append(
+            F.coalesce(
+                F.sum(f"_total_{oc}").over(bw).cast(cum_types[oc]), zero_lit
+            ).alias(f"_offset_{oc}")
+        )
+        offset_cols.append(
+            F.coalesce(F.sum(f"_n_{oc}").over(bw), F.lit(0))
+            .cast("bigint")
+            .alias(f"_cnt_{oc}")
+        )
+        offset_cols.append(
+            F.sum(f"_total_{oc}").over(fw).cast(cum_types[oc]).alias(f"_g_{oc}")
+        )
+        offset_cols.append(
+            F.sum(f"_n_{oc}").over(fw).cast("bigint").alias(f"_gn_{oc}")
+        )
+    offsets = totals.select(*offset_cols)
+    out = with_local.join(F.broadcast(offsets), "_bucket")
     for oc in out_cols:
         zero_lit = F.lit(zeros[oc]).cast(cum_types[oc])
         out = out.withColumn(
@@ -144,9 +175,12 @@ def global_prefix_sum(
         ).drop(f"_local_{oc}", f"_offset_{oc}", f"_lcnt_{oc}", f"_cnt_{oc}")
     for oc, tc in zip(out_cols, total_cols):
         if tc is not None:
-            total_val = running[oc] if counts[oc] > 0 else None
-            out = out.withColumn(tc, F.lit(total_val).cast(cum_types[oc]))
-    return out.drop("_bucket")
+            # grand total: NULL only when NO non-NULL value exists at
+            # all (the driver loop's counts==0 case)
+            out = out.withColumn(
+                tc, F.when(F.col(f"_gn_{oc}") > 0, F.col(f"_g_{oc}"))
+            )
+    return out.drop("_bucket", *[c for oc in out_cols for c in (f"_g_{oc}", f"_gn_{oc}")])
 
 
 def global_row_number(
@@ -157,14 +191,14 @@ def global_row_number(
     n_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = row_number() over the GLOBAL order without a
-    single-partition window: range-partition on the order expressions,
-    number rows per bucket in parallel, then offset each bucket by the
-    count of all earlier buckets (P tiny rows through the driver).
+    single-partition window over DATA rows: range-partition on the
+    order expressions, number rows per bucket in parallel, then offset
+    each bucket by the count of all earlier buckets (P tiny rows
+    through a bounded window + broadcast join — fully lazy, r12).
 
-    ``n_col`` (optional) attaches the TOTAL row count as a literal
-    column — the driver just summed the per-bucket counts, so callers
-    needing (rn, n) for derived ntile/percent_rank pay no second pass
-    and no cross join.
+    ``n_col`` (optional) attaches the TOTAL row count — it rides the
+    same P-row broadcast, so callers needing (rn, n) for derived
+    ntile/percent_rank pay no second pass over the input.
 
     The order must be total (include a unique tiebreaker) so bucket
     boundaries cannot split ties; output is then bit-identical to the
@@ -177,29 +211,39 @@ def global_row_number(
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
-    bucketed = (
-        df.repartitionByRange(n_buckets, *order_exprs)
-        .withColumn("_bucket", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # lazy materialization pin — see global_prefix_sum above
+    bucketed = tracked_cache(
+        df.repartitionByRange(n_buckets, *order_exprs).withColumn(
+            "_bucket", F.spark_partition_id()
+        )
     )
     local_w = Window.partitionBy("_bucket").orderBy(*order_exprs)
     with_local = bucketed.withColumn("_local_rn", F.row_number().over(local_w))
-    counts = bucketed.groupBy("_bucket").count().collect()
-    offsets, running = {}, 0
-    for row in sorted(counts, key=lambda r: r["_bucket"]):
-        offsets[row["_bucket"]] = running
-        running += row["count"]
-    offset_df = spark.createDataFrame(
-        [(b, o) for b, o in offsets.items()], "_bucket int, _offset bigint"
+    # lazy offsets (r12, see global_prefix_sum): bounded-in-plan bucket
+    # counts, exclusive prefix + grand total over the bucket order,
+    # broadcast-joined back — no driver collect, no eager checkpoint
+    counts = (
+        bucketed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(n_buckets)
+    )
+    bw = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    fw = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_c").over(bw), F.lit(0)).cast("bigint").alias("_offset"),
+        F.sum("_c").over(fw).cast("bigint").alias("_n_total"),
     )
     out = (
-        with_local.join(F.broadcast(offset_df), "_bucket")
-        .withColumn(out_col, F.col("_local_rn") + F.col("_offset"))
+        with_local.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, F.col("_local_rn").cast("bigint") + F.col("_offset"))
         .drop("_bucket", "_local_rn", "_offset")
     )
     if n_col is not None:
-        out = out.withColumn(n_col, F.lit(running).cast("bigint"))
-    return out
+        out = out.withColumn(n_col, F.col("_n_total"))
+    return out.drop("_n_total")
 
 
 def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
@@ -235,8 +279,8 @@ def with_global_rank_and_count(
     """Convenience composition for derived ntile / percent_rank: the
     two-phase global row number plus the total count — the two inputs
     :func:`ntile_from_rank` / :func:`percent_rank_from_rank` need.  The
-    count is the driver's sum of per-bucket counts (a literal column),
-    so there is no second pass over the input and no cross join."""
+    count rides the per-bucket offset broadcast, so there is no second
+    pass over the input and no cross join."""
     return global_row_number(
         df, order_exprs, out_col=rn_col, n_buckets=n_buckets, n_col=n_col
     )

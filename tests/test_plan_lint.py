@@ -62,6 +62,14 @@ BNLJ_ALLOWED = {
     "language_confusion",
     # single-row bigram-total broadcast crossed onto vocabulary-sized counts
     "bigram_pmi_top",
+    # r12: the lazy prefix-sum no longer truncates plans with an eager
+    # localCheckpoint, so these queries' PRE-EXISTING single-row
+    # bounds/horizon broadcasts (zone/hilbert band bounds, the logrank
+    # censoring horizon) became visible to the lint — same adjudicated
+    # 1-row cross-join class as the entries above
+    "zone_map_pruning_audit",
+    "hilbert_zone_pruning_audit",
+    "logrank_two_segment",
     # single-row x-side moment frame (sxx off the 50-value quantity rank
     # table) broadcast-crossed onto the single-row y-side moment frame
     # (r11: the fat rank-join rewrite — see round6_stats4)
